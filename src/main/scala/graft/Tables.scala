@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver fixture tables (TESTDATA.md / FIXTURES.md §1).
+  *
+  * Every query in the engine takes `(spark, sfDir)` and loads its inputs
+  * through here, so the scan path (vectorized parquet reader, pushdown,
+  * pruning) is uniform. At 100 TB these would be partitioned/bucketed
+  * catalog tables; the single-parquet layout is the driver's fixture shape.
+  */
+object Tables {
+  /** Query signature used across the whole engine. */
+  type Q = (SparkSession, String) => DataFrame
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Session conf required to read the fixtures: `events.ts` is parquet
+    * TIMESTAMP(NANOS), which Spark only reads as a long (nanosAsLong);
+    * [[events]] rebuilds the TimestampType column. The fixture's ns values
+    * are µs-exact (verified: epoch_ns % 1000 == 0 for all rows), so the
+    * conversion is lossless.
+    */
+  val requiredConfs: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

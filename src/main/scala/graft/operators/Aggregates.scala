@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.Exprs._
+import graft.Tables
+import graft.Tables.Q
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Aggregation operators (SURVEY.md §2B A1–A8).
+  *
+  * All grouped aggregates rely on Spark's automatic partial+final hash
+  * aggregation (map-side combine before the shuffle), so shuffle volume is
+  * proportional to group cardinality, not input rows — the property that
+  * makes these plans survive a 100 TB input.
+  */
+object Aggregates {
+
+  val queries: Map[String, Q] = Map(
+    // A1: ungrouped aggregate over lineitem (R6's count, widened).
+    "a1_ungrouped_agg" -> ((s, d) => {
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        davg(col("l_discount")).as("avg_disc"))
+    }),
+
+    // A2: TPC-H Q1 shape — grouped hash aggregate, 8 aggregates.
+    "a2_group_agg" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(BigDecimal(1)).cast(D18_2) - dec(col("l_discount"))))
+            .cast(DoubleType).as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // A3: exact COUNT(DISTINCT) per group.
+    "a3_count_distinct" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // A4: HLL approximate distinct — no oracle (±rsd); rows-only check.
+    "a4_approx_distinct" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+    }),
+
+    // A5: rollup over the nation hierarchy with grouping() to tag levels.
+    "a5_rollup" -> ((s, d) => {
+      Tables.nation(s, d)
+        .rollup(col("n_regionkey"), col("n_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("n_regionkey")).cast(IntegerType).as("g_region"),
+          grouping(col("n_nationkey")).cast(IntegerType).as("g_nation"))
+    }),
+
+    // A6: HAVING — post-aggregation filter on the aggregate value.
+    "a6_having" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") > 20)
+    }),
+
+    // A7: collect_list, canonicalized to a sorted comma-joined string so
+    // the accumulation order (nondeterministic under parallelism) can't
+    // leak into the comparison.
+    "a7_collect_list" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(array_join(array_sort(collect_list(col("o_orderkey"))), ",")
+          .as("order_keys"))
+    }),
+
+    // A8: exact interpolated percentiles (matches DuckDB quantile_cont).
+    "a8_percentiles" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.95)"), 4).as("p95"))
+    }),
+
+    // A8b: approximate percentile (GK sketch) — returns a member of the
+    // input, not an interpolation, so no SQL oracle; rows-only + spec.
+    "a8b_approx_percentile" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_approx"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "a1_ungrouped_agg" ->
+      s"""SELECT COUNT(*) AS n_rows, ${sqlDsum("l_quantity")} AS sum_qty,
+         |  MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+         |  ${sqlDavg("l_discount")} AS avg_disc
+         |FROM lineitem""".stripMargin,
+
+    "a2_group_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlDsum("l_quantity")} AS sum_qty,
+         |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+         |  ${sqlDavg("l_quantity")} AS avg_qty,
+         |  ${sqlDavg("l_extendedprice")} AS avg_price,
+         |  ${sqlDavg("l_discount")} AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "a3_count_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "a5_rollup" ->
+      """SELECT n_regionkey, n_nationkey, COUNT(*) AS n,
+        |  CAST(GROUPING(n_regionkey) AS INT) AS g_region,
+        |  CAST(GROUPING(n_nationkey) AS INT) AS g_nation
+        |FROM nation GROUP BY ROLLUP(n_regionkey, n_nationkey)""".stripMargin,
+
+    "a6_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+        |GROUP BY o_custkey HAVING COUNT(*) > 20""".stripMargin,
+
+    "a7_collect_list" ->
+      """SELECT o_custkey,
+        |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+
+    "a8_percentiles" ->
+      """SELECT event_type,
+        |  ROUND(quantile_cont(value, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(value, 0.95), 4) AS p95
+        |FROM events GROUP BY event_type""".stripMargin
+  )
+}

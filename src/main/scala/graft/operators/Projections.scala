@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.Exprs._
+import graft.Tables
+import graft.Tables.Q
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Projection / filter / predicate operators (SURVEY.md §2B P1–P9).
+  *
+  * Every predicate here is a plain Catalyst expression, so it reaches the
+  * parquet scan as a pushed filter and the projection prunes the read
+  * schema — `.explain` shows PushedFilters/ReadSchema. At 100 TB that is
+  * the difference between scanning 11 columns and scanning 2.
+  */
+object Projections {
+
+  val queries: Map[String, Q] = Map(
+    // P1: column projection + rename (R8 shape on lineitem).
+    "p1_project_rename" -> ((s, d) => {
+      Tables.lineitem(s, d).select(
+        col("l_orderkey").as("order_key"),
+        col("l_partkey").as("part_key"),
+        col("l_quantity").as("qty"),
+        col("l_returnflag").as("flag"))
+    }),
+
+    // P2: nested struct path extraction (R8's players.white.user.name
+    // shape) — build a 3-level struct, then project a dotted path through
+    // it; Catalyst collapses the CreateStruct/GetStructField pair.
+    "p2_nested_path" -> ((s, d) => {
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          struct(struct(col("c_name").as("name")).as("user"),
+            col("c_acctbal").as("balance")).as("profile"))
+        .select(col("c_custkey"), col("profile.user.name").as("cust_name"))
+    }),
+
+    // P3: conjunctive equality filter (R7 shape).
+    "p3_filter_eq" -> ((s, d) => {
+      Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F" && col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+
+    // P4: range / comparison predicates on number + timestamp.
+    "p4_filter_range" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 45 &&
+          col("l_shipdate") < lit("1995-01-01").cast(TimestampType))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    }),
+
+    // P5: IN-list predicate.
+    "p5_filter_in" -> ((s, d) => {
+      Tables.customer(s, d)
+        .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .select(col("c_custkey"), col("c_mktsegment"))
+    }),
+
+    // P6: NULL predicates (acctbal carries no nulls in the fixture, so
+    // synthesize one with nullif to exercise both branches).
+    "p6_filter_null" -> ((s, d) => {
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          nullif(col("c_mktsegment"), lit("MACHINERY")).as("seg"))
+        .filter(col("seg").isNull)
+        .select(col("c_custkey"))
+    }),
+
+    // P7: LIKE and RLIKE predicates.
+    "p7_filter_like" -> ((s, d) => {
+      Tables.part(s, d)
+        .filter(col("p_name").like("%green%") || col("p_name").rlike("^bl(ue|ack)"))
+        .select(col("p_partkey"), col("p_name"))
+    }),
+
+    // P8: computed projection (arithmetic over money columns, exact).
+    "p8_computed" -> ((s, d) => {
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (dec(col("l_extendedprice")) * (lit(BigDecimal(1)).cast(D18_2) - dec(col("l_discount"))))
+          .cast(DoubleType).as("revenue"))
+    }),
+
+    // P9: CASE WHEN bucketing.
+    "p9_case_when" -> ((s, d) => {
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        when(col("o_totalprice") < 50000, "low")
+          .when(col("o_totalprice") < 150000, "mid")
+          .otherwise("high").as("bucket"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "p1_project_rename" ->
+      """SELECT l_orderkey AS order_key, l_partkey AS part_key,
+        |  l_quantity AS qty, l_returnflag AS flag FROM lineitem""".stripMargin,
+
+    "p2_nested_path" ->
+      """SELECT c_custkey,
+        |  ({'user': {'name': c_name}, 'balance': c_acctbal}).user.name AS cust_name
+        |FROM customer""".stripMargin,
+
+    "p3_filter_eq" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'""".stripMargin,
+
+    "p4_filter_range" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity > 45 AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'""".stripMargin,
+
+    "p5_filter_in" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE')""".stripMargin,
+
+    "p6_filter_null" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NULLIF(c_mktsegment, 'MACHINERY') IS NULL""".stripMargin,
+
+    "p7_filter_like" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE p_name LIKE '%green%' OR regexp_matches(p_name, '^bl(ue|ack)')""".stripMargin,
+
+    "p8_computed" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem""".stripMargin,
+
+    "p9_case_when" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice < 50000 THEN 'low'
+        |       WHEN o_totalprice < 150000 THEN 'mid'
+        |       ELSE 'high' END AS bucket
+        |FROM orders""".stripMargin
+  )
+}
