@@ -21,7 +21,10 @@ object SparkEntry {
 
   private val modules: Seq[(Map[String, Tables.Q], Map[String, String])] = Seq(
     (Projections.queries, Projections.oracles),
-    (Aggregates.queries, Aggregates.oracles)
+    (Aggregates.queries, Aggregates.oracles),
+    (Joins.queries, Joins.oracles),
+    (Windows.queries, Windows.oracles),
+    (SetOps.queries, SetOps.oracles)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

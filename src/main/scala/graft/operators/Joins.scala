@@ -1,0 +1,188 @@
+package graft.operators
+
+import graft.Exprs._
+import graft.Tables
+import graft.Tables.Q
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Join operators (SURVEY.md §2B J1–J9).
+  *
+  * Scale notes (100 TB design point):
+  *  - dimension tables (region/nation/customer/part/supplier) are
+  *    broadcast — J2 hints it explicitly, elsewhere AQE's size-based
+  *    selection does it; no fact-table shuffle for dim joins.
+  *  - fact-fact joins (J6's orders⋈lineitem) shuffle on the join key once;
+  *    at scale these would be bucketed on orderkey to skip the exchange.
+  *  - the self range-join J7 pre-filters both sides before the equi-join
+  *    on user_id, so the quadratic blow-up is bounded per user; skewed
+  *    users are AQE skew-split.
+  */
+object Joins {
+
+  val queries: Map[String, Q] = Map(
+    // J1: inner equi-join, shuffle or broadcast chosen by Catalyst/AQE.
+    "j1_inner_join" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+        .select(col("o_orderkey"), col("c_custkey"), col("c_mktsegment"),
+          col("o_totalprice"))
+    }),
+
+    // J2: explicit broadcast hash join of the part dimension into the
+    // lineitem fact — zero shuffle of the big side.
+    "j2_broadcast_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(dsum(col("l_extendedprice")).as("brand_revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // J3: left outer — customers with no orders survive with null counts.
+    "j3_left_outer" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+    }),
+
+    // J4: left semi = EXISTS.
+    "j4_left_semi" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 200000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // J5: left anti = NOT EXISTS.
+    "j5_left_anti" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // J6: 5-way star chain (TPC-H Q5 shape) — revenue per region.
+    // Dims broadcast up the chain; the single fact-fact shuffle is
+    // orders⋈lineitem on orderkey.
+    "j6_multiway" -> ((s, d) => {
+      val r = Tables.region(s, d)
+      val n = Tables.nation(s, d)
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          sum(dec(col("l_extendedprice")) * (lit(BigDecimal(1)).cast(D18_2) - dec(col("l_discount"))))
+            .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_lineitems"))
+    }),
+
+    // J7: theta/range self-join — events of the same user within 1 hour
+    // after each event; equi part (user_id) keeps it a hash join with a
+    // range residual, not a BNL explosion.
+    "j7_range_join" -> ((s, d) => {
+      val e1 = Tables.events(s, d).select(
+        col("user_id"), col("event_id").as("e1_id"), col("ts").as("ts1"))
+      val e2 = Tables.events(s, d).select(
+        col("user_id").as("user_id2"), col("event_id").as("e2_id"), col("ts").as("ts2"))
+      e1.join(e2,
+          e1("user_id") === e2("user_id2") &&
+          e2("ts2") > e1("ts1") &&
+          e2("ts2") <= e1("ts1") + expr("INTERVAL 1 HOUR"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    // J8: cross join (tiny × tiny only — anything else is a design bug).
+    "j8_cross_join" -> ((s, d) => {
+      val r = Tables.region(s, d).select(col("r_name"))
+      val n = Tables.nation(s, d).select(col("n_name"))
+      r.crossJoin(n)
+    }),
+
+    // J9: as-of join — for each purchase event, the latest click of the
+    // same user at-or-before it. Composed as equi-join + window rank
+    // (deterministic via event_id tiebreak); a custom SparkPlan is only
+    // warranted if this two-shuffle plan profiles badly (SURVEY §4.3).
+    "j9_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      val w = Window.partitionBy(col("p_id"))
+        .orderBy(col("c_ts").desc_nulls_last, col("c_id").desc_nulls_last)
+      p.join(c, p("user_id") === c("c_user") && c("c_ts") <= p("p_ts"), "left")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("p_id"), col("user_id"), col("c_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "j1_inner_join" ->
+      """SELECT o_orderkey, c_custkey, c_mktsegment, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "j2_broadcast_join" ->
+      s"""SELECT p_brand, ${sqlDsum("l_extendedprice")} AS brand_revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand""".stripMargin,
+
+    "j3_left_outer" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin,
+
+    "j4_left_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 200000)""".stripMargin,
+
+    "j5_left_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "j6_multiway" ->
+      """SELECT r_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lineitems
+        |FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+
+    "j7_range_join" ->
+      """SELECT e1.user_id, COUNT(*) AS n_pairs
+        |FROM events e1 JOIN events e2
+        |  ON e1.user_id = e2.user_id
+        | AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+        |GROUP BY e1.user_id""".stripMargin,
+
+    "j8_cross_join" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation",
+
+    "j9_asof_join" ->
+      """SELECT p_id, user_id, c_id FROM (
+        |  SELECT p.event_id AS p_id, p.user_id, c.event_id AS c_id,
+        |    ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |                       ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id AND c.ts <= p.ts
+        |) WHERE rn = 1""".stripMargin
+  )
+}

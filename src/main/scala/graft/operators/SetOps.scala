@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.Tables
+import graft.Tables.Q
+import org.apache.spark.sql.functions._
+
+/** Sorts, limits, distinct, and set algebra (SURVEY.md §2B O1–O5).
+  *
+  * Scale: O2's orderBy+limit plans as TakeOrderedAndProject (per-partition
+  * top-k, then a k-row merge on the driver — no global sort). O3/O4/O5
+  * distinct-style ops are partial+final hash aggregates on the row value.
+  * O1's global sort is the only true range-shuffle here.
+  */
+object SetOps {
+
+  private def splitA(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.customer(s, d).filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey"))
+  private def splitB(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+
+  val queries: Map[String, Q] = Map(
+    // O1: global multi-key sort with explicit null placement. The driver
+    // canonicalizer re-sorts, so the oracle checks content; RowsSpec
+    // asserts the ordering property itself.
+    "o1_global_sort" -> ((s, d) => {
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey").asc)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // O2: top-k — deterministic because the sort key set is unique.
+    "o2_limit_topk" -> ((s, d) => {
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .limit(10)
+    }),
+
+    // O3: DISTINCT on a column pair.
+    "o3_distinct" -> ((s, d) => {
+      Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_mktsegment"))
+        .distinct()
+    }),
+
+    // O4: UNION ALL (duplicates kept) of two overlapping splits.
+    "o4_union_all" -> ((s, d) => splitA(s, d).unionAll(splitB(s, d))),
+
+    // O4b: UNION DISTINCT of the same splits.
+    "o4b_union_distinct" -> ((s, d) =>
+      splitA(s, d).union(splitB(s, d)).distinct()),
+
+    // O5: INTERSECT.
+    "o5_intersect" -> ((s, d) => splitA(s, d).intersect(splitB(s, d))),
+
+    // O5b: EXCEPT.
+    "o5b_except" -> ((s, d) => splitA(s, d).except(splitB(s, d)))
+  )
+
+  private val aSql = "SELECT c_custkey FROM customer WHERE c_acctbal > 5000"
+  private val bSql = "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+
+  val oracles: Map[String, String] = Map(
+    "o1_global_sort" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC NULLS LAST, o_orderkey""".stripMargin,
+
+    "o2_limit_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "o3_distinct" ->
+      "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+
+    "o4_union_all" -> s"$aSql UNION ALL $bSql",
+    "o4b_union_distinct" -> s"$aSql UNION $bSql",
+    "o5_intersect" -> s"$aSql INTERSECT $bSql",
+    "o5b_except" -> s"$aSql EXCEPT $bSql"
+  )
+}

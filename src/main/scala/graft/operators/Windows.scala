@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.Exprs._
+import graft.Tables
+import graft.Tables.Q
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Window functions (SURVEY.md §2B W1–W5).
+  *
+  * Determinism: every ORDER BY inside a window carries a unique tiebreak
+  * column (event_id / orderkey) wherever the ranked function depends on
+  * physical order (row_number, lag, running frames); rank/dense_rank keep
+  * the natural key so genuine ties are exercised. Running double sums go
+  * through DECIMAL (see [[graft.Exprs]]) because DuckDB evaluates window
+  * sums with a segment tree — a different association order than Spark's
+  * sequential frame accumulation.
+  *
+  * Scale: a window over partitionBy(k) is one shuffle on k; the per-key
+  * sort is local. Skewed partition keys are the hazard at 100 TB — the
+  * fixture keys (customer, user) are near-uniform.
+  */
+object Windows {
+
+  val queries: Map[String, Q] = Map(
+    // W1: ranking family. row_number gets the unique tiebreak; rank and
+    // dense_rank keep date-only ordering so ties produce gaps.
+    "w1_ranking" -> ((s, d) => {
+      val wFull = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wDate = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(wFull).as("rn"),
+        rank().over(wDate).as("rk"),
+        dense_rank().over(wDate).as("drk"))
+    }),
+
+    // W2: analytic offsets per user along the event timeline.
+    "w2_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d).select(
+        col("user_id"), col("event_id"),
+        lag(col("event_id"), 1).over(w).as("prev_event"),
+        lead(col("event_id"), 1).over(w).as("next_event"))
+    }),
+
+    // W3: running aggregate, rows frame (exact decimal accumulation).
+    "w3_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d).select(
+        col("user_id"), col("event_id"),
+        sum(dec(col("value"))).over(w).cast(DoubleType).as("running_value"))
+    }),
+
+    // W4: sliding range frame — trailing 24 h average per user, keyed on
+    // epoch seconds so the frame is a numeric range.
+    "w4_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("epoch_s"))
+        .rangeBetween(-86400L, 0L)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_timestamp(col("ts")).as("epoch_s"))
+        .select(col("user_id"), col("event_id"),
+          (sum(dec(col("value"))).over(w).cast(DoubleType) /
+            count(lit(1)).over(w)).as("avg_24h"))
+    }),
+
+    // W5: top-k per group via rank filter (the distributed top-k idiom).
+    "w5_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "w1_ranking" ->
+      """SELECT o_custkey, o_orderkey,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+        |  RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS rk,
+        |  DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS drk
+        |FROM orders""".stripMargin,
+
+    "w2_lag_lead" ->
+      """SELECT user_id, event_id,
+        |  LAG(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event,
+        |  LEAD(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event
+        |FROM events""".stripMargin,
+
+    "w3_running_sum" ->
+      """SELECT user_id, event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |FROM events""".stripMargin,
+
+    "w4_range_frame" ->
+      """SELECT user_id, event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    / COUNT(*) OVER w AS avg_24h
+        |FROM (SELECT user_id, event_id, value,
+        |        CAST(epoch(ts) AS BIGINT) AS epoch_s FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+        |             RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "w5_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin
+  )
+}
