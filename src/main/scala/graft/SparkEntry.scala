@@ -24,7 +24,8 @@ object SparkEntry {
     (Aggregates.queries, Aggregates.oracles),
     (Joins.queries, Joins.oracles),
     (Windows.queries, Windows.oracles),
-    (SetOps.queries, SetOps.oracles)
+    (SetOps.queries, SetOps.oracles),
+    (graft.functions.ScalarFns.queries, graft.functions.ScalarFns.oracles)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,245 @@
+package graft.functions
+
+import graft.Tables
+import graft.Tables.Q
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scalar function families (SURVEY.md §2B F1–F10), one oracle query per
+  * family. Everything is `org.apache.spark.sql.functions` built-ins —
+  * codegen'd, no UDFs — so each projection stays inside a single
+  * WholeStageCodegen span over the parquet scan.
+  *
+  * Determinism notes: libm results (sqrt/ln/exp/pow) are rounded to 6dp
+  * because JVM StrictMath vs DuckDB's C libm can differ in the final ulp;
+  * all other families are exact.
+  */
+object ScalarFns {
+
+  val queries: Map[String, Q] = Map(
+    // F1: string family over part names.
+    "f1_string_fns" -> ((s, d) => {
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"),
+        substring(col("p_name"), 1, 5).as("name5"),
+        upper(col("p_name")).as("name_up"),
+        lower(col("p_type")).as("type_lo"),
+        length(col("p_name")).as("name_len"),
+        trim(lit("  pad  ")).as("trimmed"),
+        element_at(split(col("p_name"), " "), 1).as("first_word"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        lpad(col("p_brand"), 12, "*").as("brand_pad"),
+        translate(col("p_name"), " ", "-").as("dashed"))
+    }),
+
+    // F2: date/time family over order dates.
+    "f2_datetime_fns" -> ((s, d) => {
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+        datediff(lit("2000-01-01").cast(DateType), col("o_orderdate").cast(DateType)).as("days_to_2k"),
+        date_format(date_add(col("o_orderdate").cast(DateType), 30), "yyyy-MM-dd").as("plus30"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("formatted"))
+    }),
+
+    // F3: math family over prices (libm outputs rounded, see scaladoc).
+    "f3_math_fns" -> ((s, d) => {
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        round(col("o_totalprice"), 1).as("rounded"),
+        floor(col("o_totalprice")).as("floored"),
+        ceil(col("o_totalprice")).as("ceiled"),
+        abs(col("o_totalprice") - 100000).as("abs_delta"),
+        round(sqrt(col("o_totalprice")), 6).as("sq"),
+        round(log(col("o_totalprice")), 6).as("ln_p"),
+        round(exp(col("o_totalprice") / 100000), 6).as("exp_p"),
+        round(pow(col("o_totalprice"), 0.5), 6).as("pow_half"),
+        pmod(col("o_orderkey"), lit(7)).as("mod7"),
+        signum(col("o_totalprice") - 100000).as("sign_delta"))
+    }),
+
+    // F4: conditional / null family.
+    "f4_conditional_fns" -> ((s, d) => {
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(bldg)")).as("seg_or"),
+        nvl(nullif(col("c_name"), col("c_name")), lit("anon")).as("nvl_name"),
+        greatest(col("c_acctbal"), lit(0.0)).as("bal_pos"),
+        least(col("c_acctbal"), lit(1000.0)).as("bal_cap"))
+    }),
+
+    // F5: array family over document token lists.
+    "f5_array_fns" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_toks"),
+          array_contains(col("toks"), "spark").as("has_spark"),
+          size(array_distinct(col("toks"))).as("n_uniq"),
+          array_join(slice(col("toks"), 1, 3), " ").as("first3"),
+          element_at(col("toks"), -1).as("last_tok"),
+          element_at(array_sort(col("toks")), 1).as("min_tok"),
+          size(flatten(array(col("toks"), col("toks")))).as("n_doubled"))
+    }),
+
+    // F6: map family — events.props JSON parsed into MAP<STRING,INT>.
+    "f6_map_fns" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"),
+          from_json(col("props"), MapType(StringType, IntegerType)).as("m"))
+        .select(
+          col("event_id"),
+          array_join(map_keys(col("m")), ",").as("keys"),
+          element_at(col("m"), "k").as("k_val"),
+          size(col("m")).as("n_entries"))
+    }),
+
+    // F7: JSON family straight over the props string.
+    "f7_json_fns" -> ((s, d) => {
+      Tables.events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+          .getField("k").as("k_int"),
+        to_json(struct(col("user_id").as("u"))).as("user_json"))
+    }),
+
+    // F8: explode / posexplode (Generator / UDTF surface) — word rows.
+    "f8_explode" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+    }),
+
+    // F9: hash / encode family (crc32 is JVM-only — covered by the
+    // known-vector spec instead of the oracle).
+    "f9_hash_fns" -> ((s, d) => {
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        md5(col("c_name").cast(BinaryType)).as("md5_name"),
+        sha2(col("c_name").cast(BinaryType), 256).as("sha256_name"),
+        hex(col("c_name").cast(BinaryType)).as("hex_name"),
+        base64(col("c_name").cast(BinaryType)).as("b64_name"))
+    }),
+
+    // F10: cast matrix. double→int goes through floor() because Spark
+    // truncates while DuckDB rounds — the explicit floor pins one meaning.
+    "f10_casts" -> ((s, d) => {
+      Tables.orders(s, d).select(
+        col("o_orderkey").cast(StringType).as("key_str"),
+        floor(col("o_totalprice")).cast(IntegerType).as("price_int"),
+        col("o_totalprice").cast(DecimalType(12, 2)).cast(DoubleType).as("price_dec"),
+        col("o_orderdate").cast(DateType).cast(StringType).as("date_str"),
+        col("o_orderkey").cast(DoubleType).as("key_dbl"),
+        concat(lit("19"), lit("95")).cast(IntegerType).as("str_int"),
+        lit("1995-06-17 12:30:00").cast(TimestampType).cast(StringType).as("ts_roundtrip"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "f1_string_fns" ->
+      """SELECT p_partkey,
+        |  p_brand || '/' || p_type AS brand_type,
+        |  substring(p_name, 1, 5) AS name5,
+        |  upper(p_name) AS name_up,
+        |  lower(p_type) AS type_lo,
+        |  length(p_name) AS name_len,
+        |  trim('  pad  ') AS trimmed,
+        |  split_part(p_name, ' ', 1) AS first_word,
+        |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        |  lpad(p_brand, 12, '*') AS brand_pad,
+        |  replace(p_name, ' ', '-') AS dashed
+        |FROM part""".stripMargin,
+
+    "f2_datetime_fns" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(month(o_orderdate) AS INT) AS mo,
+        |  CAST(day(o_orderdate) AS INT) AS dom,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT) AS days_to_2k,
+        |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS formatted
+        |FROM orders""".stripMargin,
+
+    "f3_math_fns" ->
+      """SELECT o_orderkey,
+        |  round(o_totalprice, 1) AS rounded,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS floored,
+        |  CAST(ceil(o_totalprice) AS BIGINT) AS ceiled,
+        |  abs(o_totalprice - 100000) AS abs_delta,
+        |  round(sqrt(o_totalprice), 6) AS sq,
+        |  round(ln(o_totalprice), 6) AS ln_p,
+        |  round(exp(o_totalprice / 100000), 6) AS exp_p,
+        |  round(pow(o_totalprice, 0.5), 6) AS pow_half,
+        |  o_orderkey % 7 AS mod7,
+        |  CAST(sign(o_totalprice - 100000) AS DOUBLE) AS sign_delta
+        |FROM orders""".stripMargin,
+
+    "f4_conditional_fns" ->
+      """SELECT c_custkey,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), '(bldg)') AS seg_or,
+        |  coalesce(nullif(c_name, c_name), 'anon') AS nvl_name,
+        |  greatest(c_acctbal, 0.0) AS bal_pos,
+        |  least(c_acctbal, 1000.0) AS bal_cap
+        |FROM customer""".stripMargin,
+
+    "f5_array_fns" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS INT) AS n_toks,
+        |  list_contains(toks, 'spark') AS has_spark,
+        |  CAST(len(list_distinct(toks)) AS INT) AS n_uniq,
+        |  array_to_string(toks[1:3], ' ') AS first3,
+        |  toks[-1] AS last_tok,
+        |  list_sort(toks)[1] AS min_tok,
+        |  CAST(len(flatten([toks, toks])) AS INT) AS n_doubled
+        |FROM t""".stripMargin,
+
+    "f6_map_fns" ->
+      """SELECT event_id,
+        |  array_to_string(json_keys(props), ',') AS keys,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+        |  CAST(len(json_keys(props)) AS INT) AS n_entries
+        |FROM events""".stripMargin,
+
+    "f7_json_fns" ->
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+        |  to_json({'u': user_id}) AS user_json
+        |FROM events""".stripMargin,
+
+    "f8_explode" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id, CAST(unnest(range(len(toks))) AS INT) AS pos,
+        |  unnest(toks) AS word
+        |FROM t""".stripMargin,
+
+    "f9_hash_fns" ->
+      """SELECT c_custkey,
+        |  md5(c_name) AS md5_name,
+        |  sha256(c_name) AS sha256_name,
+        |  hex(c_name) AS hex_name,
+        |  base64(encode(c_name)) AS b64_name
+        |FROM customer""".stripMargin,
+
+    "f10_casts" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS key_str,
+        |  CAST(floor(o_totalprice) AS INT) AS price_int,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
+        |  CAST(o_orderkey AS DOUBLE) AS key_dbl,
+        |  CAST('19' || '95' AS INT) AS str_int,
+        |  CAST(CAST('1995-06-17 12:30:00' AS TIMESTAMP) AS VARCHAR) AS ts_roundtrip
+        |FROM orders""".stripMargin
+  )
+}

@@ -97,6 +97,17 @@ object Aggregates {
       Tables.events(s, d)
         .groupBy(col("event_type"))
         .agg(percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_approx"))
+    }),
+
+    // A9: custom typed Aggregator (geometric mean). Rounded to 4dp: the
+    // log-sum is order-dependent in the last ulps and DuckDB's libm may
+    // differ from the JVM's — the relative error is ~1e-12, far inside
+    // the rounding guard.
+    "a9_custom_udaf" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(round(graft.functions.GeoMean.column(col("o_totalprice")), 4)
+          .as("geo_mean_price"))
     })
   )
 
@@ -138,6 +149,12 @@ object Aggregates {
       """SELECT o_custkey,
         |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys
         |FROM orders GROUP BY o_custkey""".stripMargin,
+
+    "a9_custom_udaf" ->
+      """SELECT o_orderpriority,
+        |  ROUND(EXP(AVG(LN(o_totalprice))), 4) AS geo_mean_price
+        |FROM orders WHERE o_totalprice > 0
+        |GROUP BY o_orderpriority""".stripMargin,
 
     "a8_percentiles" ->
       """SELECT event_type,
