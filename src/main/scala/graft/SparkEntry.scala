@@ -25,7 +25,11 @@ object SparkEntry {
     (Joins.queries, Joins.oracles),
     (Windows.queries, Windows.oracles),
     (SetOps.queries, SetOps.oracles),
-    (graft.functions.ScalarFns.queries, graft.functions.ScalarFns.oracles)
+    (graft.functions.ScalarFns.queries, graft.functions.ScalarFns.oracles),
+    (Dedup.queries, Dedup.oracles),
+    (Similarity.queries, Similarity.oracles),
+    (TextAnalysis.queries, TextAnalysis.oracles),
+    (Multimodal.queries, Multimodal.oracles)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,185 @@
+package graft.operators
+
+import graft.Tables
+import graft.Tables.Q
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for LLM-data pipelines (SURVEY.md §2B L1/L2;
+  * builder-prompt dedup inventory: exact, MinHash+LSH, SimHash, n-gram
+  * Jaccard).
+  *
+  * Scale design (100 TB): every path is explode → hash-aggregate →
+  * equi-join on a bucket key. Nothing is quadratic in the corpus: LSH
+  * band signatures (minhash) and hamming-band keys (simhash) bound
+  * candidate generation, and the exact-jaccard verifier only runs on
+  * candidate pairs. The only O(n²)-flavored query, the shingle-jaccard
+  * top-k, is blocked on shared low-DF shingles, which is the standard
+  * prefix/DF-filter trick from similarity-join literature.
+  */
+object Dedup {
+
+  /** Distinct word tokens per doc: (doc_id, tok). */
+  private def docTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+
+  /** Word 3-gram shingles (distinct) per doc, [] for docs under 3 tokens. */
+  private def shingleExpr: Column = {
+    val toks = split(col("text"), " ")
+    when(size(toks) < 3, array().cast(ArrayType(StringType)))
+      .otherwise(expr(
+        """array_distinct(transform(
+          |  sequence(0, size(split(text,' ')) - 3),
+          |  i -> concat_ws(' ', element_at(split(text,' '), i+1),
+          |                      element_at(split(text,' '), i+2),
+          |                      element_at(split(text,' '), i+3))))""".stripMargin))
+  }
+
+  private val NumPerm = 16 // minhash permutations
+  private val Bands = 8    // LSH bands (rows per band = NumPerm / Bands)
+
+  /** MinHash signature columns mh_0..mh_{NumPerm-1} per doc, from salted
+    * xxhash64 over the distinct token set (one explode + one hash-agg —
+    * a single shuffle keyed on doc_id).
+    */
+  private def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+    val mins = (0 until NumPerm).map(i =>
+      min(xxhash64(concat(lit(s"perm$i:"), col("tok")))).as(s"mh_$i"))
+    docTokens(s, d).groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs (d1 < d2) from band-signature collisions. */
+  private def lshCandidates(sig: DataFrame): DataFrame = {
+    val perBand = NumPerm / Bands
+    val bandCols = (0 until Bands).map { b =>
+      val rows = (0 until perBand).map(r => col(s"mh_${b * perBand + r}"))
+      struct(lit(b).as("band"), xxhash64(rows: _*).as("sig"))
+    }
+    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val b2 = buckets.select(col("band"), col("sig"), col("doc_id").as("doc_id2"))
+    buckets.join(b2,
+        Seq("band", "sig")) // same band, same signature
+      .filter(col("doc_id") < col("doc_id2"))
+      .select(col("doc_id").as("d1"), col("doc_id2").as("d2"))
+      .distinct()
+  }
+
+  /** Exact token-set jaccard for the given (d1, d2) pairs. */
+  private def verifyJaccard(s: SparkSession, d: String, pairs: DataFrame): DataFrame = {
+    val toks = docTokens(s, d)
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_toks"))
+    val t1 = toks.select(col("doc_id").as("d1"), col("tok"))
+    val t2 = toks.select(col("doc_id").as("d2"), col("tok").as("tok2"))
+    pairs
+      .join(t1, "d1")
+      .join(t2, pairs("d2") === t2("d2") && col("tok") === col("tok2"))
+      .drop(t2("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("d1"), col("n_toks").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n_toks").as("n2")), "d2")
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) / (col("n1") + col("n2") - col("inter")))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // L1: exact dedup by content hash — keep the smallest doc_id per
+    // md5(text). groupBy on the hash = one shuffle keyed by digest; at
+    // 100 TB the digest groupBy is the canonical exact-dedup plan.
+    "l1_exact_dedup" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(md5(col("text").cast(BinaryType)).as("text_md5"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("text_md5"), col("n_copies"))
+    }),
+
+    // L2: MinHash+LSH near-dup removal — shingle→minhash→band→bucket-join
+    // →exact-verify(≥0.9)→drop the larger doc_id of each verified pair.
+    // Survivor set is deterministic (pair removal keyed on doc_id order).
+    "l2_minhash_dedup" -> ((s, d) => {
+      val sig = minhashSignatures(s, d)
+      val cand = lshCandidates(sig)
+      val verified = verifyJaccard(s, d, cand).filter(col("jaccard") >= 0.9)
+      val removed = verified.select(col("d2").as("doc_id")).distinct()
+      Tables.documents(s, d)
+        .join(removed, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
+
+    // L2b: SimHash — 64-bit locality-sensitive fingerprint per doc; docs
+    // within hamming distance 3 of a smaller-id doc are dropped. Bit
+    // votes are one explode + 64 conditional sums (single aggregation).
+    "l2b_simhash" -> ((s, d) => {
+      val th = xxhash64(col("tok"))
+      val votes = (0 until 64).map { j =>
+        sum(when(shiftright(th, j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v_$j")
+      }
+      val bits = (0 until 64).map { j =>
+        when(col(s"v_$j") > 0, shiftleft(lit(1L), j)).otherwise(0L)
+      }
+      docTokens(s, d)
+        .groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+    }),
+
+    // L2c: exact n-gram jaccard similarity join — top-20 most-similar doc
+    // pairs by word-3-gram jaccard, candidates blocked on a shared
+    // shingle with corpus DF ≤ 100 (drops non-discriminative shingles,
+    // the standard scale guard for exact similarity joins).
+    "l2c_shingle_jaccard" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), explode(shingleExpr).as("sh"))
+      val keep = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 100).select(col("sh"))
+      val shF = sh.join(keep, "sh")
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val pairs = shF.select(col("sh"), col("doc_id").as("d1"))
+        .join(shF.select(col("sh"), col("doc_id").as("d2")), "sh")
+        .filter(col("d1") < col("d2"))
+        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+      pairs
+        .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("n1")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("n2")), "d2")
+        .select(col("d1"), col("d2"),
+          (col("inter").cast(DoubleType) / (col("n1") + col("n2") - col("inter")))
+            .as("jaccard"))
+        .orderBy(col("jaccard").desc, col("d1"), col("d2"))
+        .limit(20)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "l1_exact_dedup" ->
+      """SELECT min(doc_id) AS doc_id, md5(text) AS text_md5,
+        |  COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "l2c_shingle_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(t) - 1, 1)),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS sh
+        |  FROM toks WHERE len(t) >= 3
+        |), keep AS (
+        |  SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 100
+        |), shf AS (
+        |  SELECT sh.doc_id, sh.sh FROM sh JOIN keep USING (sh)
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+        |), pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT d1, d2,
+        |  CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter) AS jaccard
+        |FROM pairs
+        |  JOIN sizes s1 ON s1.doc_id = d1
+        |  JOIN sizes s2 ON s2.doc_id = d2
+        |ORDER BY jaccard DESC, d1, d2 LIMIT 20""".stripMargin
+  )
+}

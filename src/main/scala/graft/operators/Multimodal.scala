@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.Tables
+import graft.Tables.Q
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One media record: opaque payload + typed metadata (the multimodal
+  * column pattern — image/audio/video travel as `binary` plus a struct).
+  */
+case class MediaRow(doc_id: Long, payload: Array[Byte], format: String,
+    width: Int, height: Int)
+
+/** Extracted features for a media record. */
+case class MediaFeatures(doc_id: Long, byte_len: Int, first_byte: Int,
+    last_byte: Int, checksum: Long)
+
+/** Multimodal column handling (SURVEY.md §2B L8 + builder-prompt
+  * multimodal inventory).
+  *
+  * The real content here is the Spark-side plumbing — schema (BinaryType
+  * payload + metadata struct), partition-parallel batch iteration via
+  * `mapPartitions` on a typed Dataset, and binary-safe round-trips. The
+  * decode kernel itself is a clearly-marked deterministic STUB (this
+  * container has no image/audio codecs): it derives features from the
+  * raw bytes only, so the pipeline shape, encoders, and batch boundaries
+  * are all real and testable.
+  */
+object Multimodal {
+
+  /** Fixture adapter: documents.text bytes stand in for a media payload. */
+  def mediaTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      col("text").cast(BinaryType).as("payload"),
+      struct(
+        lit("fake/raw").as("format"),
+        col("n_chars").cast(IntegerType).as("width"),
+        lit(1).as("height")).as("meta"))
+
+  /** STUB decode kernel — deterministic byte-level features in place of a
+    * real image/audio decoder. Signature and batch shape (an Iterator per
+    * partition, so codec state could be reused across a batch) mirror the
+    * real thing; only the body is fake.
+    */
+  def decodeStub(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+    rows.map { r =>
+      val n = r.payload.length
+      MediaFeatures(
+        doc_id = r.doc_id,
+        byte_len = n,
+        first_byte = if (n > 0) r.payload(0) & 0xff else -1,
+        last_byte = if (n > 0) r.payload(n - 1) & 0xff else -1,
+        checksum = r.payload.foldLeft(0L)((a, b) => (a * 131 + (b & 0xff)) % 1000000007L))
+    }
+
+  /** Typed decode pipeline: binary column → partition-batched stub decode. */
+  def decodeFeatures(s: SparkSession, d: String): Dataset[MediaFeatures] = {
+    import s.implicits._
+    mediaTable(s, d)
+      .select(col("doc_id"), col("payload"), col("meta.format").as("format"),
+        col("meta.width").as("width"), col("meta.height").as("height"))
+      .as[MediaRow]
+      .mapPartitions(decodeStub)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // L8: multimodal pass-through — binary payload survives projection,
+    // repartition, and re-read untouched (checked via digest + length).
+    "l8_multimodal_passthrough" -> ((s, d) => {
+      mediaTable(s, d)
+        .repartition(8, col("doc_id"))
+        .select(col("doc_id"),
+          length(col("payload")).as("byte_len"),
+          md5(col("payload")).as("payload_md5"),
+          col("meta.format").as("format"),
+          col("meta.width").as("width"))
+    }),
+
+    // L8b: stub decode features through the typed mapPartitions path.
+    // The byte-derived features are mirrored exactly in the oracle SQL,
+    // so even the stub is correctness-checked end to end.
+    "l8b_multimodal_decode" -> ((s, d) => decodeFeatures(s, d).toDF())
+  )
+
+  val oracles: Map[String, String] = Map(
+    "l8_multimodal_passthrough" ->
+      """SELECT doc_id,
+        |  CAST(strlen(text) AS INT) AS byte_len,
+        |  md5(text) AS payload_md5,
+        |  'fake/raw' AS format,
+        |  CAST(n_chars AS INT) AS width
+        |FROM documents""".stripMargin,
+
+    "l8b_multimodal_decode" ->
+      """SELECT doc_id,
+        |  CAST(strlen(text) AS INT) AS byte_len,
+        |  ascii(substring(text, 1, 1)) AS first_byte,
+        |  ascii(substring(text, -1, 1)) AS last_byte,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS HUGEINT),
+        |      list_transform(range(1, strlen(text) + 1),
+        |        i -> CAST(ascii(substring(text, CAST(i AS INT), 1)) AS HUGEINT))),
+        |    (a, b) -> (a * 131 + b) % 1000000007) AS checksum
+        |FROM documents""".stripMargin
+  )
+}

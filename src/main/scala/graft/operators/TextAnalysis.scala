@@ -1,0 +1,190 @@
+package graft.operators
+
+import graft.Tables
+import graft.Tables.Q
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text analysis for LLM-data pipelines (SURVEY.md §2B L5–L7 + the
+  * builder-prompt inventory: language-ID, quality scoring, token
+  * counting, fingerprinting).
+  *
+  * Everything except lang-ID and the fingerprint is plain `functions._`
+  * (codegen'd, single scan, no shuffle until the final aggregate); those
+  * two use a native Catalyst Expression / argmax-over-struct pattern and
+  * are covered by known-vector specs instead of the SQL oracle.
+  */
+object TextAnalysis {
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** n-gram-heuristic language ID: per-language marker lexicons scored
+    * against the token set; argmax via array_max over (score, lang)
+    * structs. On the synthetic fixture (shared vocab for all langs) this
+    * exercises plumbing; LangIdSpec checks real-text accuracy.
+    */
+  private val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is", "query", "window"),
+    "es" -> Seq("el", "la", "de", "que", "los", "una"),
+    "fr" -> Seq("le", "la", "les", "des", "une", "est"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "zh" -> Seq("的", "是", "在", "了", "我", "不"))
+
+  def langIdCol(text: Column): Column = {
+    val t = split(text, "\\s+")
+    val scored = markers.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      val score = ws.map(w => size(filter(t, x => x === w))).reduce(_ + _)
+      struct(score.as("score"), lit(lang).as("lang"))
+    }
+    array_max(array(scored: _*)).getField("lang")
+  }
+
+  val queries: Map[String, Q] = Map(
+    // L5: per-document text statistics.
+    "l5_text_stats" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(toks).as("n_toks"),
+        size(array_distinct(toks)).as("n_uniq"),
+        round(expr("aggregate(split(text,' '), 0L, (a,x) -> a + length(x))")
+          .cast(DoubleType) / size(toks), 6).as("avg_tok_len"),
+        round(size(filter(toks, t => t.isin(Stopwords: _*))).cast(DoubleType)
+          / size(toks), 6).as("stopword_ratio"),
+        col("n_chars"), col("lang"))
+    }),
+
+    // L5b: corpus language/source distribution.
+    "l5b_lang_distribution" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+    }),
+
+    // L6: TF-IDF top-10 terms per source (explode → two hash aggs →
+    // windowed top-k; idf computed from corpus doc frequency).
+    "l6_tfidf_topterms" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val nDocs = docs.select(countDistinct(col("doc_id")).as("n")).as("nd")
+      val words = docs.select(col("doc_id"), col("source"),
+        explode(toks).as("word"))
+      val tf = words.groupBy(col("source"), col("word"))
+        .agg(count(lit(1)).as("tf"))
+      val df = words.select(col("doc_id"), col("word")).distinct()
+        .groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("tfidf").desc, col("word"))
+      tf.join(df, "word").crossJoin(broadcast(nDocs))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n").cast(DoubleType) / col("df")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("source"), col("word"), col("tfidf"), col("rn"))
+    }),
+
+    // L7: composed quality filter — the document-retention predicate of
+    // a training-data pipeline (length, stopword ratio, charset, lang).
+    "l7_quality_filter" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("n_toks", size(toks))
+        .withColumn("stop_ratio",
+          size(filter(toks, t => t.isin(Stopwords: _*))).cast(DoubleType) / col("n_toks"))
+        .filter(col("n_toks").between(10, 2000) &&
+          col("stop_ratio") < lit(0.35) &&
+          col("text").rlike("^[a-z0-9 ]+$") &&
+          col("lang").isin("en", "es", "zh", "fr", "de"))
+        .select(col("doc_id"), col("n_toks"), round(col("stop_ratio"), 6).as("stop_ratio"))
+    }),
+
+    // L7b: BPE-ish token counting — whitespace tokens vs subword-regex
+    // tokens (letters runs, digit runs, punctuation singletons).
+    "l7b_token_count" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        size(expr("""regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\\s]', 0)"""))
+          .as("bpe_tokens"))
+    }),
+
+    // L8-adjacent: document fingerprint via the native RollingHash
+    // Catalyst expression (order-sensitive; codegen'd). Not expressible
+    // in DuckDB → rows-only + known-vector spec.
+    "l8_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        graft.functions.RollingHash.rollingHash(toks).as("fingerprint"))
+    }),
+
+    // Lang-ID heuristic over the corpus (rows-only; LangIdSpec pins
+    // accuracy on real multilingual samples).
+    "l9_lang_id" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        langIdCol(col("text")).as("predicted_lang"))
+    })
+  )
+
+  private val stopSql = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val oracles: Map[String, String] = Map(
+    "l5_text_stats" ->
+      s"""WITH t AS (SELECT doc_id, n_chars, lang, string_split(text, ' ') AS tk
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(tk) AS INT) AS n_toks,
+         |  CAST(len(list_distinct(tk)) AS INT) AS n_uniq,
+         |  round(CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk), 6) AS avg_tok_len,
+         |  round(CAST(len(list_filter(tk, x -> list_contains($stopSql, x))) AS DOUBLE) / len(tk), 6) AS stopword_ratio,
+         |  n_chars, lang
+         |FROM t""".stripMargin,
+
+    "l5b_lang_distribution" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  SUM(n_chars) AS total_chars
+        |FROM documents GROUP BY lang, source""".stripMargin,
+
+    "l6_tfidf_topterms" ->
+      """WITH words AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+        |  FROM documents
+        |), tf AS (
+        |  SELECT source, word, COUNT(*) AS tf FROM words GROUP BY 1, 2
+        |), df AS (
+        |  SELECT word, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, word FROM words)
+        |  GROUP BY word
+        |), nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents)
+        |SELECT source, word, tfidf, rn FROM (
+        |  SELECT tf.source, tf.word,
+        |    round(tf.tf * ln(CAST(nd.n AS DOUBLE) / df.df), 6) AS tfidf,
+        |    ROW_NUMBER() OVER (PARTITION BY tf.source
+        |      ORDER BY round(tf.tf * ln(CAST(nd.n AS DOUBLE) / df.df), 6) DESC,
+        |               tf.word) AS rn
+        |  FROM tf JOIN df USING (word) CROSS JOIN nd
+        |) WHERE rn <= 10""".stripMargin,
+
+    "l7_quality_filter" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, text, string_split(text, ' ') AS tk FROM documents
+         |), m AS (
+         |  SELECT doc_id, lang, text, len(tk) AS n_toks,
+         |    CAST(len(list_filter(tk, x -> list_contains($stopSql, x))) AS DOUBLE) / len(tk) AS stop_ratio
+         |  FROM t
+         |)
+         |SELECT doc_id, CAST(n_toks AS INT) AS n_toks, round(stop_ratio, 6) AS stop_ratio
+         |FROM m
+         |WHERE n_toks BETWEEN 10 AND 2000
+         |  AND stop_ratio < 0.35
+         |  AND regexp_matches(text, '^[a-z0-9 ]+$$')
+         |  AND lang IN ('en', 'es', 'zh', 'fr', 'de')""".stripMargin,
+
+    "l7b_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\s]')) AS INT) AS bpe_tokens
+        |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to Spark 4's `private[sql]` Column↔Expression conversions, so
+  * graft's native Catalyst expressions can be exposed as `Column`s.
+  * (Spark 4 removed the public `new Column(expr)` constructor; this is
+  * the minimal sanctioned-namespace shim — same trick every Spark
+  * extension library uses.)
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
