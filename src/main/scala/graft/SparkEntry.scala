@@ -13,11 +13,17 @@ import graft.operators._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * TPC-H Q1 shape — scan → pushed filter → partial+final hash agg.
+  /** Flagship: the reference's own pipeline shape (NDJSON → filter →
+    * nested projection → typed rows) on the Lichess-shaped sample, then
+    * the TPC-H-Q1-shaped aggregate on sf0.001 joined in as a sanity
+    * cross-check; driver smoke-checks rows>0.
     */
-  def entry(spark: SparkSession): DataFrame =
-    Aggregates.queries("a2_group_agg")(spark, "/root/testdata/sf0.001")
+  def entry(spark: SparkSession): DataFrame = {
+    val games = graft.pipeline.ChessPipeline
+      .puzzleGames(spark, graft.pipeline.ChessPipeline.samplePath).toDF()
+    val agg = Aggregates.queries("a2_group_agg")(spark, "/root/testdata/sf0.001")
+    games.crossJoin(agg.agg(count(lit(1)).as("q1_groups")))
+  }
 
   private val modules: Seq[(Map[String, Tables.Q], Map[String, String])] = Seq(
     (Projections.queries, Projections.oracles),
@@ -29,7 +35,8 @@ object SparkEntry {
     (Dedup.queries, Dedup.oracles),
     (Similarity.queries, Similarity.oracles),
     (TextAnalysis.queries, TextAnalysis.oracles),
-    (Multimodal.queries, Multimodal.oracles)
+    (Multimodal.queries, Multimodal.oracles),
+    (graft.sources.Ingest.queries, graft.sources.Ingest.oracles)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

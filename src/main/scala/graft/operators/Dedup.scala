@@ -21,9 +21,8 @@ import org.apache.spark.sql.types._
 object Dedup {
 
   /** Distinct word tokens per doc: (doc_id, tok). */
-  private def docTokens(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+  def docTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
 
   /** Word 3-gram shingles (distinct) per doc, [] for docs under 3 tokens. */
   private def shingleExpr: Column = {
@@ -44,14 +43,14 @@ object Dedup {
     * xxhash64 over the distinct token set (one explode + one hash-agg —
     * a single shuffle keyed on doc_id).
     */
-  private def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+  def minhashSignatures(docs: DataFrame): DataFrame = {
     val mins = (0 until NumPerm).map(i =>
       min(xxhash64(concat(lit(s"perm$i:"), col("tok")))).as(s"mh_$i"))
-    docTokens(s, d).groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    docTokens(docs).groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   /** LSH candidate pairs (d1 < d2) from band-signature collisions. */
-  private def lshCandidates(sig: DataFrame): DataFrame = {
+  def lshCandidates(sig: DataFrame): DataFrame = {
     val perBand = NumPerm / Bands
     val bandCols = (0 until Bands).map { b =>
       val rows = (0 until perBand).map(r => col(s"mh_${b * perBand + r}"))
@@ -68,8 +67,8 @@ object Dedup {
   }
 
   /** Exact token-set jaccard for the given (d1, d2) pairs. */
-  private def verifyJaccard(s: SparkSession, d: String, pairs: DataFrame): DataFrame = {
-    val toks = docTokens(s, d)
+  def verifyJaccard(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val toks = docTokens(docs)
     val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_toks"))
     val t1 = toks.select(col("doc_id").as("d1"), col("tok"))
     val t2 = toks.select(col("doc_id").as("d2"), col("tok").as("tok2"))
@@ -82,6 +81,16 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("d2"), col("n_toks").as("n2")), "d2")
       .withColumn("jaccard",
         col("inter").cast(DoubleType) / (col("n1") + col("n2") - col("inter")))
+  }
+
+  /** Full near-dup removal: LSH candidates → exact jaccard ≥ threshold →
+    * drop the larger doc_id of each verified pair. Deterministic.
+    */
+  def minhashDedup(docs: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val cand = lshCandidates(minhashSignatures(docs))
+    val verified = verifyJaccard(docs, cand).filter(col("jaccard") >= threshold)
+    val removed = verified.select(col("d2").as("doc_id")).distinct()
+    docs.join(removed, Seq("doc_id"), "left_anti")
   }
 
   val queries: Map[String, Q] = Map(
@@ -99,12 +108,7 @@ object Dedup {
     // →exact-verify(≥0.9)→drop the larger doc_id of each verified pair.
     // Survivor set is deterministic (pair removal keyed on doc_id order).
     "l2_minhash_dedup" -> ((s, d) => {
-      val sig = minhashSignatures(s, d)
-      val cand = lshCandidates(sig)
-      val verified = verifyJaccard(s, d, cand).filter(col("jaccard") >= 0.9)
-      val removed = verified.select(col("d2").as("doc_id")).distinct()
-      Tables.documents(s, d)
-        .join(removed, Seq("doc_id"), "left_anti")
+      minhashDedup(Tables.documents(s, d))
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     }),
 
@@ -119,7 +123,7 @@ object Dedup {
       val bits = (0 until 64).map { j =>
         when(col(s"v_$j") > 0, shiftleft(lit(1L), j)).otherwise(0L)
       }
-      docTokens(s, d)
+      docTokens(Tables.documents(s, d))
         .groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
         .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
     }),

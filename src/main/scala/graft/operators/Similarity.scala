@@ -26,16 +26,16 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** (vec_id, emb ARRAY<DOUBLE>, norm DOUBLE) */
-  private def vecs(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d).select(
+  def vecs(embeddings: DataFrame): DataFrame =
+    embeddings.select(
       col("vec_id"),
       col("embedding").cast(ArrayType(DoubleType)).as("emb"))
       .withColumn("norm", sqrt(dotCol(col("emb"), col("emb"))))
 
   /** All-pairs cosine (a.vec_id, b.vec_id, sim rounded to 6dp). */
-  private def pairSims(s: SparkSession, d: String): DataFrame = {
-    val a = vecs(s, d).select(col("vec_id").as("id_a"), col("emb").as("ea"), col("norm").as("na"))
-    val b = vecs(s, d).select(col("vec_id").as("id_b"), col("emb").as("eb"), col("norm").as("nb"))
+  def pairSims(embeddings: DataFrame): DataFrame = {
+    val a = vecs(embeddings).select(col("vec_id").as("id_a"), col("emb").as("ea"), col("norm").as("na"))
+    val b = vecs(embeddings).select(col("vec_id").as("id_b"), col("emb").as("eb"), col("norm").as("nb"))
     a.crossJoin(b).filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(dotCol(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("sim"))
@@ -58,7 +58,7 @@ object Similarity {
     "l3_cosine_topk" -> ((s, d) => {
       val w = Window.partitionBy(col("id_a"))
         .orderBy(col("sim").desc, col("id_b"))
-      pairSims(s, d)
+      pairSims(Tables.embeddings(s, d))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
         .select(col("id_a").as("vec_id"), col("id_b").as("neighbor"),
@@ -67,7 +67,7 @@ object Similarity {
 
     // L4: similarity self-join with threshold (unordered pairs).
     "l4_cosine_threshold" -> ((s, d) => {
-      pairSims(s, d)
+      pairSims(Tables.embeddings(s, d))
         .filter(col("id_a") < col("id_b") && col("sim") >= 0.45)
         .select(col("id_a"), col("id_b"), col("sim"))
     }),
@@ -75,8 +75,13 @@ object Similarity {
     // L3b: ANN — random-hyperplane LSH buckets, then exact top-3 within
     // bucket. Not SQL-expressible (seeded hyperplanes) → rows-only +
     // recall spec against the l3 baseline.
-    "l3b_ann_lsh" -> ((s, d) => {
-      val v = vecs(s, d).withColumn("bucket", bucketCol(col("emb")))
+    "l3b_ann_lsh" -> ((s, d) => annTopK(Tables.embeddings(s, d), 3))
+  )
+
+  /** ANN top-k via random-hyperplane LSH buckets (public for specs). */
+  def annTopK(embeddings: DataFrame, k: Int): DataFrame = {
+    {
+      val v = vecs(embeddings).withColumn("bucket", bucketCol(col("emb")))
       val a = v.select(col("vec_id").as("id_a"), col("emb").as("ea"),
         col("norm").as("na"), col("bucket"))
       val b = v.select(col("vec_id").as("id_b"), col("emb").as("eb"),
@@ -87,11 +92,11 @@ object Similarity {
         .select(col("id_a"), col("id_b"),
           round(dotCol(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("sim"))
         .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
+        .filter(col("rn") <= k)
         .select(col("id_a").as("vec_id"), col("id_b").as("neighbor"),
           col("sim"), col("rn"))
-    })
-  )
+    }
+  }
 
   private val simSql =
     """WITH v AS (

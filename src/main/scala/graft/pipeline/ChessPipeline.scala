@@ -1,0 +1,54 @@
+package graft.pipeline
+
+import graft.sources.{ChessModel, Pgn, PuzzleGame}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's own query, Spark-first (SURVEY.md §7.3 minimum slice):
+  * NDJSON scan (fixed schema) → conjunctive filter → nested projection →
+  * typed Dataset → PGN text sink. One job, one codegen span — versus the
+  * reference's 4 jobs + inference scan per file (SURVEY §3.2-3.3).
+  */
+object ChessPipeline {
+
+  /** Resource-shipped Lichess-shaped sample, materialized to a local file
+    * so both Spark and the DuckDB oracle can read it.
+    */
+  def samplePath: String = {
+    val target = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_lichess_sample.ndjson")
+    val in = getClass.getResourceAsStream("/graft/lichess_sample.ndjson")
+    require(in != null, "lichess_sample.ndjson missing from classpath")
+    try java.nio.file.Files.copy(in, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    target.toString
+  }
+
+  /** R5: scan with the fixed schema (no inference job). */
+  def readGames(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(ChessModel.gameSchema).json(path)
+
+  /** R7+R8+R9: filter mate+standard, project/flatten the 7 fields, and
+    * switch to the typed Dataset — the reference's `.rdd.map(parse_game)`
+    * is just an Encoder here (no engine escape, codegen survives).
+    */
+  def puzzleGames(spark: SparkSession, path: String): Dataset[PuzzleGame] = {
+    import spark.implicits._
+    readGames(spark, path)
+      .filter(col("status") === "mate" && col("variant") === "standard")
+      .select(
+        col("id").as("game_id"),
+        col("players.white.user.name").as("white_name"),
+        col("players.black.user.name").as("black_name"),
+        col("opening.eco").as("opening_eco"),
+        col("opening.name").as("opening_name"),
+        col("winner"),
+        col("moves"))
+      .as[PuzzleGame]
+  }
+
+  /** R10: end-to-end batch run, NDJSON in → .pgn text out. */
+  def run(spark: SparkSession, inputPath: String, outDir: String): Unit =
+    Pgn.write(puzzleGames(spark, inputPath), outDir)
+}

@@ -1,0 +1,140 @@
+package graft.sources
+
+import graft.Exprs._
+import graft.Tables
+import graft.Tables.Q
+import graft.pipeline.ChessPipeline
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sources and sinks (SURVEY.md §2B S1–S8). Round-trip queries write to
+  * fixed /tmp locations with mode=overwrite (idempotent under re-run)
+  * and re-read through the normal scan path, so the sink, the committer,
+  * and the reader are all on the verified path.
+  */
+object Ingest {
+
+  private def tmp(name: String): String =
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), name).toString
+
+  val queries: Map[String, Q] = Map(
+    // S1: parquet scan of every fixture table (vectorized reader).
+    "s1_parquet_scan" -> ((s, d) => {
+      Tables.names.map { n =>
+        Tables.load(s, d, n).select(lit(n).as("tbl"), lit(1).as("one"))
+          .groupBy(col("tbl")).agg(count(lit(1)).as("n_rows"))
+      }.reduce(_ unionAll _)
+    }),
+
+    // S2: NDJSON scan with the fixed Game schema (no inference job).
+    "s2_ndjson_scan" -> ((s, _) => {
+      ChessPipeline.readGames(s, ChessPipeline.samplePath).select(
+        col("id"), col("status"), col("variant"), col("winner"),
+        col("players.white.user.name").as("white_name"),
+        col("opening.eco").as("eco"),
+        size(col("clocks")).as("n_clocks"))
+    }),
+
+    // S3: NDJSON scan with inferred schema — must agree with S2 on every
+    // field the pipeline touches (SURVEY §1.1's S2≡S3 proof).
+    "s3_ndjson_infer" -> ((s, _) => {
+      s.read.json(ChessPipeline.samplePath).select(
+        col("id"), col("status"), col("variant"), col("winner"),
+        col("players.white.user.name").as("white_name"),
+        col("opening.eco").as("eco"),
+        size(col("clocks")).as("n_clocks"))
+    }),
+
+    // S4: CSV round-trip with header + explicit schema.
+    "s4_csv_roundtrip" -> ((s, d) => {
+      val out = tmp("graft_s4_nation_csv")
+      Tables.nation(s, d).write.mode("overwrite")
+        .option("header", "true").csv(out)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      s.read.option("header", "true").schema(schema).csv(out)
+    }),
+
+    // S5: NDJSON sink round-trip (Spark writes NDJSON natively).
+    "s5_ndjson_roundtrip" -> ((s, d) => {
+      val out = tmp("graft_s5_events_json")
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").json(out)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType)))
+      s.read.schema(schema).json(out)
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          dsum(col("value")).as("sum_value"))
+    }),
+
+    // S6: partitioned parquet sink — write orders by year, re-read with
+    // partition pruning available, aggregate per partition value.
+    "s6_partitioned_parquet" -> ((s, d) => {
+      val out = tmp("graft_s6_orders_by_year")
+      Tables.orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(out)
+      s.read.parquet(out)
+        .groupBy(col("o_year").cast(IntegerType).as("o_year"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+    }),
+
+    // S7: PGN text sink on the sample (golden-file spec owns the exact
+    // bytes; here the written dir is re-read and game blocks counted).
+    "s7_pgn_sink" -> ((s, _) => {
+      val out = tmp("graft_s7_pgn")
+      ChessPipeline.run(s, ChessPipeline.samplePath, out)
+      s.read.text(out)
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("value").startsWith("[Game ID"), 1).otherwise(0)).as("n_games"))
+    }),
+
+    // S8: in-memory source (unit-test seam).
+    "s8_inmemory" -> ((s, _) => {
+      import s.implicits._
+      Seq((1L, "alpha", 1.5), (2L, "beta", 2.5), (3L, "gamma", 3.5))
+        .toDF("id", "name", "score")
+    })
+  )
+
+  private def sampleJson = "read_json_auto('" +
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_lichess_sample.ndjson").toString + "', format='newline_delimited')"
+
+  private val ndjsonSelect =
+    s"""SELECT id, status, variant, winner,
+       |  players.white.user.name AS white_name,
+       |  opening.eco AS eco,
+       |  CAST(len(clocks) AS INT) AS n_clocks
+       |FROM $sampleJson""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "s1_parquet_scan" -> Tables.names
+      .map(n => s"SELECT '$n' AS tbl, COUNT(*) AS n_rows FROM $n")
+      .mkString("\nUNION ALL\n"),
+
+    "s2_ndjson_scan" -> ndjsonSelect,
+    "s3_ndjson_infer" -> ndjsonSelect,
+
+    "s4_csv_roundtrip" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    "s5_ndjson_roundtrip" ->
+      s"""SELECT COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+         |  ${sqlDsum("value")} AS sum_value
+         |FROM events""".stripMargin,
+
+    "s6_partitioned_parquet" ->
+      s"""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         |  COUNT(*) AS n_orders, ${sqlDsum("o_totalprice")} AS total
+         |FROM orders GROUP BY 1""".stripMargin,
+
+    "s8_inmemory" ->
+      """SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'alpha', 1.5),
+        |  (2, 'beta', 2.5), (3, 'gamma', 3.5)) t(id, name, score)""".stripMargin
+  )
+}

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming operators (SURVEY.md §2B T1–T7).
+  *
+  * The reference's hand-rolled incrementality — `processed_files.txt`
+  * (each file once) and the `last_timestamp` watermark
+  * (/root/reference/etl/transform.py:24-34, extract.py:24-39) — maps to
+  * Spark's file source + checkpointLocation + Trigger.AvailableNow, which
+  * is the same "each file exactly once" contract but crash-safe
+  * (SURVEY §2A R4/R11). Everything here is a plan fragment: callers pick
+  * source/sink/trigger; StreamingSpec drives them with MemoryStream.
+  */
+object Streams {
+
+  /** One event for the typed/stateful paths. */
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** Per-user session summary emitted by the T7 state function. */
+  case class UserSession(user_id: Long, n_events: Long, total_value: Double,
+      closed_by_timeout: Boolean)
+
+  /** T1: exactly-once-per-file NDJSON directory stream. */
+  def fileStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).json(dir)
+
+  /** T2: tumbling-window counts per event type. */
+  def tumblingCounts(events: DataFrame, width: String = "1 minute"): DataFrame =
+    events.groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** T3: sliding-window counts. */
+  def slidingCounts(events: DataFrame, width: String = "5 minutes",
+      slide: String = "1 minute"): DataFrame =
+    events.groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** T4: session windows with a fixed inactivity gap. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events.groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"), col("n"))
+
+  /** T5: watermarked tumbling aggregate — rows later than the watermark
+    * are dropped by the engine.
+    */
+  def watermarkedCounts(events: DataFrame, watermark: String = "10 minutes",
+      width: String = "1 minute"): DataFrame =
+    tumblingCounts(events.withWatermark("ts", watermark), width)
+
+  /** T6: stateful dedup by event_id bounded by the watermark. */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** T7: arbitrary stateful sessionization — running per-user aggregate
+    * via flatMapGroupsWithState. `timeoutMs > 0` arms a processing-time
+    * timeout that closes idle sessions (production mode; keeps the
+    * trigger loop alive between batches). `timeoutMs = 0` uses NoTimeout
+    * — state lives until the stream ends (what the deterministic spec
+    * drives, since processAllAvailable + armed timers never quiesces).
+    */
+  def sessionize(events: Dataset[Ev], timeoutMs: Long = 30000): Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timeoutConf =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Double), UserSession](
+        OutputMode.Append, timeoutConf) {
+        (userId: Long, rows: Iterator[Ev], state: GroupState[(Long, Double)]) =>
+          if (state.hasTimedOut) {
+            val (n, v) = state.get
+            state.remove()
+            Iterator.single(UserSession(userId, n, v, closed_by_timeout = true))
+          } else {
+            val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+            var n = n0; var v = v0
+            rows.foreach { e => n += 1; v += e.value }
+            state.update((n, v))
+            if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+            Iterator.single(UserSession(userId, n, v, closed_by_timeout = false))
+          }
+      }
+  }
+}

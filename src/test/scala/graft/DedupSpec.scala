@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the near-dup machinery (L2 family): planted
+  * near-dups are caught, dissimilar docs are never merged.
+  */
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+
+  private def docsDF(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+  private val nearDup = ((1 to 38).map(i => s"tok$i") ++ Seq("x1", "x2")).mkString(" ")
+  private val unrelated = (100 to 140).map(i => s"other$i").mkString(" ")
+
+  test("minhash LSH dedup drops planted near-dup, keeps unrelated (L2)") {
+    val docs = docsDF(Seq((1L, base), (2L, nearDup), (3L, unrelated)))
+    val survivors = Dedup.minhashDedup(docs, threshold = 0.9)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(survivors === Array(1L, 3L)) // 2 removed as near-dup of 1
+  }
+
+  test("no false pair below 0.5 jaccard (L2 precision)") {
+    val docs = docsDF(Seq((1L, base), (3L, unrelated)))
+    val cand = Dedup.lshCandidates(Dedup.minhashSignatures(docs))
+    val falsePairs = Dedup.verifyJaccard(docs, cand)
+      .filter(col("jaccard") < 0.5).count()
+    assert(falsePairs === 0)
+  }
+
+  test("exact jaccard verifier computes the true value") {
+    // 30 shared tokens, each side 40 → jaccard = 30/50 = 0.6
+    val a = (1 to 40).map(i => s"t$i").mkString(" ")
+    val b = (11 to 60).map(i => s"t$i").mkString(" ")
+    val docs = docsDF(Seq((1L, a), (2L, b)))
+    import spark.implicits._
+    val pairs = Seq((1L, 2L)).toDF("d1", "d2")
+    val j = Dedup.verifyJaccard(docs, pairs).select("jaccard").head().getDouble(0)
+    assert(math.abs(j - 30.0 / 60.0) < 1e-9)
+  }
+
+  test("simhash of near-identical docs is hamming-close, unrelated far") {
+    import spark.implicits._
+    def simhash(text: String): Long = {
+      val th = xxhash64(col("tok"))
+      val votes = (0 until 64).map { j =>
+        sum(when(shiftright(th, j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v_$j")
+      }
+      val bits = (0 until 64).map { j =>
+        when(col(s"v_$j") > 0, shiftleft(lit(1L), j)).otherwise(0L)
+      }
+      Dedup.docTokens(Seq((1L, text)).toDF("doc_id", "text"))
+        .groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+        .select(bits.reduce(_ + _).as("sh")).head().getLong(0)
+    }
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val hBase = simhash(base)
+    assert(hamming(hBase, simhash(nearDup)) <= 16)
+    assert(hamming(hBase, simhash(unrelated)) > 16)
+  }
+
+  test("lang-id picks the marker language on real text") {
+    import spark.implicits._
+    val samples = Seq(
+      ("the cat is on the mat and the dog", "en"),
+      ("el perro de la casa que los gatos una", "es"),
+      ("le chat est dans les maisons des une", "fr"),
+      ("der hund ist ein und das haus", "de"),
+      ("我 不 是 在 了 的", "zh"))
+    val got = samples.map(_._1).toDF("text")
+      .select(TextAnalysis.langIdCol(col("text")).as("lang"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === samples.map(_._2))
+  }
+}

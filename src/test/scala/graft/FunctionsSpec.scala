@@ -1,0 +1,68 @@
+package graft
+
+import graft.functions.{GeoMean, RollingHash}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Known-vector tests for the custom function surface (A9, fingerprint,
+  * crc32 — the pieces the SQL oracle can't check).
+  */
+class FunctionsSpec extends AnyFunSuite with SparkTestBase {
+
+  test("GeoMean aggregator: geomean(2,8)=4, partial-merge safe (A9)") {
+    import spark.implicits._
+    val df = Seq(("a", 2.0), ("a", 8.0), ("b", 3.0)).toDF("k", "x")
+      .repartition(3) // force merge() across partitions
+    val got = df.groupBy($"k").agg(round(GeoMean.column($"x"), 9).as("gm"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("a") === 4.0)
+    assert(got("b") === 3.0)
+  }
+
+  test("RollingHash: known vector, computed independently") {
+    import spark.implicits._
+    val m = 1000000007L
+    def tokHash(t: String): Long =
+      t.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 131 + (b & 0xff)) % m)
+    def roll(ts: Seq[String]): Long =
+      ts.foldLeft(0L)((h, t) => (h * 31 + tokHash(t)) % m)
+    val toks = Seq("the", "quick", "brown", "fox")
+    val got = Seq(toks).toDF("toks")
+      .select(RollingHash.rollingHash(col("toks")).as("h"))
+      .head().getLong(0)
+    assert(got === roll(toks))
+  }
+
+  test("RollingHash is order-sensitive and null-skipping") {
+    import spark.implicits._
+    def h(ts: Seq[String]) = Seq(ts).toDF("toks")
+      .select(RollingHash.rollingHash(col("toks"))).head().getLong(0)
+    assert(h(Seq("a", "b")) !== h(Seq("b", "a")))
+    assert(h(Seq.empty[String]) === 0L)
+    val withNull = Seq(Seq("a", null, "b")).toDF("toks")
+      .select(RollingHash.rollingHash(col("toks"))).head().getLong(0)
+    assert(withNull === h(Seq("a", "b")))
+  }
+
+  test("RollingHash interpreted eval matches codegen") {
+    import spark.implicits._
+    val toks = Seq("x", "yy", "zzz")
+    val codegen = Seq(toks).toDF("toks")
+      .select(RollingHash.rollingHash(col("toks"))).head().getLong(0)
+    val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      toks.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray)
+    val evaled = RollingHash(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(lit(1)))
+      .nullSafeEval(arr)
+    assert(codegen === evaled.asInstanceOf[Long])
+  }
+
+  test("crc32/hash built-ins: known vectors (F9 non-oracle part)") {
+    import spark.implicits._
+    val r = Seq("hello").toDF("s").select(
+      crc32(col("s").cast("binary")).as("c"),
+      md5(col("s").cast("binary")).as("m")).head()
+    assert(r.getLong(0) === 907060870L) // public CRC-32 of "hello"
+    assert(r.getString(1) === "5d41402abc4b2a76b9719d911017c592")
+  }
+}

