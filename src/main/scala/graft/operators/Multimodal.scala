@@ -65,6 +65,31 @@ object Multimodal {
       .mapPartitions(decodeStub)
   }
 
+  /** STUB resize kernel: a real implementation would decode, scale to
+    * `targetW`×`targetH`, and re-encode; the stub derives a deterministic
+    * synthetic payload of the right conceptual shape (targetW*targetH
+    * bytes, sampled cyclically from the source) so partitioning, schema,
+    * and size accounting behave like the real thing.
+    */
+  def resizeStub(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    val out = new Array[Byte](math.max(targetW * targetH, 0))
+    var i = 0
+    while (i < out.length) {
+      out(i) = if (payload.nonEmpty) payload(i % payload.length) else 0
+      i += 1
+    }
+    out
+  }
+
+  /** STUB frame sampler: a real implementation would demux a video and
+    * decode every `stride`-th frame; the stub splits the payload into
+    * fixed-size pseudo-frames and keeps every `stride`-th chunk.
+    */
+  def frameSampleStub(payload: Array[Byte], frameBytes: Int,
+      stride: Int): Seq[Array[Byte]] =
+    payload.grouped(math.max(frameBytes, 1)).grouped(math.max(stride, 1))
+      .map(_.head).toSeq
+
   val queries: Map[String, Q] = Map(
     // L8: multimodal pass-through — binary payload survives projection,
     // repartition, and re-read untouched (checked via digest + length).

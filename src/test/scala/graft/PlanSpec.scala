@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.{Joins, Projections, Aggregates, SetOps, Skew, Multimodal}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions — the 100 TB properties the builder
+  * prompt calls out: filters reach the parquet scan, projections prune
+  * the read schema, dimension joins broadcast, aggregates combine
+  * map-side, top-k never global-sorts. A plan regression here means a
+  * scale regression even while results stay correct.
+  */
+class PlanSpec extends AnyFunSuite with SparkTestBase {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("P4 range predicates are pushed into the parquet scan") {
+    val p = plan(Projections.queries("p4_filter_range")(spark, sf("sf0.001")))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan(l_quantity") && p.contains("LessThan(l_shipdate"), p)
+  }
+
+  test("P1 projection prunes the lineitem read schema to 4 columns") {
+    val p = plan(Projections.queries("p1_project_rename")(spark, sf("sf0.001")))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && !readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("J2 plans a broadcast hash join of the part dimension") {
+    val p = plan(Joins.queries("j2_broadcast_join")(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("A2 aggregates partially before the shuffle (map-side combine)") {
+    val p = plan(Aggregates.queries("a2_group_agg")(spark, sf("sf0.001")))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
+  }
+
+  test("O2 top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(SetOps.queries("o2_limit_topk")(spark, sf("sf0.001")))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("J4 semi join stays a semi join (no materialized inner)") {
+    val p = plan(Joins.queries("j4_left_semi")(spark, sf("sf0.001")))
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("salted join equals the plain join and spreads the hot key") {
+    import spark.implicits._
+    val big = (Seq.fill(1000)(1L) ++ (2L to 50L)).map(k => (k, k * 10)).toDF("k", "v")
+    val small = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).groupBy($"k").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = Skew.saltedJoin(big, small, "k").groupBy($"k").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted === plain)
+  }
+
+  test("salted sum equals the plain sum") {
+    import spark.implicits._
+    val df = (Seq.fill(500)(("hot", 1.0)) ++ Seq(("cold", 2.0))).toDF("k", "v")
+    val got = Skew.saltedSum(df, "k", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === Map("hot" -> 500.0, "cold" -> 2.0))
+  }
+
+  test("multimodal stubs: resize shapes payloads, frame sampler strides") {
+    val payload = Array.tabulate[Byte](100)(_.toByte)
+    assert(Multimodal.resizeStub(payload, 8, 4).length === 32)
+    val frames = Multimodal.frameSampleStub(payload, frameBytes = 10, stride = 3)
+    assert(frames.length === 4) // ceil(10 frames / 3)
+    assert(frames.head.toSeq === payload.slice(0, 10).toSeq)
+  }
+}
