@@ -110,10 +110,10 @@ object TextAnalysis {
           .as("bpe_tokens"))
     }),
 
-    // L8-adjacent: document fingerprint via the native RollingHash
+    // L10 (extension): document fingerprint via the native RollingHash
     // Catalyst expression (order-sensitive; codegen'd). Not expressible
     // in DuckDB → rows-only + known-vector spec.
-    "l8_fingerprint" -> ((s, d) => {
+    "l10_fingerprint" -> ((s, d) => {
       Tables.documents(s, d).select(
         col("doc_id"),
         graft.functions.RollingHash.rollingHash(toks).as("fingerprint"))

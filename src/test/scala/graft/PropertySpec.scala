@@ -1,0 +1,108 @@
+package graft
+
+import graft.operators.Dedup
+import graft.sources.{Pgn, PuzzleGame}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based laws (SURVEY §5.2 item 3): filter ≡ predicate, dedup
+  * idempotence, window running sum ≡ prefix sums, NDJSON round-trip,
+  * PGN rendering totality on arbitrary (incl. null-heavy) games.
+  * Raw scalacheck generators driven from fixed seeds (the scalatest
+  * bridge artifact isn't in the offline cache), so runs are exactly
+  * reproducible.
+  */
+class PropertySpec extends AnyFunSuite with SparkTestBase {
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  private val tokenGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")
+  private val docGen = for {
+    n <- Gen.choose(3, 12)
+    toks <- Gen.listOfN(n, tokenGen)
+  } yield toks.mkString(" ")
+
+  test("exact dedup is idempotent (L1 law)") {
+    import spark.implicits._
+    for (seed <- 1L to 5L) {
+      val texts = sample(Gen.listOfN(20, docGen), seed)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val once = docs.dropDuplicates("text")
+      val twice = once.dropDuplicates("text")
+      assert(once.count() === twice.count(), s"seed=$seed")
+      assert(once.except(twice).count() === 0, s"seed=$seed")
+    }
+  }
+
+  test("minhash dedup never removes the smallest doc_id of a cluster") {
+    import spark.implicits._
+    for (seed <- 1L to 3L) {
+      val texts = sample(Gen.listOfN(10, docGen), seed)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val survivors = Dedup.minhashDedup(docs, 0.9)
+        .select("doc_id").as[Long].collect().toSet
+      assert(survivors.contains(0L), s"seed=$seed")
+    }
+  }
+
+  test("filter ≡ its predicate (P-law)") {
+    import spark.implicits._
+    for (seed <- 1L to 5L) {
+      val xs = sample(Gen.listOfN(50, Gen.choose(-100.0, 100.0)), seed)
+      val got = xs.toDF("x").filter($"x" > 10.0).as[Double].collect().sorted.toSeq
+      val want = xs.filter(_ > 10.0).sorted
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
+  test("window running sum ≡ scala prefix sums (W3 law)") {
+    import spark.implicits._
+    for (seed <- 1L to 5L) {
+      val xs = sample(Gen.listOfN(30, Gen.choose(-50, 50)), seed)
+      val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v.toLong) }
+        .toDF("i", "v")
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"i")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val got = df.withColumn("run", sum($"v").over(w))
+        .orderBy($"i").select("run").as[Long].collect().toSeq
+      val want = xs.map(_.toLong).scanLeft(0L)(_ + _).tail
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
+  test("NDJSON round-trip law (S5): write∘read = id on flat rows") {
+    import spark.implicits._
+    for (seed <- 1L to 3L) {
+      val rows = sample(Gen.listOfN(10,
+        Gen.zip(Gen.choose(0L, 1000L), Gen.alphaStr)), seed)
+      val df = rows.toDF("id", "s")
+      val dir = java.nio.file.Files.createTempDirectory("prop_s5").toString
+      df.write.mode("overwrite").json(dir)
+      val back = spark.read.schema("id BIGINT, s STRING").json(dir)
+      assert(back.count() === rows.length, s"seed=$seed")
+      assert(df.except(back).count() === 0, s"seed=$seed")
+    }
+  }
+
+  test("PGN rendering is total on arbitrary games (R10 law)") {
+    val optStr = Gen.option(Gen.oneOf(Gen.alphaNumStr,
+      Gen.const("with \"quotes\" and\nnewlines")))
+    val gameGen = for {
+      id <- Gen.identifier
+      w <- optStr; b <- optStr; eco <- optStr; on <- optStr
+      win <- optStr; mv <- optStr
+    } yield PuzzleGame(id, w, b, eco, on, win, mv)
+    for (seed <- 1L to 20L) {
+      val g = sample(gameGen, seed)
+      val s = Pgn.render(g, 1)
+      assert(s.contains(s"""[Game ID "${g.game_id}"]"""), s"seed=$seed")
+      assert(s.startsWith("[Game 1]"), s"seed=$seed")
+      assert(s.linesIterator.size >= 9, s"seed=$seed")
+    }
+  }
+}
