@@ -126,7 +126,12 @@ object Similarity {
     // L3b: ANN — random-hyperplane LSH buckets, then exact top-3 within
     // bucket. Not SQL-expressible (seeded hyperplanes) → rows-only +
     // recall spec against the l3 baseline.
-    "l3b_ann_lsh" -> ((s, d) => annTopK(Tables.embeddings(s, d), 3))
+    "l3b_ann_lsh" -> ((s, d) => annTopK(Tables.embeddings(s, d), 3)),
+
+    // L3c: IVF ANN — learned coarse quantizer + probed exact re-rank.
+    // Seeded/deterministic but not SQL-expressible → rows-only + recall
+    // spec against the brute-force baseline.
+    "l3c_ann_ivf" -> ((s, d) => ivfTopK(Tables.embeddings(s, d), 3))
   )
 
   /** ANN top-k via random-hyperplane LSH buckets (public for specs). */
@@ -147,6 +152,102 @@ object Similarity {
         .select(col("id_a").as("vec_id"), col("id_b").as("neighbor"),
           col("sim"), col("rn"))
     }
+  }
+
+  /** IVF (inverted-file) ANN — the learned-bucket scale path next to the
+    * hyperplane LSH variant. A deterministic mini-kmeans coarse
+    * quantizer is trained driver-side on a bounded, deterministic sample
+    * (first `nlist*trainPerList` rows by vec_id — kmeans needs a sample,
+    * not the corpus, so this holds at any scale); assignment and search
+    * are fully distributed: vectors land in their nearest-centroid list,
+    * queries probe the `nprobe` nearest lists via an equi-join on the
+    * list id, exact cosine re-ranks within the probed lists. Cost:
+    * ~corpus·nprobe/nlist pair evaluations instead of corpus².
+    */
+  def ivfTopK(embeddings: DataFrame, k: Int, nlist: Int = 16,
+      nprobe: Int = 4, iters: Int = 5, trainPerList: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val v = vecs(embeddings)
+      .select(col("vec_id"), col("emb"), col("norm")).as[VecRow]
+
+    def cosine(a: Array[Double], na: Double, c: Array[Double], nc: Double): Double = {
+      var d = 0.0; var i = 0
+      val n = math.min(a.length, c.length)
+      while (i < n) { d += a(i) * c(i); i += 1 }
+      d / (na * nc)
+    }
+    def normOf(a: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * a(i); i += 1 }
+      math.sqrt(s)
+    }
+
+    // --- train the coarse quantizer on a deterministic bounded sample
+    val train = v.orderBy(col("vec_id")).limit(nlist * trainPerList).collect()
+    var centroids = Array.tabulate(nlist)(i =>
+      train((i.toLong * train.length / nlist).toInt).emb.clone())
+    var cNorms = centroids.map(normOf)
+    for (_ <- 0 until iters) {
+      val dim = centroids(0).length
+      val sums = Array.fill(nlist)(new Array[Double](dim))
+      val counts = new Array[Int](nlist)
+      train.foreach { r =>
+        var best = 0; var bestSim = Double.NegativeInfinity
+        var c = 0
+        while (c < nlist) {
+          val s = cosine(r.emb, r.norm, centroids(c), cNorms(c))
+          if (s > bestSim) { bestSim = s; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += r.emb(j); j += 1 }
+      }
+      centroids = Array.tabulate(nlist)(c =>
+        if (counts(c) > 0) sums(c).map(_ / counts(c)) else centroids(c))
+      cNorms = centroids.map(normOf)
+    }
+
+    val bcC = spark.sparkContext.broadcast((centroids, cNorms))
+
+    // --- distributed assignment: each vector to its nearest list
+    val assigned = v.mapPartitions { it =>
+      val (cs, ns) = bcC.value
+      it.map { r =>
+        var best = 0; var bestSim = Double.NegativeInfinity
+        var c = 0
+        while (c < cs.length) {
+          val s = cosine(r.emb, r.norm, cs(c), ns(c))
+          if (s > bestSim) { bestSim = s; best = c }
+          c += 1
+        }
+        (best, r.vec_id, r.emb, r.norm)
+      }
+    }.toDF("list", "id_b", "eb", "nb")
+
+    // --- queries probe their nprobe nearest lists
+    val probes = v.mapPartitions { it =>
+      val (cs, ns) = bcC.value
+      it.flatMap { r =>
+        val sims = Array.tabulate(cs.length)(c =>
+          (cosine(r.emb, r.norm, cs(c), ns(c)), c))
+        sims.sortBy(-_._1).take(nprobe)
+          .map { case (_, c) => (c, r.vec_id, r.emb, r.norm) }
+      }
+    }.toDF("list", "id_a", "ea", "na")
+
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("sim").desc, col("id_b"))
+    probes.join(assigned, Seq("list")).filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(graft.functions.VectorOps.dotProduct(col("ea"), col("eb"))
+          / (col("na") * col("nb")), 6).as("sim"))
+      .groupBy(col("id_a"), col("id_b")).agg(max(col("sim")).as("sim")) // dedup multi-probe hits
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("id_a").as("vec_id"), col("id_b").as("neighbor"),
+        col("sim"), col("rn"))
   }
 
   private val simSql =

@@ -36,6 +36,18 @@ class ChessPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(back.filter("value like '[Game ID%'").count() === 5)
   }
 
+  test("DSV2 format(\"pgn\") writes committed per-partition pgn files") {
+    val out = java.nio.file.Files.createTempDirectory("pgn_dsv2").toString
+    games.toDF().coalesce(1).write.mode("overwrite")
+      .format("graft.sources.pgn.PgnDataSource").save(out)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".pgn"))
+    assert(files.length === 1)
+    val content = new String(java.nio.file.Files.readAllBytes(files.head.toPath))
+    assert(content.split("\\[Game ID").length - 1 === 5)
+    assert(!content.contains(".tmp"))
+  }
+
   test("fixed schema agrees with inference on every touched field (S2≡S3)") {
     import org.apache.spark.sql.functions._
     val cols = Seq(col("id"), col("status"), col("variant"), col("winner"),

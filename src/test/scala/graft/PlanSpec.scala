@@ -46,6 +46,43 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("bucketed tables join with zero exchanges (co-located join)") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // catalog state is per-JVM but the warehouse dir persists across
+    // runs — clear stale locations or CTAS refuses to create
+    val wh = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_warehouse")
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      val d = wh.resolve(t)
+      if (java.nio.file.Files.exists(d)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    Tables.orders(spark, sf("sf0.001")).write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
+    Tables.lineitem(spark, sf("sf0.001")).write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_lineitem")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (p, total) = try {
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderstatus").count()
+      (plan(joined), joined.collect().map(_.getLong(1)).sum)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    // the join itself reads pre-bucketed data: no Exchange below the join
+    val joinSubtree = p.linesIterator
+      .dropWhile(l => !l.contains("SortMergeJoin") && !l.contains("ShuffledHashJoin"))
+      .mkString("\n")
+    assert(joinSubtree.nonEmpty, p)
+    assert(!joinSubtree.contains("Exchange"), p)
+    assert(total === 6000L)
+  }
+
   test("salted join equals the plain join and spreads the hot key") {
     import spark.implicits._
     val big = (Seq.fill(1000)(1L) ++ (2L to 50L)).map(k => (k, k * 10)).toDF("k", "v")

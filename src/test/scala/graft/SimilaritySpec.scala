@@ -41,6 +41,20 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall > 0.0, "ANN found no true top-3 neighbors at all")
   }
 
+  test("IVF ANN recall@3 beats unclustered probing odds on sf0.001") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val exact = Similarity.bruteTopK(emb, 3)
+      .select(col("vec_id"), col("neighbor")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, 3, nlist = 16, nprobe = 4)
+      .select(col("vec_id"), col("neighbor")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & exact).size.toDouble / exact.size
+    // probing 4 of 16 lists blindly would give ~0.25; the learned
+    // quantizer must do meaningfully better
+    assert(recall > 0.3, s"recall=$recall")
+  }
+
   test("cosine fold matches a hand-computed dot product") {
     import spark.implicits._
     val a = Seq(1.0f, 2.0f, 3.0f) ++ Seq.fill(61)(0.0f)

@@ -13,6 +13,8 @@ trait SparkTestBase {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.warehouse.dir",
+      s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
     .getOrCreate()
 
   def sf(name: String): String = s"/root/testdata/$name"
