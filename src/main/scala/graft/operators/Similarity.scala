@@ -131,7 +131,21 @@ object Similarity {
     // L3c: IVF ANN — learned coarse quantizer + probed exact re-rank.
     // Seeded/deterministic but not SQL-expressible → rows-only + recall
     // spec against the brute-force baseline.
-    "l3c_ann_ivf" -> ((s, d) => ivfTopK(Tables.embeddings(s, d), 3))
+    "l3c_ann_ivf" -> ((s, d) => ivfTopK(Tables.embeddings(s, d), 3)),
+
+    // L4b: embedding-cosine near-dup REMOVAL — of each pair with cosine
+    // ≥ 0.45 (fixture max is ~0.51; a real corpus would use ~0.95),
+    // drop the larger vec_id; survivors keep deterministic min-id
+    // representatives. At scale the pair source switches from the
+    // brute-force pairSims to the LSH/IVF candidate generators above.
+    "l4b_embedding_dedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val removed = pairSims(emb)
+        .filter(col("id_a") < col("id_b") && col("sim") >= 0.45)
+        .select(col("id_b").as("vec_id")).distinct()
+      emb.join(removed, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("label"))
+    })
   )
 
   /** ANN top-k via random-hyperplane LSH buckets (public for specs). */
@@ -273,6 +287,12 @@ object Similarity {
     "l4_cosine_threshold" ->
       s"""$simSql
          |SELECT id_a, id_b, sim FROM p
-         |WHERE id_a < id_b AND sim >= 0.45""".stripMargin
+         |WHERE id_a < id_b AND sim >= 0.45""".stripMargin,
+
+    "l4b_embedding_dedup" ->
+      s"""$simSql
+         |SELECT vec_id, label FROM embeddings
+         |WHERE vec_id NOT IN (
+         |  SELECT id_b FROM p WHERE id_a < id_b AND sim >= 0.45)""".stripMargin
   )
 }
