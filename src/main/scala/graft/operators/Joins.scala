@@ -103,6 +103,29 @@ object Joins {
         .agg(count(lit(1)).as("n_pairs"))
     }),
 
+    // J7b: the same range self-join, time-bucketed — the plan that holds
+    // at 100 TB. The plain J7 equi-joins on user_id alone, so a user's
+    // whole history lands in one task (quadratic in events-per-user and
+    // skew-prone). Bucketing by the window width (1 h) and probing each
+    // event's two overlapping buckets bounds candidates per task to two
+    // buckets' worth regardless of user cardinality. Result-identical to
+    // J7 (same oracle SQL).
+    "j7b_range_join_bucketed" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          (unix_timestamp(col("ts")) / 3600L).cast("long").as("bkt"))
+      val probes = ev.select(col("user_id"), col("event_id").as("e1_id"),
+          col("ts").as("ts1"),
+          explode(array(col("bkt"), col("bkt") + 1)).as("bkt"))
+      val build = ev.select(col("user_id").as("u2"), col("ts").as("ts2"), col("bkt"))
+      probes.join(build,
+          probes("user_id") === build("u2") && probes("bkt") === build("bkt") &&
+          col("ts2") > col("ts1") &&
+          col("ts2") <= col("ts1") + expr("INTERVAL 1 HOUR"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // J8: cross join (tiny × tiny only — anything else is a design bug).
     "j8_cross_join" -> ((s, d) => {
       val r = Tables.region(s, d).select(col("r_name"))
@@ -166,6 +189,13 @@ object Joins {
         |GROUP BY r_name""".stripMargin,
 
     "j7_range_join" ->
+      """SELECT e1.user_id, COUNT(*) AS n_pairs
+        |FROM events e1 JOIN events e2
+        |  ON e1.user_id = e2.user_id
+        | AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+        |GROUP BY e1.user_id""".stripMargin,
+
+    "j7b_range_join_bucketed" ->
       """SELECT e1.user_id, COUNT(*) AS n_pairs
         |FROM events e1 JOIN events e2
         |  ON e1.user_id = e2.user_id
