@@ -51,4 +51,39 @@ object ChessPipeline {
   /** R10: end-to-end batch run, NDJSON in → .pgn text out. */
   def run(spark: SparkSession, inputPath: String, outDir: String): Unit =
     Pgn.write(puzzleGames(spark, inputPath), outDir)
+
+  /** R4/R11 as Structured Streaming: watch `rawDir` for NDJSON files,
+    * process each exactly once (checkpoint-tracked), append rendered PGN
+    * blocks to `outDir`. `Trigger.AvailableNow` = the reference's "drain
+    * the backlog then exit" batch loop, crash-safe. Numbering is
+    * per-micro-batch-partition (streaming has no global order), so each
+    * appended file is a standalone PGN collection — the reference's
+    * per-source-file semantics.
+    */
+  def runStream(spark: SparkSession, rawDir: String, outDir: String,
+      checkpointDir: String): Unit = {
+    import spark.implicits._
+    val games = spark.readStream.schema(ChessModel.gameSchema).json(rawDir)
+      .filter(col("status") === "mate" && col("variant") === "standard")
+      .select(
+        col("id").as("game_id"),
+        col("players.white.user.name").as("white_name"),
+        col("players.black.user.name").as("black_name"),
+        col("opening.eco").as("opening_eco"),
+        col("opening.name").as("opening_name"),
+        col("winner"),
+        col("moves"))
+      .as[PuzzleGame]
+    val rendered = games.mapPartitions { it =>
+      var n = 0L
+      it.map { g => n += 1; Pgn.render(g, n) }
+    }
+    val q = rendered.writeStream
+      .format("text").option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }
