@@ -52,6 +52,23 @@ object ChessPipeline {
   def run(spark: SparkSession, inputPath: String, outDir: String): Unit =
     Pgn.write(puzzleGames(spark, inputPath), outDir)
 
+  /** R6 fix: the reference issues two extra count() jobs per file for
+    * audit logging (/root/reference/etl/transform.py:96,113). `observe`
+    * rides the single sink job — same numbers, zero extra scans.
+    */
+  def runWithMetrics(spark: SparkSession, inputPath: String,
+      outDir: String): Map[String, Any] = {
+    import org.apache.spark.sql.functions._
+    val obs = new org.apache.spark.sql.Observation("chess_metrics")
+    puzzleGames(spark, inputPath).toDF()
+      .observe(obs,
+        count(lit(1)).as("n_games"),
+        count(col("winner")).as("n_decided"))
+      .write.mode("overwrite")
+      .format("graft.sources.pgn.PgnDataSource").save(outDir)
+    obs.get
+  }
+
   /** R4/R11 as Structured Streaming: watch `rawDir` for NDJSON files,
     * process each exactly once (checkpoint-tracked), append rendered PGN
     * blocks to `outDir`. `Trigger.AvailableNow` = the reference's "drain

@@ -48,6 +48,13 @@ class ChessPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(!content.contains(".tmp"))
   }
 
+  test("observed metrics ride the sink job — no extra count scans (R6)") {
+    val out = java.nio.file.Files.createTempDirectory("pgn_obs").toString
+    val metrics = ChessPipeline.runWithMetrics(spark, ChessPipeline.samplePath, out)
+    assert(metrics.get("n_games") === Some(5L))
+    assert(metrics.get("n_decided") === Some(5L))
+  }
+
   test("fixed schema agrees with inference on every touched field (S2≡S3)") {
     import org.apache.spark.sql.functions._
     val cols = Seq(col("id"), col("status"), col("variant"), col("winner"),
