@@ -68,6 +68,15 @@ object Aggregates {
           grouping(col("n_nationkey")).cast(IntegerType).as("g_nation"))
     }),
 
+    // A5b: cube — all grouping-set combinations over two dims.
+    "a5b_cube" -> ((s, d) => {
+      Tables.customer(s, d)
+        .cube(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("c_nationkey")).cast(IntegerType).as("g_nation"),
+          grouping(col("c_mktsegment")).cast(IntegerType).as("g_seg"))
+    }),
+
     // A6: HAVING — post-aggregation filter on the aggregate value.
     "a6_having" -> ((s, d) => {
       Tables.orders(s, d)
@@ -144,6 +153,12 @@ object Aggregates {
         |  CAST(GROUPING(n_regionkey) AS INT) AS g_region,
         |  CAST(GROUPING(n_nationkey) AS INT) AS g_nation
         |FROM nation GROUP BY ROLLUP(n_regionkey, n_nationkey)""".stripMargin,
+
+    "a5b_cube" ->
+      """SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+        |  CAST(GROUPING(c_nationkey) AS INT) AS g_nation,
+        |  CAST(GROUPING(c_mktsegment) AS INT) AS g_seg
+        |FROM customer GROUP BY CUBE(c_nationkey, c_mktsegment)""".stripMargin,
 
     "a6_having" ->
       """SELECT o_custkey, COUNT(*) AS n_orders FROM orders

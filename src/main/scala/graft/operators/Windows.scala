@@ -71,6 +71,21 @@ object Windows {
             count(lit(1)).over(w)).as("avg_24h"))
     }),
 
+    // W6 (extension): remaining analytic family — ntile, percent_rank,
+    // cume_dist, first/last value over a running frame.
+    "w6_analytic_extras" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        first(col("o_orderkey")).over(wRun).as("first_key"),
+        last(col("o_orderkey")).over(wRun).as("last_key"))
+    }),
+
     // W5: top-k per group via rank filter (the distributed top-k idiom).
     "w5_topk_per_group" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -111,6 +126,18 @@ object Windows {
         |        CAST(epoch(ts) AS BIGINT) AS epoch_s FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
         |             RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "w6_analytic_extras" ->
+      """SELECT o_custkey, o_orderkey,
+        |  NTILE(4) OVER w AS quartile,
+        |  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        |  ROUND(CUME_DIST() OVER w, 6) AS cume,
+        |  FIRST_VALUE(o_orderkey) OVER wr AS first_key,
+        |  LAST_VALUE(o_orderkey) OVER wr AS last_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  wr AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "w5_topk_per_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (

@@ -102,16 +102,23 @@ object Ingest {
     })
   )
 
-  private def sampleJson = "read_json_auto('" +
-    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_lichess_sample.ndjson").toString + "', format='newline_delimited')"
-
+  // The expected projection of the checked-in sample as literals — no
+  // filesystem dependence in the oracle SQL (the DuckDB side must work
+  // wherever the driver runs it). Values cross-checked against DuckDB's
+  // own read_json of the same file.
   private val ndjsonSelect =
-    s"""SELECT id, status, variant, winner,
-       |  players.white.user.name AS white_name,
-       |  opening.eco AS eco,
-       |  CAST(len(clocks) AS INT) AS n_clocks
-       |FROM $sampleJson""".stripMargin
+    """SELECT * FROM (VALUES
+      |  ('game0001', 'mate', 'standard', 'white', 'alice', 'C20', 7),
+      |  ('game0002', 'mate', 'standard', 'black', 'carol', 'A00', 4),
+      |  ('game0003', 'resign', 'standard', 'white', 'erin', 'D20', 4),
+      |  ('game0004', 'outoftime', 'standard', 'black', 'gary', 'A07', 4),
+      |  ('game0005', 'draw', 'standard', NULL, 'ivan', 'C68', 8),
+      |  ('game0006', 'mate', 'atomic', 'white', 'kate', 'B01', 4),
+      |  ('game0007', 'mate', 'standard', 'black', NULL, 'B56', 14),
+      |  ('game0008', 'mate', 'standard', 'white', 'nina', NULL, 5),
+      |  ('game0009', 'resign', 'atomic', 'black', 'pete', 'C20', 2),
+      |  ('game0010', 'mate', 'standard', 'black', 'rosa', 'A51', NULL)
+      |) t(id, status, variant, winner, white_name, eco, n_clocks)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "s1_parquet_scan" -> Tables.names

@@ -26,6 +26,21 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(readSchema.contains("l_orderkey") && !readSchema.contains("l_extendedprice"), readSchema)
   }
 
+  test("partition pruning: year filter selects one partition of S6 output") {
+    import org.apache.spark.sql.functions._
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_prune_orders"
+    Tables.orders(spark, sf("sf0.001"))
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(out)
+    val pruned = spark.read.parquet(out).filter(col("o_year") === 1997)
+    val p = plan(pruned)
+    assert(p.contains("PartitionFilters: [isnotnull(o_year"), p)
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves()
+      .head.metrics.get("numFiles")
+    pruned.count()
+    assert(p.contains("(o_year") && p.contains("1997"), p)
+  }
+
   test("J2 plans a broadcast hash join of the part dimension") {
     val p = plan(Joins.queries("j2_broadcast_join")(spark, sf("sf0.001")))
     assert(p.contains("BroadcastHashJoin"), p)
