@@ -149,6 +149,21 @@ object Joins {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("p_id"), col("user_id"), col("c_id"))
+    }),
+
+    // J9b: the same as-of join through the native operator stack
+    // (LogicalPlan + SparkStrategy + sorted-merge SparkPlan,
+    // graft.plans.AsOfJoin) — one exchange per side, no pair blow-up,
+    // no window shuffle. Same oracle as j9.
+    "j9b_asof_native" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      graft.plans.AsOfJoinApi.asofJoin(p, c,
+          "user_id", "c_user", "p_ts", "c_ts", "c_id")
+        .select(col("p_id"), col("user_id"), col("c_id"))
     })
   )
 
@@ -204,6 +219,16 @@ object Joins {
 
     "j8_cross_join" ->
       "SELECT r_name, n_name FROM region CROSS JOIN nation",
+
+    "j9b_asof_native" ->
+      """SELECT p_id, user_id, c_id FROM (
+        |  SELECT p.event_id AS p_id, p.user_id, c.event_id AS c_id,
+        |    ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |                       ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id AND c.ts <= p.ts
+        |) WHERE rn = 1""".stripMargin,
 
     "j9_asof_join" ->
       """SELECT p_id, user_id, c_id FROM (
