@@ -36,7 +36,8 @@ object SparkEntry {
     (Similarity.queries, Similarity.oracles),
     (TextAnalysis.queries, TextAnalysis.oracles),
     (Multimodal.queries, Multimodal.oracles),
-    (graft.sources.Ingest.queries, graft.sources.Ingest.oracles)
+    (graft.sources.Ingest.queries, graft.sources.Ingest.oracles),
+    (SqlFrontend.queries, SqlFrontend.oracles)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

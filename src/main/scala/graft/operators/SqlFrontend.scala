@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.Tables
+import graft.Tables.Q
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The SQL-string frontend surface (`spark.sql`) plus pivot/unpivot.
+  *
+  * The sql* queries register the fixture tables as temp views and run
+  * ONE dialect-neutral SQL text that is also the DuckDB oracle verbatim
+  * — proving the engine's SQL path end to end, not just the DSL.
+  */
+object SqlFrontend {
+
+  private def withViews(s: SparkSession, d: String): Unit =
+    Tables.names.foreach { n =>
+      Tables.load(s, d, n).createOrReplaceTempView(n)
+    }
+
+  /** TPC-H Q3 shape (shipping priority), dialect-neutral: decimal-exact
+    * revenue, date literals via TIMESTAMP, unique tiebreak in ORDER BY.
+    */
+  private val q3Sql =
+    """SELECT o_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR(10)) AS order_date, o_orderpriority
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1997-06-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1997-06-15 00:00:00'
+      |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** Scalar subquery: orders above the global average price. */
+  private val scalarSubSql =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+      |  AND o_orderstatus = 'F'""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "sql1_tpch_q3" -> ((s, d) => { withViews(s, d); s.sql(q3Sql) }),
+    "sql2_scalar_subquery" -> ((s, d) => { withViews(s, d); s.sql(scalarSubSql) }),
+
+    // A10: pivot — event counts per user fanned out by type. Explicit
+    // value list pins the output schema on both engines.
+    "a10_pivot" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .count()
+        .na.fill(0L)
+    }),
+
+    // O6: unpivot/melt — the inverse reshape over a wide projection.
+    "o6_unpivot" -> ((s, d) => {
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          col("p_retailprice").as("retail"),
+          col("p_size").cast("double").as("size_d"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("retail"), col("size_d")), "measure", "value")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sql1_tpch_q3" -> q3Sql,
+    "sql2_scalar_subquery" -> scalarSubSql,
+
+    "a10_pivot" ->
+      """SELECT user_id,
+        |  COUNT(*) FILTER (event_type = 'click') AS click,
+        |  COUNT(*) FILTER (event_type = 'view') AS view,
+        |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (event_type = 'error') AS error
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "o6_unpivot" ->
+      """SELECT p_partkey, 'retail' AS measure, p_retailprice AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'size_d' AS measure, CAST(p_size AS DOUBLE) FROM part""".stripMargin
+  )
+}
