@@ -159,8 +159,12 @@ object Dedup {
     // shingle with corpus DF ≤ 100 (drops non-discriminative shingles,
     // the standard scale guard for exact similarity joins).
     "l2c_shingle_jaccard" -> ((s, d) => {
+      // shingles travel as xxhash64 longs, not strings: same distinct
+      // set (collision odds ~1e-10 at this vocabulary), half the
+      // explode/shuffle bytes of the string form the oracle SQL uses.
       val sh = Tables.documents(s, d)
-        .select(col("doc_id"), explode(shingleExpr).as("sh"))
+        .select(col("doc_id"), explode(shingleExpr).as("sh_str"))
+        .select(col("doc_id"), xxhash64(col("sh_str")).as("sh"))
         .cache() // feeds DF filter, sizes, and both sides of the pair join
       val keep = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= 100).select(col("sh"))
