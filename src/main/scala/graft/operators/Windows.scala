@@ -123,7 +123,9 @@ object Windows {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
         |    / COUNT(*) OVER w AS avg_24h
         |FROM (SELECT user_id, event_id, value,
-        |        CAST(epoch(ts) AS BIGINT) AS epoch_s FROM events)
+        |        -- floor, not round: Spark's unix_timestamp truncates, and
+        |        -- a CAST here rounds .5+ fractions up, shifting frames
+        |        CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
         |             RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)""".stripMargin,
 
