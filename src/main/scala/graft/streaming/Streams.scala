@@ -61,6 +61,26 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** T8: stream-stream interval join — purchases matched to clicks of
+    * the same user within the preceding `interval`. Both sides carry
+    * watermarks so the join state is bounded (Spark drops buffered rows
+    * once they can no longer match) — the property that keeps state
+    * finite on an unbounded 100 TB/day stream.
+    */
+  def intervalJoin(purchases: DataFrame, clicks: DataFrame,
+      watermark: String = "10 minutes",
+      interval: String = "1 hour"): DataFrame = {
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    p.join(c, expr(
+      s"""p_user = c_user AND
+         |c_ts >= p_ts - INTERVAL $interval AND c_ts <= p_ts""".stripMargin))
+  }
+
   /** T7: arbitrary stateful sessionization — running per-user aggregate
     * via flatMapGroupsWithState. `timeoutMs > 0` arms a processing-time
     * timeout that closes idle sessions (production mode; keeps the

@@ -122,6 +122,24 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
   }
 
+  test("T8: stream-stream interval join matches clicks within the window") {
+    import spark.implicits._
+    val pIn = MemoryStream[Ev](spark)
+    val cIn = MemoryStream[Ev](spark)
+    val q = Streams.intervalJoin(pIn.toDF(), cIn.toDF(),
+        watermark = "10 minutes", interval = "10 minutes")
+      .writeStream.format("memory").queryName("t8_out")
+      .outputMode("append").start()
+    cIn.addData(ev(100, 0, typ = "click"), ev(101, 25, typ = "click"))
+    pIn.addData(ev(1, 5, typ = "purchase"),  // joins click@0 (within 10m)
+      ev(2, 30, typ = "purchase"))           // joins click@25, NOT click@0
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("t8_out")
+      .select($"p_id", $"c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 100L), (2L, 101L)))
+  }
+
   test("T7: flatMapGroupsWithState keeps running per-user aggregates") {
     import spark.implicits._
     val in = MemoryStream[Ev](spark)
