@@ -6,6 +6,9 @@ import graft.Tables.Q
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** One lineitem row for the typed-API path (public for encoders). */
+case class LineQty(l_returnflag: String, l_linestatus: String, l_quantity: Double)
+
 /** Aggregation operators (SURVEY.md §2B A1–A8).
   *
   * All grouped aggregates rely on Spark's automatic partial+final hash
@@ -111,6 +114,23 @@ object Aggregates {
         .agg(percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_approx"))
     }),
 
+    // A11: the typed Dataset path — case-class Encoder, groupByKey +
+    // mapGroups (compile-time field checks; Tungsten rows underneath).
+    // Quantities are integral doubles, so the fold is order-independent.
+    "a11_typed_groupbykey" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+        .as[LineQty]
+        .groupByKey(r => (r.l_returnflag, r.l_linestatus))
+        .mapGroups { (key: (String, String), rows: Iterator[LineQty]) =>
+          var n = 0L; var qty = 0.0
+          rows.foreach { r => n += 1; qty += r.l_quantity }
+          (key._1, key._2, qty, n)
+        }
+        .toDF("l_returnflag", "l_linestatus", "sum_qty", "n_rows")
+    }),
+
     // A9: custom typed Aggregator (geometric mean). Rounded to 4dp: the
     // log-sum is order-dependent in the last ulps and DuckDB's libm may
     // differ from the JVM's — the relative error is ~1e-12, far inside
@@ -168,6 +188,11 @@ object Aggregates {
       """SELECT o_custkey,
         |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys
         |FROM orders GROUP BY o_custkey""".stripMargin,
+
+    "a11_typed_groupbykey" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
 
     "a9_custom_udaf" ->
       """SELECT o_orderpriority,

@@ -10,6 +10,10 @@ class ChessPipelineSpec extends AnyFunSuite with SparkTestBase {
   private lazy val games =
     ChessPipeline.puzzleGames(spark, ChessPipeline.samplePath)
 
+  test("SparkEntry.entry returns rows (driver t1 smoke surface)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("filter keeps only mate+standard games (R7)") {
     assert(games.collect().map(_.game_id).sorted.toSeq ===
       Seq("game0001", "game0002", "game0007", "game0008", "game0010"))
