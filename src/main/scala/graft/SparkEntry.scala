@@ -37,7 +37,8 @@ object SparkEntry {
     (TextAnalysis.queries, TextAnalysis.oracles),
     (Multimodal.queries, Multimodal.oracles),
     (graft.sources.Ingest.queries, graft.sources.Ingest.oracles),
-    (SqlFrontend.queries, SqlFrontend.oracles)
+    (SqlFrontend.queries, SqlFrontend.oracles),
+    (Sketches.queries, Sketches.oracles)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

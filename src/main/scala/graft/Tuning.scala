@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The engine's recommended session configuration, written down as code
+  * (SURVEY §4.3's 100 TB notes). Local runs and tests use a subset; a
+  * cluster deployment applies `recommended` wholesale. Every entry
+  * exists because of a concrete failure mode at scale, noted inline.
+  */
+object Tuning {
+
+  /** Confs that hold from local[32] to a 1000-executor cluster. */
+  val recommended: Map[String, String] = Map(
+    // AQE: runtime re-planning is the first line against skew and stale
+    // size estimates; coalescing keeps reducer counts matched to data.
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    // A skewed partition is split when 5× the median and > 256 MB —
+    // tighter than default so a hot minhash bucket or hot user_id splits
+    // before it OOMs a task.
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "5.0",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256m",
+    // Scan granularity: 128 MB splits keep ~1 task per HDFS/S3 block;
+    // smaller wastes scheduler cycles at 100 TB (800k tasks is fine,
+    // 8M is not).
+    "spark.sql.files.maxPartitionBytes" -> "134217728",
+    // Dimension tables broadcast up to 64 MB — region/nation/part-scale
+    // sides should never shuffle the fact table.
+    "spark.sql.autoBroadcastJoinThreshold" -> "67108864",
+    // Deterministic oracle parity: timezone pinned, nanos handled.
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // Shuffle compression + zstd: shuffle volume is the 100 TB cost
+    // center; zstd trades ~5% CPU for ~30% fewer bytes than lz4.
+    "spark.io.compression.codec" -> "zstd",
+    "spark.sql.parquet.compression.codec" -> "zstd")
+
+  /** Shuffle partition count: ~2 partitions per core, floor of 2× the
+    * default parallelism — at 100 TB override with (input bytes /
+    * target partition size) instead.
+    */
+  def shufflePartitions(spark: SparkSession): Int =
+    math.max(spark.sparkContext.defaultParallelism * 2, 32)
+
+  def apply(builder: SparkSession.Builder): SparkSession.Builder =
+    recommended.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
+}

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.Tables
+import graft.Tables.Q
+import org.apache.spark.sql.functions._
+
+/** Probabilistic sketch operators beyond HLL (a4) and GK quantiles
+  * (a8b): bloom-filter membership and count-min frequency — the
+  * constant-memory summaries a 100 TB pipeline uses where exact
+  * structures can't fit (e.g. "was this doc_id seen in yesterday's
+  * crawl" across billions of keys).
+  *
+  * Sketch internals are seed-dependent, so these are rows-only queries;
+  * SketchSpec pins the guarantees that matter: bloom → zero false
+  * negatives, count-min → never under-counts.
+  */
+object Sketches {
+
+  val queries: Map[String, Q] = Map(
+    // K1: bloom-filter semi-join — build a bloom over customers with
+    // accounts in good standing, probe the orders fact side. The
+    // classic shuffle-free pre-filter: ship a few MB instead of
+    // shuffling the fact table for an exact semi join.
+    "k1_bloom_prefilter" -> ((s, d) => {
+      val goodCustomers = Tables.customer(s, d)
+        .filter(col("c_acctbal") > 0)
+      val bloom = goodCustomers.stat.bloomFilter("c_custkey", 100000, 0.01)
+      val bloomBc = s.sparkContext.broadcast(bloom)
+      val mightMatch = udf((k: Long) => bloomBc.value.mightContain(k))
+      Tables.orders(s, d)
+        .filter(mightMatch(col("o_custkey")))
+        .agg(count(lit(1)).as("n_candidates"))
+    }),
+
+    // K2: count-min frequency estimates for event types (exact at this
+    // cardinality; the point is the constant-memory API surface).
+    "k2_countmin_freq" -> ((s, d) => {
+      import s.implicits._
+      val cms = Tables.events(s, d)
+        .stat.countMinSketch(col("event_type"), eps = 0.001,
+          confidence = 0.99, seed = 42)
+      Seq("click", "view", "purchase", "signup", "error")
+        .map(t => (t, cms.estimateCount(t)))
+        .toDF("event_type", "est_count")
+    })
+  )
+
+  /** No SQL oracles — sketch guarantees live in SketchSpec. */
+  val oracles: Map[String, String] = Map.empty
+}
