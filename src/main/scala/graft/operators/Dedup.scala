@@ -50,8 +50,17 @@ object Dedup {
     docTokens(docs).groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
-  /** LSH candidate pairs (d1 < d2) from band-signature collisions. */
-  def lshCandidates(sig: DataFrame): DataFrame = {
+  /** LSH candidate pairs (d1 < d2) from band-signature collisions.
+    *
+    * Buckets wider than `maxBucket` are dropped whole (deterministic, no
+    * sampling): a band signature shared by hundreds of documents carries
+    * no discriminative information but contributes O(width²) candidate
+    * pairs — the classic hot-bucket blow-up on near-duplicate-heavy or
+    * low-entropy corpora. True near-dup pairs still collide in their
+    * other, rarer bands; exact-duplicate clusters never reach this join
+    * at all (see [[minhashDedup]]'s signature-cluster step).
+    */
+  def lshCandidates(sig: DataFrame, maxBucket: Int = 50): DataFrame = {
     val perBand = NumPerm / Bands
     val bandCols = (0 until Bands).map { b =>
       val rows = (0 until perBand).map(r => col(s"mh_${b * perBand + r}"))
@@ -59,8 +68,13 @@ object Dedup {
     }
     val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-    val b2 = buckets.select(col("band"), col("sig"), col("doc_id").as("doc_id2"))
-    buckets.join(b2,
+      .cache()
+    val keep = buckets.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("w")).filter(col("w") <= maxBucket)
+      .select(col("band"), col("sig"))
+    val kept = buckets.join(keep, Seq("band", "sig"))
+    val b2 = kept.select(col("band"), col("sig"), col("doc_id").as("doc_id2"))
+    kept.join(b2,
         Seq("band", "sig")) // same band, same signature
       .filter(col("doc_id") < col("doc_id2"))
       .select(col("doc_id").as("d1"), col("doc_id2").as("d2"))
