@@ -168,6 +168,30 @@ object Dedup {
         .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
     }),
 
+    // L2b2: SimHash dedup — pigeonhole banding: if two 64-bit simhashes
+    // differ in ≤ 3 bits, at least one of their four 16-bit bands is
+    // identical, so an equi-join on (band_idx, band_bits) finds every
+    // such pair without any pairwise scan; exact popcount(xor) verifies.
+    // Drop the larger doc_id of each verified pair.
+    "l2b2_simhash_dedup" -> ((s, d) => {
+      val sh = queries("l2b_simhash")(s, d).cache() // (doc_id, simhash)
+      val bands = sh.select(col("doc_id"), col("simhash"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("b"),
+              shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("bits"))): _*)).as("bk"))
+        .select(col("doc_id"), col("simhash"),
+          col("bk.b").as("b"), col("bk.bits").as("bits"))
+      val b2 = bands.select(col("b"), col("bits"),
+        col("doc_id").as("d2"), col("simhash").as("sh2"))
+      val removed = bands.join(b2, Seq("b", "bits"))
+        .filter(col("doc_id") < col("d2"))
+        .filter(bit_count(col("simhash").bitwiseXOR(col("sh2"))) <= 3)
+        .select(col("d2").as("doc_id")).distinct()
+      Tables.documents(s, d)
+        .join(removed, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
     // L2c: exact n-gram jaccard similarity join — top-20 most-similar doc
     // pairs by word-3-gram jaccard, candidates blocked on a shared
     // shingle with corpus DF ≤ 100 (drops non-discriminative shingles,

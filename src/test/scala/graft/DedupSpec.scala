@@ -64,6 +64,22 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(hamming(hBase, simhash(unrelated)) > 16)
   }
 
+  test("simhash banded dedup finds all pairs within hamming 3 (pigeonhole)") {
+    // exhaustive check at sf0.001: banded candidates ∪ verify must equal
+    // the brute-force set of hamming≤3 pairs
+    val d = sf("sf0.001")
+    val sh = graft.operators.Dedup.queries("l2b_simhash")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (d1, h1) <- sh; (d2, h2) <- sh
+      if d1 < d2 && java.lang.Long.bitCount(h1 ^ h2) <= 3
+    } yield d2).toSet
+    val survivors = graft.operators.Dedup.queries("l2b2_simhash_dedup")(spark, d)
+      .collect().map(_.getLong(0)).toSet
+    assert((sh.map(_._1).toSet -- survivors) == brute,
+      "removed set must equal exactly the larger-id docs of hamming<=3 pairs")
+  }
+
   test("lang-id picks the marker language on real text") {
     import spark.implicits._
     val samples = Seq(
