@@ -24,17 +24,22 @@ object Dedup {
   def docTokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
 
-  /** Word 3-gram shingles (distinct) per doc, [] for docs under 3 tokens. */
-  private def shingleExpr: Column = {
-    val toks = split(col("text"), " ")
+  /** Word 3-gram shingles (distinct) from a PRE-SPLIT token-array column,
+    * [] for docs under 3 tokens. The token array must be projected once
+    * before this expression: Catalyst performs no common-subexpression
+    * elimination inside higher-order-function lambdas, so inlining
+    * `split(text)` here would re-split the whole document for every
+    * element of every shingle — O(tokens²) per doc (this exact trap cost
+    * 21.6 s at sf0.1 before the pre-projection).
+    */
+  private def shingleOf(toks: Column): Column =
     when(size(toks) < 3, array().cast(ArrayType(StringType)))
-      .otherwise(expr(
-        """array_distinct(transform(
-          |  sequence(0, size(split(text,' ')) - 3),
-          |  i -> concat_ws(' ', element_at(split(text,' '), i+1),
-          |                      element_at(split(text,' '), i+2),
-          |                      element_at(split(text,' '), i+3))))""".stripMargin))
-  }
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ",
+          element_at(toks, i + 1),
+          element_at(toks, i + 2),
+          element_at(toks, i + 3)))))
 
   private val NumPerm = 16 // minhash permutations
   private val Bands = 4    // LSH bands (4 rows each: ~0.99 recall at j=0.9,
@@ -201,7 +206,8 @@ object Dedup {
       // set (collision odds ~1e-10 at this vocabulary), half the
       // explode/shuffle bytes of the string form the oracle SQL uses.
       val sh = Tables.documents(s, d)
-        .select(col("doc_id"), explode(shingleExpr).as("sh_str"))
+        .select(col("doc_id"), split(col("text"), " ").as("t")) // split ONCE
+        .select(col("doc_id"), explode(shingleOf(col("t"))).as("sh_str"))
         .select(col("doc_id"), xxhash64(col("sh_str")).as("sh"))
         .cache() // feeds DF filter, sizes, and both sides of the pair join
       val keep = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))

@@ -123,11 +123,11 @@ object Multimodal {
         |  CAST(strlen(text) AS INT) AS byte_len,
         |  ascii(substring(text, 1, 1)) AS first_byte,
         |  ascii(substring(text, -1, 1)) AS last_byte,
-        |  list_reduce(
+        |  CAST(list_reduce(
         |    list_prepend(CAST(0 AS HUGEINT),
         |      list_transform(range(1, strlen(text) + 1),
         |        i -> CAST(ascii(substring(text, CAST(i AS INT), 1)) AS HUGEINT))),
-        |    (a, b) -> (a * 131 + b) % 1000000007) AS checksum
+        |    (a, b) -> (a * 131 + b) % 1000000007) AS BIGINT) AS checksum
         |FROM documents""".stripMargin
   )
 }

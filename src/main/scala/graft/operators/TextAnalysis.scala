@@ -34,14 +34,19 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
     "zh" -> Seq("的", "是", "在", "了", "我", "不"))
 
-  def langIdCol(text: Column): Column = {
-    val t = split(text, "\\s+")
+  /** Scores a PRE-SPLIT token-array column (project `split(text)` once
+    * before calling — 30 marker lookups would otherwise re-split the
+    * document 30× per row; Catalyst doesn't CSE across HOF arguments).
+    */
+  def langIdOfTokens(t: Column): Column = {
     val scored = markers.toSeq.sortBy(_._1).map { case (lang, ws) =>
       val score = ws.map(w => size(filter(t, x => x === w))).reduce(_ + _)
       struct(score.as("score"), lit(lang).as("lang"))
     }
     array_max(array(scored: _*)).getField("lang")
   }
+
+  def langIdCol(text: Column): Column = langIdOfTokens(split(text, "\\s+"))
 
   val queries: Map[String, Q] = Map(
     // L5: per-document text statistics.
@@ -122,9 +127,10 @@ object TextAnalysis {
     // Lang-ID heuristic over the corpus (rows-only; LangIdSpec pins
     // accuracy on real multilingual samples).
     "l9_lang_id" -> ((s, d) => {
-      Tables.documents(s, d).select(
-        col("doc_id"), col("lang").as("labeled_lang"),
-        langIdCol(col("text")).as("predicted_lang"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), split(col("text"), "\\s+").as("t"))
+        .select(col("doc_id"), col("lang").as("labeled_lang"),
+          langIdOfTokens(col("t")).as("predicted_lang"))
     })
   )
 
@@ -144,7 +150,7 @@ object TextAnalysis {
 
     "l5b_lang_distribution" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
-        |  SUM(n_chars) AS total_chars
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang, source""".stripMargin,
 
     "l6_tfidf_topterms" ->
