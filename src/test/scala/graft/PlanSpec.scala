@@ -117,6 +117,14 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(got === Map("hot" -> 500.0, "cold" -> 2.0))
   }
 
+  test("L4/L4b threshold-join plans contain no cartesian operator") {
+    for (q <- Seq("l4_cosine_threshold", "l4b_embedding_dedup")) {
+      val p = plan(graft.operators.Similarity.queries(q)(spark, sf("sf0.001")))
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
+
   test("multimodal stubs: resize shapes payloads, frame sampler strides") {
     val payload = Array.tabulate[Byte](100)(_.toByte)
     assert(Multimodal.resizeStub(payload, 8, 4).length === 32)

@@ -64,4 +64,29 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val want = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
     assert(math.abs(sim - (math.rint(want * 1e6) / 1e6)) < 1e-9)
   }
+
+  test("thresholdJoin equals the all-pairs cross join (exactness)") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = asSet(Similarity.pairSims(emb)
+      .filter(col("id_a") < col("id_b") && col("sim") >= 0.45))
+    val pruned = asSet(Similarity.thresholdJoin(emb, 0.45))
+    assert(pruned === brute)
+    // and under a looser threshold (more admissible cell pairs)
+    val brute2 = asSet(Similarity.pairSims(emb)
+      .filter(col("id_a") < col("id_b") && col("sim") >= 0.2))
+    val pruned2 = asSet(Similarity.thresholdJoin(emb, 0.2))
+    assert(pruned2 === brute2)
+  }
+
+  test("blockTopK equals bruteTopK and exactTopK gate picks the block path") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val brute = asSet(Similarity.bruteTopK(emb, 3))
+    assert(asSet(Similarity.blockTopK(emb, 3, nBlocks = 4)) === brute)
+    // a gate of 0 forces the block path; results still exact
+    assert(asSet(Similarity.exactTopK(emb, 3, broadcastLimit = 0L)) === brute)
+  }
 }
