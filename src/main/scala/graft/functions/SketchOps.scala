@@ -1,0 +1,33 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Column-level sketch probes.
+  *
+  * The bloom probe reuses Spark's own codegen'd
+  * `BloomFilterMightContain` expression (the one Catalyst injects for
+  * runtime row-level filtering) instead of a Scala UDF: the serialized
+  * filter rides along as a foldable binary literal in the task binary —
+  * no broadcast bookkeeping — and the probe stays inside whole-stage
+  * codegen, so a 100 TB fact scan keeps its fused pipeline.
+  */
+object SketchOps {
+
+  /** `might_contain(bloom, longCol)` over a pre-built
+    * [[org.apache.spark.util.sketch.BloomFilter]] (the `df.stat
+    * .bloomFilter` product — both sides use the same xxhash-based
+    * `mightContainLong`, so semantics are identical to probing the
+    * sketch object directly).
+    */
+  def bloomMightContain(bloom: BloomFilter, value: Column): Column = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    ColumnBridge.column(BloomFilterMightContain(
+      Literal(bos.toByteArray, BinaryType),
+      ColumnBridge.expression(value)))
+  }
+}

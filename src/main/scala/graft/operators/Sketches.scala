@@ -25,10 +25,10 @@ object Sketches {
       val goodCustomers = Tables.customer(s, d)
         .filter(col("c_acctbal") > 0)
       val bloom = goodCustomers.stat.bloomFilter("c_custkey", 100000, 0.01)
-      val bloomBc = s.sparkContext.broadcast(bloom)
-      val mightMatch = udf((k: Long) => bloomBc.value.mightContain(k))
+      // native codegen'd probe (Spark's own BloomFilterMightContain) —
+      // a Scala UDF here would break whole-stage codegen on the fact scan
       Tables.orders(s, d)
-        .filter(mightMatch(col("o_custkey")))
+        .filter(graft.functions.SketchOps.bloomMightContain(bloom, col("o_custkey")))
         .agg(count(lit(1)).as("n_candidates"))
     }),
 

@@ -117,6 +117,12 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(got === Map("hot" -> 500.0, "cold" -> 2.0))
   }
 
+  test("K1 bloom probe is the native expression, not a ScalaUDF") {
+    val p = plan(graft.operators.Sketches.queries("k1_bloom_prefilter")(spark, sf("sf0.001")))
+    assert(!p.contains("UDF"), p)
+    assert(p.toLowerCase.contains("might_contain"), p)
+  }
+
   test("L4/L4b threshold-join plans contain no cartesian operator") {
     for (q <- Seq("l4_cosine_threshold", "l4b_embedding_dedup")) {
       val p = plan(graft.operators.Similarity.queries(q)(spark, sf("sf0.001")))
