@@ -22,16 +22,21 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * O(left + right) time, O(1) memory per partition, no pair blow-up.
   * That is the plan shape that survives 100 TB event tables.
   *
-  * Scope (deliberate): single LONG equi-key, LONG-comparable ts and
-  * tiebreak (timestamps arrive as micros) — the fixture's and the common
-  * telemetry shape. Generalizing to arbitrary key tuples is bookkeeping,
-  * not design.
+  * Keys: any number of columns of any orderable types (compared with
+  * Catalyst's natural ascending ordering over the key projection; a
+  * single LONG key short-circuits to a primitive comparison — the
+  * telemetry fast path). Timestamps and the tiebreak remain
+  * LONG-comparable (micros), the shape Spark itself gives
+  * TimestampType. Note the merge matches on ordering-equality, so an
+  * all-null key equals an all-null key (IS NOT DISTINCT FROM semantics)
+  * — same behavior as Spark's SortMergeJoin ordering would give inside
+  * one partition; filter nulls upstream for strict equi-join semantics.
   */
 case class AsOfJoin(
     left: LogicalPlan,
     right: LogicalPlan,
-    leftKey: Expression,
-    rightKey: Expression,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
     leftTs: Expression,
     rightTs: Expression,
     rightTiebreak: Expression)
@@ -49,8 +54,8 @@ case class AsOfJoin(
 case class AsOfJoinExec(
     left: SparkPlan,
     right: SparkPlan,
-    leftKey: Expression,
-    rightKey: Expression,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
     leftTs: Expression,
     rightTs: Expression,
     rightTiebreak: Expression)
@@ -60,21 +65,31 @@ case class AsOfJoinExec(
     left.output ++ right.output.map(_.withNullability(true))
 
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(Seq(leftKey)) ::
-    ClusteredDistribution(Seq(rightKey)) :: Nil
+    ClusteredDistribution(leftKeys) ::
+    ClusteredDistribution(rightKeys) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending),
-      SortOrder(rightTiebreak, Ascending)))
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) ++
+      Seq(SortOrder(rightTs, Ascending), SortOrder(rightTiebreak, Ascending)))
+
+  /** Single-LONG-key fast path: primitive comparisons, no key projection
+    * or row copies in the merge loop.
+    */
+  private def isSingleLongKey: Boolean =
+    leftKeys.size == 1 && rightKeys.size == 1 &&
+      leftKeys.head.dataType == org.apache.spark.sql.types.LongType &&
+      rightKeys.head.dataType == org.apache.spark.sql.types.LongType
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val lKeyB = BindReferences.bindReference(leftKey, left.output)
     val lTsB = BindReferences.bindReference(leftTs, left.output)
-    val rKeyB = BindReferences.bindReference(rightKey, right.output)
     val rTsB = BindReferences.bindReference(rightTs, right.output)
     val rightWidth = right.output.size
     val outAttrs = output
+    val singleLong = isSingleLongKey
+    val lKeysB = leftKeys.map(BindReferences.bindReference(_, left.output))
+    val rKeysB = rightKeys.map(BindReferences.bindReference(_, right.output))
+    val keyTypes = leftKeys.map(_.dataType)
 
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val nullRight = new GenericInternalRow(rightWidth)
@@ -82,28 +97,56 @@ case class AsOfJoinExec(
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
 
       var rNext: InternalRow = null          // lookahead (copied)
-      var best: InternalRow = null           // latest right ≤ current left ts
-      var bestKey = 0L
       def advance(): Unit =
         rNext = if (rIt.hasNext) rIt.next().copy() else null
       advance()
 
-      lIt.map { lRow =>
-        val lk = lKeyB.eval(lRow).asInstanceOf[Long]
-        val lts = lTsB.eval(lRow).asInstanceOf[Long]
-        // consume right rows with key < lk, or key == lk and ts <= lts;
-        // the last one with key == lk is the as-of match candidate
-        var continue = rNext != null
-        while (continue) {
-          val rk = rKeyB.eval(rNext).asInstanceOf[Long]
-          if (rk < lk || (rk == lk && rTsB.eval(rNext).asInstanceOf[Long] <= lts)) {
-            if (rk == lk) { best = rNext; bestKey = rk }
-            advance()
-            continue = rNext != null
-          } else continue = false
+      if (singleLong) {
+        val lKeyB = lKeysB.head
+        val rKeyB = rKeysB.head
+        var best: InternalRow = null         // latest right ≤ current left ts
+        var bestKey = 0L
+        lIt.map { lRow =>
+          val lk = lKeyB.eval(lRow).asInstanceOf[Long]
+          val lts = lTsB.eval(lRow).asInstanceOf[Long]
+          // consume right rows with key < lk, or key == lk and ts <= lts;
+          // the last one with key == lk is the as-of match candidate
+          var continue = rNext != null
+          while (continue) {
+            val rk = rKeyB.eval(rNext).asInstanceOf[Long]
+            if (rk < lk || (rk == lk && rTsB.eval(rNext).asInstanceOf[Long] <= lts)) {
+              if (rk == lk) { best = rNext; bestKey = rk }
+              advance()
+              continue = rNext != null
+            } else continue = false
+          }
+          val matched = best != null && bestKey == lk
+          proj(joined(lRow, if (matched) best else nullRight))
         }
-        val matched = best != null && bestKey == lk
-        proj(joined(lRow, if (matched) best else nullRight))
+      } else {
+        // general path: project each side's key tuple to an UnsafeRow and
+        // compare with the natural ascending ordering over the key types
+        val lKeyProj = UnsafeProjection.create(lKeysB)
+        val rKeyProj = UnsafeProjection.create(rKeysB)
+        val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+        var best: InternalRow = null
+        var bestKey: InternalRow = null      // copied (projections reuse buffers)
+        lIt.map { lRow =>
+          val lk = lKeyProj(lRow)
+          val lts = lTsB.eval(lRow).asInstanceOf[Long]
+          var continue = rNext != null
+          while (continue) {
+            val cmp = keyOrd.compare(rKeyProj(rNext), lk)
+            if (cmp < 0 ||
+                (cmp == 0 && rTsB.eval(rNext).asInstanceOf[Long] <= lts)) {
+              if (cmp == 0) { best = rNext; bestKey = rKeyProj(rNext).copy() }
+              advance()
+              continue = rNext != null
+            } else continue = false
+          }
+          val matched = best != null && keyOrd.compare(bestKey, lk) == 0
+          proj(joined(lRow, if (matched) best else nullRight))
+        }
       }
     }
   }
@@ -115,22 +158,25 @@ case class AsOfJoinExec(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lts, rts, tb) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, tb) :: Nil
+    case AsOfJoin(l, r, lks, rks, lts, rts, tb) =>
+      AsOfJoinExec(planLater(l), planLater(r), lks, rks, lts, rts, tb) :: Nil
     case _ => Nil
   }
 }
 
 object AsOfJoinApi {
-  /** `asofJoin(left, right, "key", "ts", "tiebreak")`: latest right row
-    * per key at-or-before each left row's ts (left outer). Column names
-    * resolve against their own side, so the two sides may share names.
-    * Registers the planning strategy on first use.
+  /** `asofJoin(left, right, Seq("k1","k2"), …)`: latest right row per
+    * key tuple at-or-before each left row's ts (left outer). Column
+    * names resolve against their own side, so the two sides may share
+    * names. Registers the planning strategy on first use.
     */
   def asofJoin(leftDf: DataFrame, rightDf: DataFrame,
-      leftKey: String, rightKey: String,
+      leftKeys: Seq[String], rightKeys: Seq[String],
       leftTs: String, rightTs: String,
       rightTiebreak: String): DataFrame = {
+    require(leftKeys.size == rightKeys.size && leftKeys.nonEmpty,
+      s"as-of key lists must be non-empty and equal-length, " +
+        s"got ${leftKeys.size} vs ${rightKeys.size}")
     val spark = leftDf.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -139,11 +185,19 @@ object AsOfJoinApi {
     // node is born resolved — no analyzer rule needed.
     val node = AsOfJoin(
       ColumnBridge.logicalPlan(leftDf), ColumnBridge.logicalPlan(rightDf),
-      ColumnBridge.expression(leftDf(leftKey)),
-      ColumnBridge.expression(rightDf(rightKey)),
+      leftKeys.map(k => ColumnBridge.expression(leftDf(k))),
+      rightKeys.map(k => ColumnBridge.expression(rightDf(k))),
       ColumnBridge.expression(leftDf(leftTs)),
       ColumnBridge.expression(rightDf(rightTs)),
       ColumnBridge.expression(rightDf(rightTiebreak)))
     ColumnBridge.ofRows(spark, node)
   }
+
+  /** Single-key convenience (the common telemetry shape). */
+  def asofJoin(leftDf: DataFrame, rightDf: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      rightTiebreak: String): DataFrame =
+    asofJoin(leftDf, rightDf, Seq(leftKey), Seq(rightKey),
+      leftTs, rightTs, rightTiebreak)
 }

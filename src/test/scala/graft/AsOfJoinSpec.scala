@@ -52,6 +52,45 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getLong(0) === 12L) // ts tie → larger rid wins
   }
 
+  test("multi-column (string, long) key as-of join matches the composed form") {
+    import spark.implicits._
+    val left = Seq(
+      ("a", 1L, 101L, 100L), ("a", 2L, 102L, 50L),
+      ("b", 1L, 103L, 100L), ("c", 9L, 104L, 100L))
+      .toDF("dept", "grp", "id", "t")
+    val right = Seq(
+      ("a", 1L, 11L, 90L), ("a", 1L, 12L, 100L), ("a", 1L, 13L, 101L),
+      ("a", 2L, 21L, 50L), ("b", 1L, 31L, 99L), ("b", 2L, 32L, 10L))
+      .toDF("rdept", "rgrp", "rid", "rt")
+    val native = AsOfJoinApi.asofJoin(left, right,
+        Seq("dept", "grp"), Seq("rdept", "rgrp"), "t", "rt", "rid")
+      .select($"id", $"rid")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // composed oracle: equi-join + ts filter + max-(ts, id) per left row
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"id").orderBy($"rt".desc, $"rid".desc)
+    val composed = left.join(right,
+        $"dept" === $"rdept" && $"grp" === $"rgrp" && $"rt" <= $"t", "left")
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (if (r.isNullAt(r.fieldIndex("rid"))) -1L else r.getAs[Long]("rid"))).toMap
+    assert(native === composed)
+    assert(native(101L) === 12L) // greatest rt <= 100 within ("a",1)
+    assert(native(104L) === -1L) // no key match -> null
+  }
+
+  test("single string key goes through the general ordering path") {
+    import spark.implicits._
+    val left = Seq(("x", 1L, 100L), ("y", 2L, 100L)).toDF("k", "id", "t")
+    val right = Seq(("x", 10L, 60L), ("x", 11L, 99L), ("z", 12L, 1L))
+      .toDF("rk", "rid", "rt")
+    val got = AsOfJoinApi.asofJoin(left, right, "k", "rk", "t", "rt", "rid")
+      .select($"id", $"rid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got === Map(1L -> 11L, 2L -> -1L))
+  }
+
   test("as-of plan has no window exchange (single pass per side)") {
     val ev = Tables.events(spark, sf("sf0.001"))
     val p = ev.filter(col("event_type") === "purchase")
