@@ -34,7 +34,17 @@ object Tuning {
     // Shuffle compression + zstd: shuffle volume is the 100 TB cost
     // center; zstd trades ~5% CPU for ~30% fewer bytes than lz4.
     "spark.io.compression.codec" -> "zstd",
-    "spark.sql.parquet.compression.codec" -> "zstd")
+    "spark.sql.parquet.compression.codec" -> "zstd",
+    // InferFiltersFromGenerate synthesizes `size(genInput) > 0` from an
+    // explode, and predicate pushdown then substitutes projected aliases
+    // INTO that filter. When the generator input is a higher-order
+    // transform over a projected token array, the substituted filter
+    // re-evaluates the array expression inside the lambda per element —
+    // O(tokens²) per document (measured: 7× the entire shingle query).
+    // The rule's upside (skipping rows with empty arrays pre-Generate)
+    // is noise for text pipelines where arrays are almost never empty.
+    "spark.sql.optimizer.excludedRules" ->
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
 
   /** Shuffle partition count: ~2 partitions per core, floor of 2× the
     * default parallelism — at 100 TB override with (input bytes /

@@ -205,22 +205,31 @@ object Dedup {
       // shingles travel as xxhash64 longs, not strings: same distinct
       // set (collision odds ~1e-10 at this vocabulary), half the
       // explode/shuffle bytes of the string form the oracle SQL uses.
+      // Each doc's shingle COUNT rides along with every exploded row
+      // (computed from the array before the explode), so jaccard needs
+      // no separate per-doc sizes aggregate and no re-join — the pair
+      // groupBy keys on (d1,n1,d2,n2) and divides in place.
       val sh = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("t")) // split ONCE
-        .select(col("doc_id"), explode(shingleOf(col("t"))).as("sh_str"))
-        .select(col("doc_id"), xxhash64(col("sh_str")).as("sh"))
-        .cache() // feeds DF filter, sizes, and both sides of the pair join
+        .select(col("doc_id"), shingleOf(col("t")).as("arr"))
+        // n_sh is computed BEFORE the explode: putting size(arr) in the
+        // same select as explode(arr) makes Generate retain the whole
+        // array on every exploded row just to size it afterwards
+        .select(col("doc_id"), size(col("arr")).as("n_sh"), col("arr"))
+        .select(col("doc_id"), col("n_sh"), explode(col("arr")).as("sh_str"))
+        .select(col("doc_id"), col("n_sh"), xxhash64(col("sh_str")).as("sh"))
+        .cache() // feeds the DF filter and both sides of the pair join
+      // distinct shingles with corpus DF <= 100: small by construction
+      // (bounded by the distinct-shingle count) -> broadcast the filter
+      // instead of shuffling the exploded rows against it
       val keep = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= 100).select(col("sh"))
-      val shF = sh.join(keep, "sh")
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val pairs = shF.select(col("sh"), col("doc_id").as("d1"))
-        .join(shF.select(col("sh"), col("doc_id").as("d2")), "sh")
+      val shF = sh.join(broadcast(keep), "sh")
+      shF.select(col("sh"), col("doc_id").as("d1"), col("n_sh").as("n1"))
+        .join(shF.select(col("sh"), col("doc_id").as("d2"), col("n_sh").as("n2")), "sh")
         .filter(col("d1") < col("d2"))
-        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
-      pairs
-        .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("n1")), "d1")
-        .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("n2")), "d2")
+        .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
+        .agg(count(lit(1)).as("inter"))
         .select(col("d1"), col("d2"),
           (col("inter").cast(DoubleType) / (col("n1") + col("n2") - col("inter")))
             .as("jaccard"))

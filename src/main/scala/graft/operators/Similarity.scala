@@ -68,6 +68,9 @@ object Similarity {
     */
   case class VecRow(vec_id: Long, emb: Array[Double], norm: Double)
   case class Scored(vec_id: Long, neighbor: Long, sim: Double, rn: Int)
+  /** A vector tagged with its IVF list (cogroup key). */
+  case class ListedVec(list: Int, vec_id: Long, emb: Array[Double], norm: Double)
+  case class Hit(vec_id: Long, neighbor: Long, sim: Double)
 
   /** Brute-force exact top-k, broadcast-side design: the candidate corpus
     * (small side — an index that must fit in executor memory for ANY
@@ -260,20 +263,59 @@ object Similarity {
       while (k < a.length) { val d = a(k) - b(k); s += d * d; k += 1 }
       math.sqrt(s)
     }
-    val admissible = (for {
+    val admissible = for {
       i <- 0 until nlist; j <- i until nlist
       if cdist(i, j) - radii(i) - radii(j) <= dTau
-    } yield (i, j, i * nlist + j)).toDF("ca", "cb", "pid")
-    val a = assigned.join(broadcast(admissible), col("cell") === col("ca"))
-      .select(col("pid"), col("vec_id").as("ia"), col("emb").as("ea"), col("norm").as("na"))
-    val b = assigned.join(broadcast(admissible), col("cell") === col("cb"))
-      .select(col("pid"), col("vec_id").as("ib"), col("emb").as("eb"), col("norm").as("nb"))
-    a.join(b, "pid")
-      .filter(col("ia") =!= col("ib"))
-      .select(least(col("ia"), col("ib")).as("id_a"),
-        greatest(col("ia"), col("ib")).as("id_b"),
-        round(dotCol(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("sim"))
-      .filter(col("sim") >= minSim)
+    } yield (i, j, i * nlist + j)
+    // each cell's pair-id roles, shipped as a broadcast map: cell →
+    // (pids where it is the A side, pids where it is the B side)
+    val aRoles = admissible.groupBy(_._1).map { case (c, ps) => c -> ps.map(_._3) }
+    val bRoles = admissible.groupBy(_._2).map { case (c, ps) => c -> ps.map(_._3) }
+    val bcRoles = spark.sparkContext.broadcast((aRoles, bRoles))
+    val typed = assigned
+      .select(col("cell"), col("vec_id"), col("emb"), col("norm"))
+      .withColumnRenamed("cell", "list").as[ListedVec]
+    val aSide = typed.mapPartitions { it =>
+      val (ar, _) = bcRoles.value
+      it.flatMap(x => ar.getOrElse(x.list, Nil)
+        .map(pid => ListedVec(pid, x.vec_id, x.emb, x.norm)))
+    }
+    val bSide = typed.mapPartitions { it =>
+      val (_, br) = bcRoles.value
+      it.flatMap(x => br.getOrElse(x.list, Nil)
+        .map(pid => ListedVec(pid, x.vec_id, x.emb, x.norm)))
+    }
+    // cogroup per admissible cell pair: build the A block once, stream
+    // the B side through a primitive kernel, emit ONLY pairs at/above
+    // the threshold. (A DataFrame equi-join on the pair id materializes
+    // every candidate pair with both embedding arrays attached — pure
+    // memcpy; the cogroup ships each vector once per role instead.)
+    val survivors = aSide.groupByKey(_.list).cogroup(bSide.groupByKey(_.list)) {
+      (_, as, bs) =>
+        val aArr = as.toArray
+        bs.flatMap { q =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[Hit]
+          var i = 0
+          while (i < aArr.length) {
+            val c = aArr(i)
+            if (c.vec_id != q.vec_id) {
+              var dot = 0.0; var j = 0
+              val n = math.min(q.emb.length, c.emb.length)
+              while (j < n) { dot += q.emb(j) * c.emb(j); j += 1 }
+              val raw = dot / (q.norm * c.norm)
+              // HALF_UP at 6dp, same convention as the SQL oracle's round()
+              val sim = math.signum(raw) * math.floor(math.abs(raw) * 1e6 + 0.5) / 1e6
+              if (sim >= minSim)
+                out += Hit(math.min(c.vec_id, q.vec_id),
+                  math.max(c.vec_id, q.vec_id), sim)
+            }
+            i += 1
+          }
+          out
+        }
+    }
+    survivors.toDF()
+      .select(col("vec_id").as("id_a"), col("neighbor").as("id_b"), col("sim"))
       .distinct() // same-cell pairs arrive in both orientations
   }
 
@@ -368,9 +410,9 @@ object Similarity {
           if (s > bestSim) { bestSim = s; best = c }
           c += 1
         }
-        (best, r.vec_id, r.emb, r.norm)
+        ListedVec(best, r.vec_id, r.emb, r.norm)
       }
-    }.toDF("list", "id_b", "eb", "nb")
+    }
 
     // --- queries probe their nprobe nearest lists
     val probes = v.mapPartitions { it =>
@@ -379,21 +421,62 @@ object Similarity {
         val sims = Array.tabulate(cs.length)(c =>
           (cosine(r.emb, r.norm, cs(c), ns(c)), c))
         sims.sortBy(-_._1).take(nprobe)
-          .map { case (_, c) => (c, r.vec_id, r.emb, r.norm) }
+          .map { case (_, c) => ListedVec(c, r.vec_id, r.emb, r.norm) }
       }
-    }.toDF("list", "id_a", "ea", "na")
+    }
 
-    val w = Window.partitionBy(col("id_a"))
-      .orderBy(col("sim").desc, col("id_b"))
-    probes.join(assigned, Seq("list")).filter(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(graft.functions.VectorOps.dotProduct(col("ea"), col("eb"))
-          / (col("na") * col("nb")), 6).as("sim"))
-      .groupBy(col("id_a"), col("id_b")).agg(max(col("sim")).as("sim")) // dedup multi-probe hits
+    // --- per-list search: cogroup on the list id builds each list's
+    // candidate block ONCE per task and streams the probes through a
+    // primitive-array kernel, emitting only each probe's local top-k.
+    // (A DataFrame equi-join probes×assigned on the list id materializes
+    // every candidate PAIR as a row carrying both embedding arrays —
+    // ~6M rows × 1 KB of memcpy at sf0.1, 3 s of pure copying; the
+    // cogroup ships each vector once per side and shuffles ≤ nprobe·k
+    // rows per query onward. Parallelism is bounded by nlist — size
+    // nlist ≥ cluster cores at scale, exactly as a real IVF index does.)
+    // A candidate lives in exactly one list, so no cross-probe dedup is
+    // needed before the global merge.
+    val localHits = assigned.groupByKey(_.list)
+      .cogroup(probes.groupByKey(_.list)) { (_, cands, qs) =>
+        val cArr = cands.toArray
+        qs.flatMap { q =>
+          val best = new java.util.ArrayList[(Double, Long)](k + 1)
+          var i = 0
+          while (i < cArr.length) {
+            val c = cArr(i)
+            if (c.vec_id != q.vec_id) {
+              var dot = 0.0; var j = 0
+              val n = math.min(q.emb.length, c.emb.length)
+              while (j < n) { dot += q.emb(j) * c.emb(j); j += 1 }
+              // HALF_UP at 6dp, same convention as bruteTopK/the oracle
+              val raw = dot / (q.norm * c.norm)
+              val sim = math.signum(raw) * math.floor(math.abs(raw) * 1e6 + 0.5) / 1e6
+              var pos = best.size()
+              while (pos > 0 && {
+                val (ps, pid) = best.get(pos - 1)
+                ps < sim || (ps == sim && pid > c.vec_id)
+              }) pos -= 1
+              if (pos < k) {
+                best.add(pos, (sim, c.vec_id))
+                if (best.size() > k) best.remove(k)
+              }
+            }
+            i += 1
+          }
+          (0 until best.size()).map { r2 =>
+            val (s2, id2) = best.get(r2)
+            Hit(q.vec_id, id2, s2)
+          }
+        }
+      }
+
+    // --- global top-k merge over the ≤ nprobe·k local hits per query
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("neighbor"))
+    localHits.toDF()
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
-      .select(col("id_a").as("vec_id"), col("id_b").as("neighbor"),
-        col("sim"), col("rn"))
+      .select(col("vec_id"), col("neighbor"), col("sim"), col("rn"))
   }
 
   private val simSql =

@@ -78,6 +78,10 @@ object Ingest {
       val out = tmp("graft_s6_orders_by_year")
       Tables.orders(s, d)
         .withColumn("o_year", year(col("o_orderdate")))
+        // co-locate each year before the write: one file per partition
+        // value instead of (tasks × years) small files — the small-files
+        // problem is the actual 100 TB failure mode for partitioned sinks
+        .repartition(col("o_year"))
         .write.mode("overwrite").partitionBy("o_year").parquet(out)
       s.read.parquet(out)
         .groupBy(col("o_year").cast(IntegerType).as("o_year"))

@@ -6,15 +6,13 @@ import org.apache.spark.sql.SparkSession
   * first), UTC + nanosAsLong to match the engine's required confs.
   */
 trait SparkTestBase {
-  lazy val spark: SparkSession = SparkSession.builder()
+  lazy val spark: SparkSession = Tuning(SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.warehouse.dir",
-      s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
+      s"${System.getProperty("java.io.tmpdir")}/graft_warehouse"))
     .getOrCreate()
 
   def sf(name: String): String = s"/root/testdata/$name"
