@@ -38,7 +38,8 @@ object SparkEntry {
     (Multimodal.queries, Multimodal.oracles),
     (graft.sources.Ingest.queries, graft.sources.Ingest.oracles),
     (SqlFrontend.queries, SqlFrontend.oracles),
-    (Sketches.queries, Sketches.oracles)
+    (Sketches.queries, Sketches.oracles),
+    (PipelineOps.queries, PipelineOps.oracles)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -138,6 +138,46 @@ object Dedup {
     docs.join(removed, Seq("doc_id"), "left_anti")
   }
 
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation: every node's label converges to the smallest
+    * node id reachable from it. The dedup-cluster primitive — pairwise
+    * near-dup survivorship (drop the larger id of each PAIR) under-merges
+    * transitive chains A~B~C where A≁C; clustering first, then keeping
+    * one representative per component, is the policy large corpora
+    * actually want.
+    *
+    * Scale: each iteration is one equi-join (labels × symmetrized edges)
+    * + one min-aggregate — all bucket-keyed shuffles, no driver-side
+    * graph. Iterations are bounded by the component diameter (near-dup
+    * clusters are shallow); `localCheckpoint` truncates the growing
+    * lineage each round, and the only driver-side value is the
+    * convergence count.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct().cache()
+    val nodes = sym.select(col("src").as("node")).distinct()
+    var labels = nodes.withColumn("label", col("node")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // each node adopts min(own label, neighbors' labels)
+      val viaEdges = sym
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("label"))
+      val next = labels.unionByName(viaEdges)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint() // truncate lineage: plan growth is the real cost
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   val queries: Map[String, Q] = Map(
     // L1: exact dedup by content hash — keep the smallest doc_id per
     // md5(text). groupBy on the hash = one shuffle keyed by digest; at

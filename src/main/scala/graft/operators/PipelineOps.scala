@@ -1,0 +1,174 @@
+package graft.operators
+
+import graft.Tables
+import graft.Tables.Q
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Dataset-management operators a production training-data pipeline runs
+  * between ingestion and training (beyond SURVEY §2B's L-family): batch
+  * sessionization, CDC-style latest-wins merge, deterministic stratified
+  * sampling, per-stratum token budgeting, and transitive dedup
+  * clustering. Every SQL-expressible entry is oracle-checked; the
+  * cluster query is spec-covered (iterative fixpoints aren't one SQL
+  * statement in the oracle dialect).
+  */
+object PipelineOps {
+
+  private val SessionGapUs = 1800000000L // 30 min in micros
+
+  val queries: Map[String, Q] = Map(
+    // M1: sessionization — split each user's event stream at >30-min
+    // gaps; one lag + one running sum + one aggregate, all inside a
+    // single user_id-clustered shuffle (the batch twin of the T4
+    // streaming session window).
+    "m1_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      ev.withColumn("new_s",
+          when(lag(col("us"), 1).over(w).isNull ||
+            col("us") - lag(col("us"), 1).over(w) > SessionGapUs, 1).otherwise(0))
+        .withColumn("session_id",
+          sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("us")).as("session_start"),
+          max(col("us")).as("session_end"))
+    }),
+
+    // M2: CDC latest-wins upsert — merge an updates batch over a base
+    // table, update winning per key; union + one windowed rank per key,
+    // the standard merge-into plan when the sink has no native MERGE.
+    // (Updates synthesized deterministically from the fixture: every
+    // key ≡ 0 (mod 10) arrives re-priced and re-statused.)
+    "m2_upsert_merge" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          lit(0).as("src"))
+      val updates = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("o_totalprice") * 2).cast(DoubleType).as("o_totalprice"),
+          lit(1).as("src"))
+      val w = Window.partitionBy(col("o_orderkey")).orderBy(col("src").desc)
+      base.unionByName(updates)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    }),
+
+    // M3: deterministic stratified sampling — per-language rates keyed
+    // on md5(doc_id) hex prefixes, so the sample is content-addressed:
+    // reproducible across engines, runs, and partitionings, with no RNG
+    // state to coordinate (the property that matters when re-running a
+    // 100 TB pipeline must not reshuffle the training set).
+    "m3_stratified_sample" -> ((s, d) => {
+      val bucket = substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 4)
+      val rate = when(col("lang") === "en", lit("6666")) // ~40 %
+        .otherwise(lit("3333"))                          // ~20 %
+      Tables.documents(s, d)
+        .filter(bucket < rate)
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
+    // M4: per-stratum token budgeting — order each source's docs by a
+    // deterministic priority (longer first, id tiebreak) and keep docs
+    // while the stratum's running token total stays within budget. The
+    // window is PARTITIONED by source: a global ordered cumsum is a
+    // sequential prefix scan no engine can parallelize; per-stratum
+    // budgets are both the scalable plan and what curriculum mixing
+    // actually specifies.
+    "m4_token_budget" -> ((s, d) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_toks").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast(LongType).as("n_toks"))
+        .withColumn("cum_toks", sum(col("n_toks")).over(w))
+        .filter(col("cum_toks") <= 5000)
+    }),
+
+    // M5: transitive dedup clusters — connected components over the
+    // SimHash hamming≤3 candidate graph, keeping each component's
+    // min-id representative. Pairwise survivorship under-merges chains
+    // (A~B, B~C, A≁C leaves two "survivors" of one cluster); the
+    // component view is the policy real corpora dedup under. Iterative
+    // min-label propagation; rows-only + DedupSpec fixpoint/known-graph
+    // coverage (an iterative fixpoint isn't a single oracle statement).
+    "m5_dedup_clusters" -> ((s, d) => {
+      val sh = Dedup.queries("l2b_simhash")(s, d).cache() // (doc_id, simhash)
+      val bands = sh.select(col("doc_id"), col("simhash"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("b"),
+              shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("bits"))): _*)).as("bk"))
+        .select(col("doc_id"), col("simhash"),
+          col("bk.b").as("b"), col("bk.bits").as("bits"))
+      val b2 = bands.select(col("b"), col("bits"),
+        col("doc_id").as("d2"), col("simhash").as("sh2"))
+      val edges = bands.join(b2, Seq("b", "bits"))
+        .filter(col("doc_id") < col("d2"))
+        .filter(bit_count(col("simhash").bitwiseXOR(col("sh2"))) <= 3)
+        .select(col("doc_id").as("src"), col("d2").as("dst")).distinct()
+      val comps = Dedup.connectedComponents(edges)
+      // singletons are their own component
+      val all = sh.select(col("doc_id")).join(comps.withColumnRenamed("node", "doc_id"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster"))
+      all.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("cluster_size"), min(col("doc_id")).as("rep_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "m1_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        |), f AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |           OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), s AS (
+        |  SELECT user_id, us,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(us) AS session_start, MAX(us) AS session_end
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    "m2_upsert_merge" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS src FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U', o_totalprice * 2, 1 FROM orders
+        |  WHERE o_orderkey % 10 = 0
+        |)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY src DESC) AS rn
+        |  FROM merged) WHERE rn = 1""".stripMargin,
+
+    "m3_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+        |      < CASE WHEN lang = 'en' THEN '6666' ELSE '3333' END""".stripMargin,
+
+    "m4_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, n_toks, cum_toks FROM (
+        |  SELECT doc_id, source, n_toks,
+        |    CAST(SUM(n_toks) OVER (PARTITION BY source
+        |      ORDER BY n_toks DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
+        |  FROM t) WHERE cum_toks <= 5000""".stripMargin
+  )
+}

@@ -80,6 +80,42 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       "removed set must equal exactly the larger-id docs of hamming<=3 pairs")
   }
 
+  test("connected components: chain merges, triangle+tail, isolated pair") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), // chain -> one component
+      (10L, 11L), (11L, 12L), (10L, 12L), (12L, 13L), // triangle + tail
+      (20L, 21L)) // isolated pair
+      .toDF("src", "dst")
+    val got = graft.operators.Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("m5 dedup clusters partition the corpus; component = transitive closure") {
+    val d = sf("sf0.001")
+    val out = graft.operators.PipelineOps.queries("m5_dedup_clusters")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val corpus = Tables.documents(spark, d).count()
+    assert(out.map(_._2).sum === corpus) // sizes partition the corpus
+    out.foreach { case (cluster, _, rep) => assert(cluster === rep) } // min-id reps
+    // transitive closure of the hamming<=3 graph, computed brute-force
+    val sh = graft.operators.Dedup.queries("l2b_simhash")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map(sh.map(x => x._1 -> x._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for { (d1, h1) <- sh; (d2, h2) <- sh
+          if d1 < d2 && java.lang.Long.bitCount(h1 ^ h2) <= 3 } {
+      val (r1, r2) = (find(d1), find(d2))
+      if (r1 != r2) parent(math.max(r1, r2)) = math.min(r1, r2)
+    }
+    val wantSizes = sh.map(x => find(x._1)).groupBy(identity)
+      .map { case (k, v) => k -> v.length.toLong }
+    val gotSizes = out.map(c => c._1 -> c._2).toMap
+    assert(gotSizes === wantSizes)
+  }
+
   test("lang-id picks the marker language on real text") {
     import spark.implicits._
     val samples = Seq(
