@@ -49,10 +49,17 @@ object Dedup {
     * xxhash64 over the distinct token set (one explode + one hash-agg —
     * a single shuffle keyed on doc_id).
     */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    minhashSignaturesFromTokens(docTokens(docs))
+
+  /** Signature variant over an already-exploded (doc_id, tok) relation,
+    * so callers that also need the token set elsewhere (e.g. the exact
+    * verifier) explode and cache it ONCE.
+    */
+  def minhashSignaturesFromTokens(toks: DataFrame): DataFrame = {
     val mins = (0 until NumPerm).map(i =>
       min(xxhash64(concat(lit(s"perm$i:"), col("tok")))).as(s"mh_$i"))
-    docTokens(docs).groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    toks.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   /** LSH candidate pairs (d1 < d2) from band-signature collisions.
@@ -87,8 +94,11 @@ object Dedup {
   }
 
   /** Exact token-set jaccard for the given (d1, d2) pairs. */
-  def verifyJaccard(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val toks = docTokens(docs).cache() // reused by t1, t2, and sizes
+  def verifyJaccard(docs: DataFrame, pairs: DataFrame): DataFrame =
+    verifyJaccardFromTokens(docTokens(docs).cache(), pairs)
+
+  /** Verifier over an already-exploded (cached) (doc_id, tok) relation. */
+  def verifyJaccardFromTokens(toks: DataFrame, pairs: DataFrame): DataFrame = {
     val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_toks"))
     val t1 = toks.select(col("doc_id").as("d1"), col("tok"))
     val t2 = toks.select(col("doc_id").as("d2"), col("tok").as("tok2"))
@@ -117,7 +127,9 @@ object Dedup {
     * 112 s → ~2 s at sf0.1 for identical output policy.
     */
   def minhashDedup(docs: DataFrame, threshold: Double = 0.9): DataFrame = {
-    val sig = minhashSignatures(docs)
+    // one token explode feeds BOTH the signatures and the exact verifier
+    val toks = docTokens(docs).cache()
+    val sig = minhashSignaturesFromTokens(toks)
     val sigCols = (0 until NumPerm).map(i => col(s"mh_$i"))
     // cached: feeds the cluster groupBy, the membership join, and the
     // rep-only band join — without it the explode+agg runs three times
@@ -133,7 +145,8 @@ object Dedup {
       reps.select(col("rep_id").as("doc_id")), "doc_id")
     val repPairs = lshCandidates(repSigs)
     val cand = memberPairs.unionByName(repPairs).distinct()
-    val verified = verifyJaccard(docs, cand).filter(col("jaccard") >= threshold)
+    val verified = verifyJaccardFromTokens(toks, cand)
+      .filter(col("jaccard") >= threshold)
     val removed = verified.select(col("d2").as("doc_id")).distinct()
     docs.join(removed, Seq("doc_id"), "left_anti")
   }
