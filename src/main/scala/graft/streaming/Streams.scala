@@ -81,6 +81,57 @@ object Streams {
          |c_ts >= p_ts - INTERVAL $interval AND c_ts <= p_ts""".stripMargin))
   }
 
+  /** T9: foreachBatch latest-wins upsert sink — the streaming twin of
+    * the batch m2 merge, for sinks with no native streaming MERGE. Each
+    * micro-batch is reduced to one row per key (greatest (ts, event_id)
+    * wins) and merged into `store` under a lock; `batchId` gates replays,
+    * so a batch re-delivered after a crash is a no-op — idempotence is
+    * what upgrades the sink from at-least-once to effectively-once. The
+    * in-memory map stands in for the transactional store (a JDBC table,
+    * Delta MERGE, …); the contract under test is reduce + replay-gate.
+    */
+  final class UpsertStore {
+    val rows = scala.collection.mutable.Map.empty[Long, (Long, Long, Double)]
+    var lastBatch: Long = -1L
+    /** (applied?) — false when the batch id was already applied. */
+    def merge(batchId: Long, batch: Seq[(Long, Long, Long, Double)]): Boolean =
+      synchronized {
+        if (batchId <= lastBatch) false
+        else {
+          batch.foreach { case (k, ts, id, v) =>
+            rows.get(k) match {
+              case Some((ts0, id0, _)) if ts0 > ts || (ts0 == ts && id0 >= id) => ()
+              case _ => rows(k) = (ts, id, v)
+            }
+          }
+          lastBatch = batchId
+          true
+        }
+      }
+  }
+
+  /** Wire a streaming Ev source into an [[UpsertStore]] via foreachBatch:
+    * per-batch windowed rank keeps only each user's latest event before
+    * the merge touches the store (shrink-then-merge, not row-at-a-time).
+    */
+  def upsertSink(events: Dataset[Ev], store: UpsertStore)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.expressions.Window
+    events.toDF().writeStream.outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val latest = batch
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_id"), col("value"))
+          .collect() // one row per key per batch — bounded by keyset
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        store.merge(batchId, latest.toIndexedSeq)
+        ()
+      }
+  }
+
   /** T7: arbitrary stateful sessionization — running per-user aggregate
     * via flatMapGroupsWithState. `timeoutMs > 0` arms a processing-time
     * timeout that closes idle sessions (production mode; keeps the

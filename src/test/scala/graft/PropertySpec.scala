@@ -38,6 +38,36 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("thresholdJoin ≡ all-pairs on random embeddings (exactness law)") {
+    import spark.implicits._
+    // clustered + uniform random vectors across several seeds and
+    // thresholds: the triangle-inequality pruning must never drop a
+    // qualifying pair regardless of how (badly) the quantizer fits
+    val dimGen = Gen.choose(4, 16)
+    for (seed <- 1L to 3L) {
+      val dim = sample(dimGen, seed)
+      val rng = new scala.util.Random(seed)
+      def noisy(base: Array[Float]): Seq[Float] =
+        base.map(x => x + rng.nextGaussian().toFloat * 0.15f).toSeq
+      val centers = Seq.fill(3)(Array.fill(dim)(rng.nextGaussian().toFloat))
+      val rows = (0 until 60).map { i =>
+        val v = if (i % 4 == 3) Seq.fill(dim)(rng.nextGaussian().toFloat)
+                else noisy(centers(i % 3))
+        (i.toLong, v)
+      }
+      val df = rows.toDF("vec_id", "embedding")
+      for (tau <- Seq(0.3, 0.7, 0.95)) {
+        def asSet(d: org.apache.spark.sql.DataFrame) = d.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        val brute = asSet(graft.operators.Similarity.pairSims(df)
+          .filter($"id_a" < $"id_b" && $"sim" >= tau))
+        val pruned = asSet(graft.operators.Similarity
+          .thresholdJoin(df, tau, nlist = 4, trainPerList = 8))
+        assert(pruned === brute, s"seed=$seed tau=$tau dim=$dim")
+      }
+    }
+  }
+
   test("minhash dedup never removes the smallest doc_id of a cluster") {
     import spark.implicits._
     for (seed <- 1L to 3L) {

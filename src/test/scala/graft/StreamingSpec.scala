@@ -140,6 +140,30 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got === Set((1L, 100L), (2L, 101L)))
   }
 
+  test("T9: foreachBatch upsert sink is latest-wins and replay-idempotent") {
+    import spark.implicits._
+    val store = new Streams.UpsertStore
+    val in = MemoryStream[Ev](spark)
+    val q = Streams.upsertSink(in.toDS(), store)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("t9_ckpt").toString)
+      .start()
+    in.addData(ev(1, 0, 0, 7L, value = 10.0), ev(2, 5, 0, 7L, value = 20.0),
+      ev(3, 1, 0, 9L, value = 30.0))
+    q.processAllAvailable()
+    // user 7 keeps its latest event (id=2); user 9 its only one
+    assert(store.rows(7L)._2 === 2L && store.rows(7L)._3 === 20.0)
+    assert(store.rows(9L)._2 === 3L)
+    // an OLDER event arriving later must not clobber the stored row
+    in.addData(ev(0, 0, 0, 7L, value = 5.0))
+    q.processAllAvailable(); q.stop()
+    assert(store.rows(7L)._2 === 2L && store.rows(7L)._3 === 20.0)
+    // replaying an already-applied batch id is a no-op (crash-replay gate)
+    val snapshot = store.rows.toMap
+    assert(!store.merge(store.lastBatch, Seq((7L, 999L, 999L, 99.0))))
+    assert(store.rows.toMap === snapshot)
+  }
+
   test("T7: flatMapGroupsWithState keeps running per-user aggregates") {
     import spark.implicits._
     val in = MemoryStream[Ev](spark)
