@@ -98,6 +98,19 @@ object Ingest {
           sum(when(col("value").startsWith("[Game ID"), 1).otherwise(0)).as("n_games"))
     }),
 
+    // S7b: PGN DSv2 ROUND TRIP — write format("pgn"), read it back
+    // through the PGN reader (block parser, one partition per file,
+    // column pruning pushed into the scan). "?" tags round-trip to NULL.
+    "s7b_pgn_roundtrip" -> ((s, _) => {
+      val out = tmp("graft_s7b_pgn_dsv2")
+      ChessPipeline.puzzleGames(s, ChessPipeline.samplePath).toDF()
+        .write.format("pgn").mode("overwrite").save(out)
+      s.read.format("pgn").load(out)
+        .select(col("game_id"), col("white_name"), col("winner"),
+          col("opening_eco"))
+        .orderBy(col("game_id"))
+    }),
+
     // S8: in-memory source (unit-test seam).
     "s8_inmemory" -> ((s, _) => {
       import s.implicits._
@@ -143,6 +156,16 @@ object Ingest {
       s"""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
          |  COUNT(*) AS n_orders, ${sqlDsum("o_totalprice")} AS total
          |FROM orders GROUP BY 1""".stripMargin,
+
+    "s7b_pgn_roundtrip" ->
+      """SELECT * FROM (VALUES
+        |  ('game0001', 'alice', 'white', 'C20'),
+        |  ('game0002', 'carol', 'black', 'A00'),
+        |  ('game0007', NULL, 'black', 'B56'),
+        |  ('game0008', 'nina', 'white', NULL),
+        |  ('game0010', 'rosa', 'black', 'A51')
+        |) t(game_id, white_name, winner, opening_eco)
+        |ORDER BY game_id""".stripMargin,
 
     "s8_inmemory" ->
       """SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'alpha', 1.5),

@@ -37,11 +37,18 @@ object PgnDataSource {
     "opening_name", "winner", "moves").map(StructField(_, StringType)))
 }
 
-private[pgn] class PgnTable(path: String) extends Table with SupportsWrite {
+private[pgn] class PgnTable(path: String) extends Table
+    with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
   override def name(): String = s"pgn:$path"
   override def schema(): StructType = PgnDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder =
+    new PgnScanBuilder(path)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {

@@ -33,6 +33,23 @@ class ChessPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(got === want)
   }
 
+  test("PGN DSv2 round trip preserves every field incl. nulls") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("pgn_rt").toString
+    games.toDF().write.format("pgn").mode("overwrite").save(out)
+    val back = spark.read.format("pgn").load(out)
+      .as[graft.sources.PuzzleGame].collect()
+      .sortBy(_.game_id)
+    val want = games.collect().sortBy(_.game_id)
+    assert(back.toSeq === want.toSeq)
+    // pruned scan only materializes requested columns (pushed into scan)
+    val pruned = spark.read.format("pgn").load(out).select("game_id")
+    val desc = pruned.queryExecution.executedPlan.toString
+    assert(pruned.collect().map(_.getString(0)).sorted ===
+      want.map(_.game_id).sorted)
+    assert(desc.contains("columns=game_id"), desc)
+  }
+
   test("PGN sink writes once per partition via committer, content preserved") {
     val out = java.nio.file.Files.createTempDirectory("pgn_sink").toString
     Pgn.write(games, out)
