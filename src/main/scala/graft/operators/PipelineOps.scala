@@ -92,6 +92,23 @@ object PipelineOps {
         .filter(col("cum_toks") <= 5000)
     }),
 
+    // M6: document chunking — fixed-size overlapping token windows
+    // (chunk 50, stride 40 → 10-token overlap), the context-window prep
+    // step before tokenization. Pre-split token array (HOF-lambda rule),
+    // chunk starts via sequence, posexplode carries the chunk index;
+    // single scan, shuffle-free until the sink.
+    "m6_chunk_documents" -> ((s, d) => {
+      val chunkLen = 50; val stride = 40
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0),
+            ceil(size(col("t")).cast(DoubleType) / stride).cast(IntegerType) - 1),
+          i => concat_ws(" ", slice(col("t"), i * stride + 1, lit(chunkLen))))))
+        .select(col("doc_id"), col("pos").cast(LongType).as("chunk_idx"),
+          col("col").as("chunk"))
+    }),
+
     // M5: transitive dedup clusters — connected components over the
     // SimHash hamming≤3 candidate graph, keeping each component's
     // min-id representative. Pairwise survivorship under-merges chains
@@ -158,6 +175,18 @@ object PipelineOps {
       """SELECT doc_id, lang, source FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
         |      < CASE WHEN lang = 'en' THEN '6666' ELSE '3333' END""".stripMargin,
+
+    "m6_chunk_documents" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, CAST(ceil(len(tk) / 40.0) AS INT))) AS chunk_idx,
+        |    unnest(list_transform(range(0, CAST(ceil(len(tk) / 40.0) AS INT)),
+        |      i -> array_to_string(tk[i*40+1 : i*40+50], ' '))) AS chunk
+        |  FROM t
+        |)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk FROM c""".stripMargin,
 
     "m4_token_budget" ->
       """WITH t AS (

@@ -183,8 +183,9 @@ object Similarity {
     * scale). Returns (centroids, centroid norms).
     */
   private def trainQuantizer(v: org.apache.spark.sql.Dataset[VecRow],
-      nlist: Int, iters: Int, trainPerList: Int): (Array[Array[Double]], Array[Double]) = {
+      nlist: Int, iters: Int, trainPerList: Int): Option[(Array[Array[Double]], Array[Double])] = {
     val train = v.orderBy(col("vec_id")).limit(nlist * trainPerList).collect()
+    if (train.isEmpty) return None // empty corpus: no quantizer to fit
     var centroids = Array.tabulate(nlist)(i =>
       train((i.toLong * train.length / nlist).toInt).emb.clone())
     var cNorms = centroids.map(normOf)
@@ -208,7 +209,12 @@ object Similarity {
         if (counts(c) > 0) sums(c).map(_ / counts(c)) else centroids(c))
       cNorms = centroids.map(normOf)
     }
-    (centroids, cNorms)
+    Some((centroids, cNorms))
+  }
+
+  private def emptyHits(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Long, Double, Int)].toDF("vec_id", "neighbor", "sim", "rn")
   }
 
   /** Exact cosine-threshold self-join WITHOUT a cartesian: IVF cells +
@@ -234,7 +240,10 @@ object Similarity {
     import spark.implicits._
     val v = vecs(embeddings)
       .select(col("vec_id"), col("emb"), col("norm")).as[VecRow]
-    val (centroids, cNorms) = trainQuantizer(v, nlist, iters, trainPerList)
+    val trained = trainQuantizer(v, nlist, iters, trainPerList)
+    if (trained.isEmpty) // empty corpus: no pairs by definition
+      return Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "sim")
+    val (centroids, cNorms) = trained.get
     val bcC = spark.sparkContext.broadcast((centroids, cNorms))
     val assigned = v.mapPartitions { it =>
       val (cs, ns) = bcC.value
@@ -396,7 +405,9 @@ object Similarity {
     import spark.implicits._
     val v = vecs(embeddings)
       .select(col("vec_id"), col("emb"), col("norm")).as[VecRow]
-    val (centroids, cNorms) = trainQuantizer(v, nlist, iters, trainPerList)
+    val trained = trainQuantizer(v, nlist, iters, trainPerList)
+    if (trained.isEmpty) return emptyHits(spark) // empty corpus
+    val (centroids, cNorms) = trained.get
     val bcC = spark.sparkContext.broadcast((centroids, cNorms))
 
     // --- distributed assignment: each vector to its nearest list

@@ -80,6 +80,14 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(pruned2 === brute2)
   }
 
+  test("quantizer-based operators return empty results on an empty corpus") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.thresholdJoin(empty, 0.5).count() === 0)
+    assert(Similarity.ivfTopK(empty, 3).count() === 0)
+    assert(Similarity.exactTopK(empty, 3).count() === 0)
+  }
+
   test("blockTopK equals bruteTopK and exactTopK gate picks the block path") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
