@@ -39,7 +39,8 @@ object SparkEntry {
     (graft.sources.Ingest.queries, graft.sources.Ingest.oracles),
     (SqlFrontend.queries, SqlFrontend.oracles),
     (Sketches.queries, Sketches.oracles),
-    (PipelineOps.queries, PipelineOps.oracles)
+    (PipelineOps.queries, PipelineOps.oracles),
+    (Pq.queries, Pq.oracles)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.{Pq, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product-quantization guarantees: compression ratio, planted-duplicate
+  * recovery through the PQ pre-rank (not just the exact re-rank), and
+  * recall against the exact baseline on fixture embeddings.
+  */
+class PqSpec extends AnyFunSuite with SparkTestBase {
+
+  test("codes are m bytes: 32x compression of a 64-float embedding") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val cb = Pq.train(emb, m = 8, ksub = 16).get
+    assert(cb.m === 8 && cb.dsub === 8)
+    val codes = Pq.encode(emb, cb).collect()
+    assert(codes.nonEmpty)
+    codes.foreach(r => assert(r.getAs[Array[Byte]]("code").length === 8))
+  }
+
+  test("planted near-duplicate survives the PQ pre-rank into top-1") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val base = Array.fill(64)(rng.nextGaussian().toFloat)
+    val copy = base.map(x => x + rng.nextGaussian().toFloat * 0.02f)
+    val rows = Seq(0L -> base.toSeq, 1L -> copy.toSeq) ++
+      (2L until 60L).map(i => i -> Seq.fill(64)(rng.nextGaussian().toFloat))
+    val df = rows.toDF("vec_id", "embedding")
+    // rerank=4 << corpus: the duplicate must win on PQ scores alone to
+    // even reach the exact re-rank stage
+    val top1 = Pq.pqTopK(df, k = 1, rerank = 4)
+      .filter($"vec_id" === 0L).select("neighbor").head().getLong(0)
+    assert(top1 === 1L)
+  }
+
+  test("PQ+rerank recall@3 vs exact brute force on sf0.001") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    def asSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("neighbor")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = asSet(Similarity.bruteTopK(emb, 3))
+    val pq = asSet(Pq.pqTopK(emb, 3, rerank = 32))
+    val recall = (pq & exact).size.toDouble / exact.size
+    assert(recall > 0.3, s"recall=$recall")
+  }
+
+  test("empty corpus yields an empty typed result") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Pq.pqTopK(empty, 3).count() === 0)
+  }
+}
