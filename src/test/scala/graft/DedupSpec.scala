@@ -86,10 +86,16 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       (10L, 11L), (11L, 12L), (10L, 12L), (12L, 13L), // triangle + tail
       (20L, 21L)) // isolated pair
       .toDF("src", "dst")
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L)
     val got = graft.operators.Dedup.connectedComponents(edges).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
+    assert(got === want)
+    // a zero driver budget forces the distributed label-propagation loop
+    val gotDist = graft.operators.Dedup
+      .connectedComponents(edges, driverEdgeLimit = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDist === want)
   }
 
   test("m5 dedup clusters partition the corpus; component = transitive closure") {
