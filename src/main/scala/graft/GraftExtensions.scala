@@ -35,5 +35,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("dot_product",
         "dot_product(a, b) - dot product of two ARRAY<DOUBLE> columns"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    // Spark ships BloomFilterMightContain for its internal runtime
+    // filters but exposes no SQL name for it; register one so a
+    // serialized `df.stat.bloomFilter` can prefilter from plain SQL.
+    e.injectFunction((
+      FunctionIdentifier("might_contain"),
+      info("might_contain",
+        "might_contain(bloomBinary, longCol) - codegen'd bloom-filter probe"),
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs.head, exprs(1))))
   }
 }

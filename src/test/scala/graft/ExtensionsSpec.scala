@@ -29,4 +29,22 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getLong(0) > 0L)
     assert(r.getDouble(1) === 11.0)
   }
+
+  test("might_contain probes a serialized bloom filter from SQL") {
+    import spark.implicits._
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs.head, exprs(1)), "scala_udf")
+    val bloom = Seq(1L, 2L, 3L).toDF("k").stat.bloomFilter("k", 100, 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    // the bloom argument must be foldable: inline it as a binary literal
+    val hex = bos.toByteArray.map(b => f"$b%02X").mkString
+    val probed = Seq(1L, 2L, 3L, 999999L).toDF("k")
+      .selectExpr("k", s"might_contain(X'$hex', k) AS hit")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(probed(1L) && probed(2L) && probed(3L)) // no false negatives
+    assert(!probed(999999L)) // fpp 1% at n=4: a hit here is ~impossible
+  }
 }

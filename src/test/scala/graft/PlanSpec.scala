@@ -117,6 +117,11 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(got === Map("hot" -> 500.0, "cold" -> 2.0))
   }
 
+  test("J7 range join keeps the equi key (no nested-loop explosion)") {
+    val p = plan(Joins.queries("j7_range_join")(spark, sf("sf0.001")))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("K1 bloom probe is the native expression, not a ScalaUDF") {
     val p = plan(graft.operators.Sketches.queries("k1_bloom_prefilter")(spark, sf("sf0.001")))
     assert(!p.contains("UDF"), p)
