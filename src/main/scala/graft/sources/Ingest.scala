@@ -111,6 +111,21 @@ object Ingest {
         .orderBy(col("game_id"))
     }),
 
+    // S9: ORC round-trip — the third columnar container Spark ships a
+    // vectorized reader for. Values-level oracle: the re-read aggregate
+    // must equal the same aggregate computed from the parquet source
+    // (DuckDB has no ORC reader, so fidelity is checked through values).
+    "s9_orc_roundtrip" -> ((s, d) => {
+      val out = tmp("graft_s9_lineitem_orc")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+    }),
+
     // S8: in-memory source (unit-test seam).
     "s8_inmemory" -> ((s, _) => {
       import s.implicits._
@@ -166,6 +181,12 @@ object Ingest {
         |  ('game0010', 'rosa', 'black', 'A51')
         |) t(game_id, white_name, winner, opening_eco)
         |ORDER BY game_id""".stripMargin,
+
+    "s9_orc_roundtrip" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         |  ${sqlDsum("l_quantity")} AS sum_qty,
+         |  COUNT(DISTINCT l_orderkey) AS n_orders
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "s8_inmemory" ->
       """SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'alpha', 1.5),

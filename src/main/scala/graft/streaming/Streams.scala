@@ -81,6 +81,27 @@ object Streams {
          |c_ts >= p_ts - INTERVAL $interval AND c_ts <= p_ts""".stripMargin))
   }
 
+  /** T8b: stream-stream LEFT OUTER interval join — like [[intervalJoin]]
+    * but purchases with no qualifying click still emit (with nulls) once
+    * the watermark proves no match can arrive. The outer row is emitted
+    * only at watermark passage — that delay is the price of correctness
+    * on an unbounded stream, and why both sides MUST carry watermarks.
+    */
+  def intervalJoinLeftOuter(purchases: DataFrame, clicks: DataFrame,
+      watermark: String = "10 minutes",
+      interval: String = "1 hour"): DataFrame = {
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    p.join(c, expr(
+      s"""p_user = c_user AND
+         |c_ts >= p_ts - INTERVAL $interval AND c_ts <= p_ts""".stripMargin),
+      "left_outer")
+  }
+
   /** T9: foreachBatch latest-wins upsert sink — the streaming twin of
     * the batch m2 merge, for sinks with no native streaming MERGE. Each
     * micro-batch is reduced to one row per key (greatest (ts, event_id)

@@ -140,6 +140,30 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got === Set((1L, 100L), (2L, 101L)))
   }
 
+  test("T8b: left-outer interval join emits unmatched purchases after watermark") {
+    import spark.implicits._
+    val pIn = MemoryStream[Ev](spark)
+    val cIn = MemoryStream[Ev](spark)
+    val q = Streams.intervalJoinLeftOuter(pIn.toDF(), cIn.toDF(),
+        watermark = "5 minutes", interval = "10 minutes")
+      .writeStream.format("memory").queryName("t8b_out")
+      .outputMode("append").start()
+    cIn.addData(ev(100, 0, typ = "click"))
+    pIn.addData(ev(1, 5, typ = "purchase"),   // joins click@0
+      ev(2, 30, typ = "purchase"))            // no click in (20, 30]
+    q.processAllAvailable()
+    // push both watermarks far past 30+interval so the engine can prove
+    // purchase@30 will never match and emit its outer row
+    cIn.addData(ev(998, 55, typ = "click"))
+    pIn.addData(ev(999, 55, typ = "purchase"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("t8b_out")
+      .select($"p_id", $"c_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(got.contains((1L, 100L)), got)   // matched pair intact
+    assert(got.contains((2L, -1L)), got)    // unmatched purchase emitted with null
+  }
+
   test("T9: foreachBatch upsert sink is latest-wins and replay-idempotent") {
     import spark.implicits._
     val store = new Streams.UpsertStore
