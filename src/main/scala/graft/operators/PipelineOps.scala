@@ -109,6 +109,30 @@ object PipelineOps {
           col("col").as("chunk"))
     }),
 
+    // M7: small-file compaction — the maintenance job every long-lived
+    // partitioned dataset needs: a fragmented table (here: deliberately
+    // written at 32-way parallelism, so ~32 files of a few KB each) is
+    // rewritten into size-targeted files via repartition. At 100 TB the
+    // target count comes from bytes/128MB; the fixture asserts the
+    // mechanism (file count collapses, values identical) not the bytes.
+    "m7_compact" -> ((s, d) => {
+      val frag = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_m7_fragmented").toString
+      val compact = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_m7_compacted").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      ev.repartition(32).write.mode("overwrite").parquet(frag)
+      val target = math.max(1,
+        (s.read.parquet(frag).count() / 500000L).toInt) // ~500k rows/file
+      s.read.parquet(frag).repartition(target)
+        .write.mode("overwrite").parquet(compact)
+      s.read.parquet(compact)
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          graft.Exprs.dsum(col("value")).as("sum_value"))
+    }),
+
     // M5: transitive dedup clusters — connected components over the
     // SimHash hamming≤3 candidate graph, keeping each component's
     // min-id representative. Pairwise survivorship under-merges chains
@@ -182,6 +206,11 @@ object PipelineOps {
       """SELECT doc_id, lang, source FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
         |      < CASE WHEN lang = 'en' THEN '6666' ELSE '3333' END""".stripMargin,
+
+    "m7_compact" ->
+      s"""SELECT COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+         |  ${graft.Exprs.sqlDsum("value")} AS sum_value
+         |FROM events""".stripMargin,
 
     "m6_chunk_documents" ->
       """WITH t AS (

@@ -126,6 +126,28 @@ object Ingest {
           countDistinct(col("l_orderkey")).as("n_orders"))
     }),
 
+    // S10: schema evolution — two parquet batches with different column
+    // sets (the second adds o_year) read back through mergeSchema; rows
+    // from the old batch surface the new column as NULL. The append-only
+    // reality of long-lived datasets: schemas grow, readers must cope.
+    "s10_schema_merge" -> ((s, d) => {
+      val out = tmp("graft_s10_evolving")
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderdate"))
+      base.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .write.mode("overwrite").parquet(out)
+      base.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          year(col("o_orderdate")).as("o_year"))
+        .write.mode("append").parquet(out)
+      s.read.option("mergeSchema", "true").parquet(out)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          count(col("o_year")).as("n_with_year"),
+          min(col("o_year")).as("min_year"))
+    }),
+
     // S8: in-memory source (unit-test seam).
     "s8_inmemory" -> ((s, _) => {
       import s.implicits._
@@ -181,6 +203,13 @@ object Ingest {
         |  ('game0010', 'rosa', 'black', 'A51')
         |) t(game_id, white_name, winner, opening_eco)
         |ORDER BY game_id""".stripMargin,
+
+    "s10_schema_merge" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  COUNT(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS n_with_year,
+        |  CAST(MIN(CASE WHEN o_orderkey % 2 = 1
+        |    THEN year(o_orderdate) END) AS INT) AS min_year
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "s9_orc_roundtrip" ->
       s"""SELECT l_returnflag, COUNT(*) AS n,

@@ -136,6 +136,16 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("M7 compaction collapses the fragmented file count") {
+    graft.operators.PipelineOps.queries("m7_compact")(spark, sf("sf0.001")).collect()
+    def parts(name: String): Long = java.nio.file.Files
+      .list(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), name))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    val (frag, compact) = (parts("graft_m7_fragmented"), parts("graft_m7_compacted"))
+    assert(frag > compact, s"fragmented=$frag compacted=$compact")
+    assert(compact >= 1)
+  }
+
   test("multimodal stubs: resize shapes payloads, frame sampler strides") {
     val payload = Array.tabulate[Byte](100)(_.toByte)
     assert(Multimodal.resizeStub(payload, 8, 4).length === 32)
