@@ -68,6 +68,34 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("connected components agree with union-find on random graphs (both paths)") {
+    import spark.implicits._
+    for (seed <- 1L to 2L) {
+      val rng = new scala.util.Random(seed)
+      val n = 40
+      val edges = Seq.fill(50)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find reference
+      val parent = scala.collection.mutable.Map((0L until n).map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      val want = touched.map(x => x -> find(x)).toMap
+      val df = edges.toDF("src", "dst")
+      val gated = graft.operators.Dedup.connectedComponents(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gated === want, s"seed=$seed (gated)")
+      val dist = graft.operators.Dedup
+        .connectedComponents(df, driverEdgeLimit = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist === want, s"seed=$seed (distributed)")
+    }
+  }
+
   test("minhash dedup never removes the smallest doc_id of a cluster") {
     import spark.implicits._
     for (seed <- 1L to 3L) {
