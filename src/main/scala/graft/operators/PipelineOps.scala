@@ -133,6 +133,23 @@ object PipelineOps {
           graft.Exprs.dsum(col("value")).as("sum_value"))
     }),
 
+    // M8: column profiling — the data-quality report a pipeline runs
+    // before trusting a new drop: per-column null rate, exact distinct,
+    // min/max, in ONE pass over the table (all profiles are aggregates
+    // of the same scan; no per-column jobs).
+    "m8_profile" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      def prof(c: String, castStr: org.apache.spark.sql.Column) = Seq(
+        count(col(c)).as(s"${c}_nonnull"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        min(castStr).as(s"${c}_min"),
+        max(castStr).as(s"${c}_max"))
+      o.agg(count(lit(1)).as("n_rows"),
+        (prof("o_orderstatus", col("o_orderstatus")) ++
+         prof("o_custkey", col("o_custkey").cast(StringType)) ++
+         prof("o_orderpriority", col("o_orderpriority"))): _*)
+    }),
+
     // M5: transitive dedup clusters — connected components over the
     // SimHash hamming≤3 candidate graph, keeping each component's
     // min-id representative. Pairwise survivorship under-merges chains
@@ -206,6 +223,22 @@ object PipelineOps {
       """SELECT doc_id, lang, source FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
         |      < CASE WHEN lang = 'en' THEN '6666' ELSE '3333' END""".stripMargin,
+
+    "m8_profile" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  COUNT(o_orderstatus) AS o_orderstatus_nonnull,
+        |  COUNT(DISTINCT o_orderstatus) AS o_orderstatus_distinct,
+        |  MIN(o_orderstatus) AS o_orderstatus_min,
+        |  MAX(o_orderstatus) AS o_orderstatus_max,
+        |  COUNT(o_custkey) AS o_custkey_nonnull,
+        |  COUNT(DISTINCT o_custkey) AS o_custkey_distinct,
+        |  MIN(CAST(o_custkey AS VARCHAR)) AS o_custkey_min,
+        |  MAX(CAST(o_custkey AS VARCHAR)) AS o_custkey_max,
+        |  COUNT(o_orderpriority) AS o_orderpriority_nonnull,
+        |  COUNT(DISTINCT o_orderpriority) AS o_orderpriority_distinct,
+        |  MIN(o_orderpriority) AS o_orderpriority_min,
+        |  MAX(o_orderpriority) AS o_orderpriority_max
+        |FROM orders""".stripMargin,
 
     "m7_compact" ->
       s"""SELECT COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,

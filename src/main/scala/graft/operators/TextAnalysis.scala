@@ -115,6 +115,24 @@ object TextAnalysis {
           .as("bpe_tokens"))
     }),
 
+    // L7c: PII redaction — scrub emails and phone-shaped tokens before
+    // text enters a training set. The fixture corpus carries no PII, so
+    // a deterministic PII-laced suffix is synthesized from doc_id first;
+    // the redaction itself is two codegen'd regexp_replace passes, the
+    // shape a real scrubber (more patterns, same plan) takes.
+    "l7c_pii_redact" -> ((s, d) => {
+      val pii = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast(StringType),
+        lit("@example.com or call 555-"),
+        lpad((col("doc_id") % 10000).cast(StringType), 4, "0"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        regexp_replace(
+          regexp_replace(pii,
+            "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+          "\\b\\d{3}-\\d{4}\\b", "<PHONE>").as("scrubbed"))
+    }),
+
     // L10 (extension): document fingerprint via the native RollingHash
     // Catalyst expression (order-sensitive; codegen'd). Not expressible
     // in DuckDB → rows-only + known-vector spec.
@@ -186,6 +204,16 @@ object TextAnalysis {
          |  AND stop_ratio < 0.35
          |  AND regexp_matches(text, '^[a-z0-9 ]+$$')
          |  AND lang IN ('en', 'es', 'zh', 'fr', 'de')""".stripMargin,
+
+    "l7c_pii_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |         || '@example.com or call 555-'
+        |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
+        |FROM documents""".stripMargin,
 
     "l7b_token_count" ->
       """SELECT doc_id,
