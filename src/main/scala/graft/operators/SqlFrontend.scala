@@ -57,9 +57,27 @@ object SqlFrontend {
       |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
       |  AND o_orderstatus = 'F'""".stripMargin
 
+  /** GROUPING SETS: two independent rollup dimensions + grand total in
+    * one pass (the reshape rollup/cube can't express).
+    */
+  private val groupingSetsSql =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin
+
+  /** Correlated EXISTS — planned as a semi join, not a per-row subquery. */
+  private val existsSql =
+    """SELECT o_orderkey FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      |  AND o_orderstatus = 'F'""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "sql1_tpch_q3" -> ((s, d) => { withViews(s, d); s.sql(q3Sql) }),
     "sql2_scalar_subquery" -> ((s, d) => { withViews(s, d); s.sql(scalarSubSql) }),
+    "sql3_grouping_sets" -> ((s, d) => { withViews(s, d); s.sql(groupingSetsSql) }),
+    "sql4_exists_subquery" -> ((s, d) => { withViews(s, d); s.sql(existsSql) }),
 
     // A10: pivot — event counts per user fanned out by type. Explicit
     // value list pins the output schema on both engines.
@@ -85,6 +103,8 @@ object SqlFrontend {
   val oracles: Map[String, String] = Map(
     "sql1_tpch_q3" -> q3Sql,
     "sql2_scalar_subquery" -> scalarSubSql,
+    "sql3_grouping_sets" -> groupingSetsSql,
+    "sql4_exists_subquery" -> existsSql,
 
     "a10_pivot" ->
       """SELECT user_id,
