@@ -115,6 +115,23 @@ object TextAnalysis {
           .as("bpe_tokens"))
     }),
 
+    // L5c: unigram language-model scoring — mean log-probability of a
+    // document under the corpus unigram distribution, the classic cheap
+    // fluency/quality signal (gibberish and boilerplate both score off
+    // the corpus mode). Two hash aggregates + one broadcastable vocab
+    // join; rounded to 6dp before ranking like every cross-engine float.
+    "l5c_unigram_logprob" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val freq = words.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      val total = freq.agg(sum(col("tf")).as("n")).select(col("n"))
+      words.join(broadcast(freq), "tok").crossJoin(broadcast(total))
+        .groupBy(col("doc_id"))
+        .agg(round((sum(log(col("tf").cast(DoubleType) / col("n")))
+          / count(lit(1))), 6).as("mean_logprob"),
+          count(lit(1)).as("n_toks"))
+    }),
+
     // L7c: PII redaction — scrub emails and phone-shaped tokens before
     // text enters a training set. The fixture corpus carries no PII, so
     // a deterministic PII-laced suffix is synthesized from doc_id first;
@@ -204,6 +221,18 @@ object TextAnalysis {
          |  AND stop_ratio < 0.35
          |  AND regexp_matches(text, '^[a-z0-9 ]+$$')
          |  AND lang IN ('en', 'es', 'zh', 'fr', 'de')""".stripMargin,
+
+    "l5c_unigram_logprob" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), freq AS (
+        |  SELECT tok, COUNT(*) AS tf FROM words GROUP BY tok
+        |), total AS (SELECT SUM(tf) AS n FROM freq)
+        |SELECT doc_id,
+        |  round(SUM(ln(CAST(tf AS DOUBLE) / n)) / COUNT(*), 6) AS mean_logprob,
+        |  COUNT(*) AS n_toks
+        |FROM words JOIN freq USING (tok) CROSS JOIN total
+        |GROUP BY doc_id""".stripMargin,
 
     "l7c_pii_redact" ->
       """SELECT doc_id,
