@@ -80,7 +80,7 @@ object Dedup {
     }
     val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-      .cache()
+      .cache() // also feeds AQE exact sizes for the broadcast decisions
     val keep = buckets.groupBy(col("band"), col("sig"))
       .agg(count(lit(1)).as("w")).filter(col("w") <= maxBucket)
       .select(col("band"), col("sig"))
@@ -144,7 +144,12 @@ object Dedup {
     val repSigs = withKey.join(
       reps.select(col("rep_id").as("doc_id")), "doc_id")
     val repPairs = lshCandidates(repSigs)
-    val cand = memberPairs.unionByName(repPairs).distinct()
+    // no distinct needed: memberPairs are unique by construction (one
+    // row per non-rep member) and repPairs (already distinct) connect
+    // DIFFERENT signatures while memberPairs connect identical ones —
+    // the two sets are disjoint, and the verifier's groupBy(d1,d2)
+    // would double-count intersections only if a pair repeated.
+    val cand = memberPairs.unionByName(repPairs)
     val verified = verifyJaccardFromTokens(toks, cand)
       .filter(col("jaccard") >= threshold)
     val removed = verified.select(col("d2").as("doc_id")).distinct()
