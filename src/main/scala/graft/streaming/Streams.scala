@@ -102,6 +102,17 @@ object Streams {
       "left_outer")
   }
 
+  /** T10: stream-static enrichment join — each micro-batch joins the
+    * (bounded, possibly refreshed) static dimension without any
+    * streaming state: the static side re-evaluates per batch, so a
+    * broadcast dim under the auto threshold costs one broadcast per
+    * trigger and zero state store entries. The join must be keyed on
+    * the stream side's column; watermarks are unnecessary (no
+    * stream-stream buffering).
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), key)
+
   /** T9: foreachBatch latest-wins upsert sink — the streaming twin of
     * the batch m2 merge, for sinks with no native streaming MERGE. Each
     * micro-batch is reduced to one row per key (greatest (ts, event_id)

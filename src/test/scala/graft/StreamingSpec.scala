@@ -140,6 +140,22 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got === Set((1L, 100L), (2L, 101L)))
   }
 
+  test("T10: stream-static enrichment joins each batch against the dim") {
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val in = MemoryStream[Ev](spark)
+    val q = Streams.enrich(in.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("t10_out")
+      .outputMode("append").start()
+    in.addData(ev(1, 0, user = 1L), ev(2, 1, user = 2L), ev(3, 2, user = 9L))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("t10_out")
+      .select($"event_id", $"tier").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // inner join: the unknown user 9 drops; known users get their tier
+    assert(got === Set((1L, "gold"), (2L, "basic")))
+  }
+
   test("T8b: left-outer interval join emits unmatched purchases after watermark") {
     import spark.implicits._
     val pIn = MemoryStream[Ev](spark)
