@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed partial top-k aggregator over (sim, id) pairs: each partition
+  * keeps only its k best candidates (sim desc, id asc) and merge folds
+  * buffers pairwise — so a groupBy(query).agg(topK) ships k rows per
+  * query per partition instead of shuffling every candidate to a window
+  * operator. That asymptotic cut (n·k vs n·m rows through the shuffle)
+  * is the difference between a top-k that survives a 100 TB corpus and
+  * one that re-materializes the candidate set.
+  *
+  * The buffer is a sorted Vector (k is small); determinism matches the
+  * window formulation: sim desc, neighbor id asc.
+  */
+class TopK(k: Int) extends Aggregator[(Double, Long), Vector[(Double, Long)], Seq[(Double, Long)]] {
+
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  private def insert(buf: Vector[(Double, Long)], x: (Double, Long)): Vector[(Double, Long)] = {
+    if (buf.size >= k && !better(x, buf.last)) buf
+    else {
+      val pos = buf.indexWhere(cur => better(x, cur)) match {
+        case -1 => buf.size
+        case p => p
+      }
+      (buf.take(pos) :+ x) ++ buf.drop(pos).take(k - pos - 1)
+    }
+  }
+
+  override def zero: Vector[(Double, Long)] = Vector.empty
+  override def reduce(buf: Vector[(Double, Long)], x: (Double, Long)): Vector[(Double, Long)] =
+    insert(buf, x)
+  override def merge(a: Vector[(Double, Long)], b: Vector[(Double, Long)]): Vector[(Double, Long)] =
+    b.foldLeft(a)(insert)
+  override def finish(buf: Vector[(Double, Long)]): Seq[(Double, Long)] = buf
+
+  override def bufferEncoder: Encoder[Vector[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}

@@ -348,13 +348,21 @@ object Similarity {
       .select(col("pid"), col("vec_id").as("ia"), col("emb").as("ea"), col("norm").as("na"))
     val b = blocked.join(broadcast(pairIds), col("blk") === col("bb"))
       .select(col("pid"), col("vec_id").as("ib"), col("emb").as("eb"), col("norm").as("nb"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("neighbor"))
+    // partial top-k aggregation instead of a window: the TopK Aggregator
+    // keeps k candidates per query map-side, so the shuffle after the
+    // pair join carries n·k rows, not every candidate sim — the window
+    // formulation re-shuffles the whole n² candidate set.
+    val topkAgg = udaf(new graft.functions.TopK(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong))
     a.join(b, "pid").filter(col("ia") =!= col("ib"))
       .select(col("ia").as("vec_id"), col("ib").as("neighbor"),
         round(dotCol(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+      .groupBy(col("vec_id")).agg(topkAgg(col("sim"), col("neighbor")).as("top"))
+      .select(col("vec_id"), posexplode(col("top")))
+      .select(col("vec_id"), col("col._2").as("neighbor"),
+        col("col._1").as("sim"), (col("pos") + 1).cast(IntegerType).as("rn"))
   }
 
   /** Production exact-top-k entry: the broadcast kernel when the corpus

@@ -68,6 +68,24 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("TopK aggregator == global sort-take under arbitrary merge splits") {
+    for (seed <- 1L to 5L) {
+      val rng = new scala.util.Random(seed)
+      val xs = Seq.fill(200)((rng.nextInt(50).toDouble / 10.0, rng.nextInt(100).toLong))
+      val k = 1 + rng.nextInt(8)
+      val agg = new graft.functions.TopK(k)
+      val want = xs.sortBy { case (s, id) => (-s, id) }.take(k)
+      // single-buffer reduce
+      val one = agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
+      assert(one === want, s"seed=$seed k=$k (reduce)")
+      // random partition split + pairwise merge
+      val parts = xs.grouped(1 + rng.nextInt(40)).toSeq
+        .map(p => p.foldLeft(agg.zero)(agg.reduce))
+      val merged = agg.finish(parts.foldLeft(agg.zero)(agg.merge))
+      assert(merged === want, s"seed=$seed k=$k (merge)")
+    }
+  }
+
   test("connected components agree with union-find on random graphs (both paths)") {
     import spark.implicits._
     for (seed <- 1L to 2L) {
