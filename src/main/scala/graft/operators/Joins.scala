@@ -170,6 +170,24 @@ object Joins {
       graft.plans.AsOfJoinApi.asofJoin(p, c,
           "user_id", "c_user", "p_ts", "c_ts", "c_id")
         .select(col("p_id"), col("user_id"), col("c_id"))
+    }),
+
+    // J9c: composite-key as-of through the native operator's GENERAL
+    // path ((long, string) key tuple → key-projection natural-ordering
+    // merge): latest same-DAY click per user at or before each
+    // purchase. Oracle-checked, so the multi-key merge sits under the
+    // same gate as the fast path.
+    "j9c_asof_multikey" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          to_date(col("ts")).cast(StringType).as("day"), col("ts").as("p_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          to_date(col("ts")).cast(StringType).as("c_day"), col("ts").as("c_ts"))
+      graft.plans.AsOfJoinApi.asofJoin(p, c,
+          Seq("user_id", "day"), Seq("c_user", "c_day"), "p_ts", "c_ts", "c_id")
+        .select(col("p_id"), col("user_id"), col("day"), col("c_id"))
     })
   )
 
@@ -244,6 +262,19 @@ object Joins {
         |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |    ON p.user_id = c.user_id AND c.ts <= p.ts
+        |) WHERE rn = 1""".stripMargin,
+
+    "j9c_asof_multikey" ->
+      """SELECT p_id, user_id, day, c_id FROM (
+        |  SELECT p.event_id AS p_id, p.user_id,
+        |    CAST(CAST(p.ts AS DATE) AS VARCHAR) AS day, c.event_id AS c_id,
+        |    ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |                       ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id
+        |   AND CAST(c.ts AS DATE) = CAST(p.ts AS DATE)
+        |   AND c.ts <= p.ts
         |) WHERE rn = 1""".stripMargin
   )
 }
