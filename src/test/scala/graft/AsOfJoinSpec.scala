@@ -91,6 +91,20 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(got === Map(1L -> 11L, 2L -> -1L))
   }
 
+  test("general path matches null keys to null keys (IS NOT DISTINCT semantics)") {
+    import spark.implicits._
+    val left = Seq((1L, Option.empty[String], 100L), (2L, Option("x"), 100L))
+      .toDF("id", "k", "t")
+    val right = Seq((10L, Option.empty[String], 50L), (11L, Option("x"), 60L))
+      .toDF("rid", "rk", "rt")
+    val got = AsOfJoinApi.asofJoin(left, right, "k", "rk", "t", "rt", "rid")
+      .select($"id", $"rid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // documented deviation from equi-join NULL semantics: the ordering-
+    // based merge pairs the null-keyed rows (AsOfJoin scaladoc)
+    assert(got === Map(1L -> 10L, 2L -> 11L))
+  }
+
   test("as-of plan has no window exchange (single pass per side)") {
     val ev = Tables.events(spark, sf("sf0.001"))
     val p = ev.filter(col("event_type") === "purchase")
