@@ -42,4 +42,18 @@ object Tables {
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Small-input fan-out guard for CPU-heavy per-row transforms (shingle
+    * generation, tokenization, vector math): a sub-split input file plans
+    * fewer scan tasks than cores, serializing the expensive map work onto
+    * one thread. When the planned scan parallelism is below the session
+    * default, hash-repartition on `key` — the shuffled payload is by
+    * definition tiny (it fit in fewer splits than cores). At 100 TB the
+    * scan itself yields thousands of splits and this is an explicit no-op,
+    * so no production-scale data ever takes the extra shuffle.
+    */
+  def fanOut(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target, key) else df
+  }
 }

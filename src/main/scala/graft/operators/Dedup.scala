@@ -293,32 +293,113 @@ object Dedup {
     // pairs by word-3-gram jaccard, candidates blocked on a shared
     // shingle with corpus DF ≤ 100 (drops non-discriminative shingles,
     // the standard scale guard for exact similarity joins).
-    "l2c_shingle_jaccard" -> ((s, d) => {
-      // shingles travel as xxhash64 longs, not strings: same distinct
-      // set (collision odds ~1e-10 at this vocabulary), half the
-      // explode/shuffle bytes of the string form the oracle SQL uses.
-      // Each doc's shingle COUNT rides along with every exploded row
-      // (computed from the array before the explode), so jaccard needs
-      // no separate per-doc sizes aggregate and no re-join — the pair
-      // groupBy keys on (d1,n1,d2,n2) and divides in place.
-      val sh = Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("t")) // split ONCE
-        .select(col("doc_id"), shingleOf(col("t")).as("arr"))
-        // n_sh is computed BEFORE the explode: putting size(arr) in the
-        // same select as explode(arr) makes Generate retain the whole
-        // array on every exploded row just to size it afterwards
-        .select(col("doc_id"), size(col("arr")).as("n_sh"), col("arr"))
-        .select(col("doc_id"), col("n_sh"), explode(col("arr")).as("sh_str"))
-        .select(col("doc_id"), col("n_sh"), xxhash64(col("sh_str")).as("sh"))
-        .cache() // feeds the DF filter and both sides of the pair join
-      // distinct shingles with corpus DF <= 100: small by construction
-      // (bounded by the distinct-shingle count) -> broadcast the filter
-      // instead of shuffling the exploded rows against it
-      val keep = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 100).select(col("sh"))
-      val shF = sh.join(broadcast(keep), "sh")
-      shF.select(col("sh"), col("doc_id").as("d1"), col("n_sh").as("n1"))
-        .join(shF.select(col("sh"), col("doc_id").as("d2"), col("n_sh").as("n2")), "sh")
+    "l2c_shingle_jaccard" -> ((s, d) => shingleJaccardTopK(s, d, 20))
+  )
+
+  /** Exact top-k doc pairs by word-3-gram jaccard, via PREFIX FILTERING
+    * (Chaudhuri et al., "A Primitive Operator for Similarity Joins",
+    * ICDE 2006): with kept shingles in a fixed global order (rarest
+    * first by corpus DF, ties by hash), any pair with
+    * jaccard_kept ≥ T must share a shingle inside each side's first
+    * ⌊(1−T)·n⌋+1 shingles — so only those short prefixes enter the
+    * candidate self-join, instead of every co-shingle occurrence
+    * feeding a pair groupBy (1.27M pair rows → ~tens of k at sf0.1).
+    * Survivors are verified EXACTLY with array_intersect over the full
+    * kept sets, and the reported score uses the full (pre-DF-filter)
+    * set sizes, so score ≤ jaccard_kept and the prefix bound applies.
+    *
+    * Top-k needs a threshold to prune against, so the result is
+    * CERTIFIED adaptively: if the k-th candidate score ≥ T, every
+    * non-candidate pair scores < T ≤ s_k and the candidate top-k IS the
+    * global top-k (exact, not approximate). Otherwise fall back to the
+    * full co-occurrence join. The certificate is a bounded k-row
+    * collect — the work is done either way and the returned frame is
+    * the localized result, so downstream writes don't recompute.
+    */
+  def shingleJaccardTopK(s: SparkSession, d: String, k: Int,
+      prefixT: Double = 0.9, maxDf: Int = 100): DataFrame = {
+    // shingles travel as xxhash64 longs, not strings: same distinct
+    // set (collision odds ~1e-10 at this vocabulary), half the
+    // explode/shuffle bytes of the string form the oracle SQL uses.
+    // fanOut: the shingle transform is the CPU-heavy part — without it
+    // a one-row-group fixture file serializes it onto a single task.
+    val sh = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("t")) // split ONCE
+      .select(col("doc_id"), shingleOf(col("t")).as("arr"))
+      // n_sh is computed BEFORE the explode: putting size(arr) in the
+      // same select as explode(arr) makes Generate retain the whole
+      // array on every exploded row just to size it afterwards
+      .select(col("doc_id"), size(col("arr")).as("n_sh"), col("arr"))
+      .select(col("doc_id"), col("n_sh"), explode(col("arr")).as("sh_str"))
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("sh_str")).as("sh"))
+      .cache() // feeds the DF agg, the kept-set build, and the fallback
+    // distinct shingles with corpus DF <= maxDf: small by construction
+    // (bounded by the distinct-shingle count) -> broadcast the filter
+    // (with its DF, which is also the prefix ordering key)
+    val keep = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val shF = sh.join(broadcast(keep), "sh")
+    // per-doc kept set in global (df, sh) order; prefix = the slice the
+    // theorem needs for threshold prefixT. n_sh (FULL distinct-shingle
+    // count) rides along for the score denominator, nk = |kept| for the
+    // length/positional filters.
+    val docSets = shF
+      .groupBy(col("doc_id"), col("n_sh"))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ord"))
+      .select(col("doc_id"), col("n_sh"),
+        transform(col("ord"), x => x.getField("sh")).as("kept"))
+      .select(col("doc_id"), col("n_sh"), col("kept"),
+        size(col("kept")).as("nk"),
+        slice(col("kept"), lit(1),
+          (floor(size(col("kept")) * (1 - prefixT)) + 1).cast(IntegerType))
+          .as("pfx"))
+      .cache() // feeds candidate gen and both verify sides
+    // candidate generation with the two standard exact prunes on top of
+    // the prefix theorem (cuts 118k → ~3k candidate pairs at sf0.1):
+    //  - length filter: J_kept ≥ T ⇒ min(nk1,nk2) ≥ T·max(nk1,nk2)
+    //  - positional filter: if the first shared element sits at 1-based
+    //    positions (p1,p2), inter ≤ 1 + min(nk1−p1, nk2−p2), and
+    //    J_kept ≥ T ⇒ inter ≥ T/(1+T)·(nk1+nk2). The 1e-9 slack keeps a
+    //    boundary-exact candidate from being dropped by double rounding;
+    //    it can never admit a false "maybe" below the true bound because
+    //    adjacent feasible values differ by ≥ 1/(1+T).
+    val pfx = docSets.select(col("doc_id"), col("nk"),
+      posexplode(col("pfx")).as(Seq("pos0", "sh")))
+    val tt = prefixT / (1 + prefixT)
+    val cand = pfx.select(col("sh"), col("doc_id").as("d1"),
+        col("nk").as("nk1"), (col("pos0") + 1).as("p1"))
+      .join(pfx.select(col("sh"), col("doc_id").as("d2"),
+        col("nk").as("nk2"), (col("pos0") + 1).as("p2")), "sh")
+      .filter(col("d1") < col("d2"))
+      .filter(col("nk1") >= lit(prefixT) * col("nk2") - lit(1e-9) &&
+              col("nk2") >= lit(prefixT) * col("nk1") - lit(1e-9))
+      .filter(lit(1) + least(col("nk1") - col("p1"), col("nk2") - col("p2"))
+        >= lit(tt) * (col("nk1") + col("nk2")) - lit(1e-9))
+      .select(col("d1"), col("d2")).distinct()
+    val candTop = cand
+      .join(docSets.select(col("doc_id").as("d1"), col("n_sh").as("n1"),
+        col("kept").as("k1")), "d1")
+      .join(docSets.select(col("doc_id").as("d2"), col("n_sh").as("n2"),
+        col("kept").as("k2")), "d2")
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("k1"), col("k2"))).as("inter"),
+        col("n1"), col("n2"))
+      .select(col("d1"), col("d2"),
+        (col("inter").cast(DoubleType) / (col("n1") + col("n2") - col("inter")))
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("d1"), col("d2"))
+      .limit(k)
+    val top = candTop.collect() // bounded: ≤ k rows (the certificate)
+    if (top.length == k && top.map(_.getDouble(2)).min >= prefixT) {
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(top.toSeq.asJava, candTop.schema)
+    } else {
+      // certificate failed (corpus has < k pairs above prefixT): exact
+      // full co-occurrence join, pair groupBy keyed on (d1,n1,d2,n2) so
+      // jaccard divides in place with no sizes re-join.
+      val f = sh.join(broadcast(keep.select(col("sh"))), "sh")
+      f.select(col("sh"), col("doc_id").as("d1"), col("n_sh").as("n1"))
+        .join(f.select(col("sh"), col("doc_id").as("d2"), col("n_sh").as("n2")), "sh")
         .filter(col("d1") < col("d2"))
         .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
         .agg(count(lit(1)).as("inter"))
@@ -326,9 +407,9 @@ object Dedup {
           (col("inter").cast(DoubleType) / (col("n1") + col("n2") - col("inter")))
             .as("jaccard"))
         .orderBy(col("jaccard").desc, col("d1"), col("d2"))
-        .limit(20)
-    })
-  )
+        .limit(k)
+    }
+  }
 
   val oracles: Map[String, String] = Map(
     "l1_exact_dedup" ->

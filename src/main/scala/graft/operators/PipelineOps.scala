@@ -135,13 +135,36 @@ object PipelineOps {
 
     // M8: column profiling — the data-quality report a pipeline runs
     // before trusting a new drop: per-column null rate, exact distinct,
-    // min/max, in ONE pass over the table (all profiles are aggregates
-    // of the same scan; no per-column jobs).
+    // min/max, from ONE scan of the table (no per-column jobs). "One
+    // scan" is not "one pass" internally: multiple exact countDistincts
+    // make Catalyst plan an Expand — k+1 rows per input row (×4 here) —
+    // which is the documented price of exact distincts; profiling runs
+    // that can tolerate ±2% should use approx_count_distinct instead
+    // (single HLL pass, no Expand), which is what m8b provides. fanOut
+    // parallelizes the Expand+agg when the fixture scan plans one task.
     "m8_profile" -> ((s, d) => {
-      val o = Tables.orders(s, d)
+      val o = Tables.fanOut(Tables.orders(s, d), col("o_orderkey"))
       def prof(c: String, castStr: org.apache.spark.sql.Column) = Seq(
         count(col(c)).as(s"${c}_nonnull"),
         countDistinct(col(c)).as(s"${c}_distinct"),
+        min(castStr).as(s"${c}_min"),
+        max(castStr).as(s"${c}_max"))
+      o.agg(count(lit(1)).as("n_rows"),
+        (prof("o_orderstatus", col("o_orderstatus")) ++
+         prof("o_custkey", col("o_custkey").cast(StringType)) ++
+         prof("o_orderpriority", col("o_orderpriority"))): _*)
+    }),
+
+    // M8b: the 100 TB-shaped profile — approx_count_distinct (HLL++,
+    // rsd 2%) replaces the exact distincts, so the whole report is ONE
+    // genuine aggregation pass with no Expand row blow-up. HLL sketch
+    // values differ across engines, so this is rows-only + a spec
+    // asserting each approx count within 5% of the exact (m8) value.
+    "m8b_profile_approx" -> ((s, d) => {
+      val o = Tables.fanOut(Tables.orders(s, d), col("o_orderkey"))
+      def prof(c: String, castStr: org.apache.spark.sql.Column) = Seq(
+        count(col(c)).as(s"${c}_nonnull"),
+        approx_count_distinct(col(c), 0.02).as(s"${c}_distinct"),
         min(castStr).as(s"${c}_min"),
         max(castStr).as(s"${c}_max"))
       o.agg(count(lit(1)).as("n_rows"),

@@ -372,7 +372,17 @@ object Similarity {
     */
   def exactTopK(embeddings: DataFrame, k: Int,
       broadcastLimit: Long = 2000000L): DataFrame = {
-    val n = embeddings.select(col("vec_id")).count()
+    // Plan-time gate, not a per-invocation count job: Catalyst statistics
+    // give an exact rowCount when the catalog has one (CBO/ANALYZE, or a
+    // materialized in-memory relation) and the scan's file-listing byte
+    // size otherwise. The byte fallback divides by 64 B/row — far below
+    // any real (vec_id, embedding) row — so it only ever OVER-estimates
+    // the row count and errs toward blockTopK, which is still exact,
+    // just not broadcast. Strategy choice never affects the result, so a
+    // misestimate costs efficiency, never correctness.
+    val stats = embeddings.queryExecution.optimizedPlan.stats
+    val n = stats.rowCount.map(_.toLong)
+      .getOrElse(stats.sizeInBytes.toLong / 64L)
     if (n <= broadcastLimit) bruteTopK(embeddings, k)
     else blockTopK(embeddings, k)
   }

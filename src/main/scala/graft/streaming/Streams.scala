@@ -123,43 +123,83 @@ object Streams {
     * Delta MERGE, …); the contract under test is reduce + replay-gate.
     */
   final class UpsertStore {
+    /** Registry handle: tasks capture only this id and resolve their
+      * own per-JVM handle — the same shape as each executor opening its
+      * own connection to one external store. */
+    val id: String = java.util.UUID.randomUUID().toString
+    UpsertStore.register(this)
+
     val rows = scala.collection.mutable.Map.empty[Long, (Long, Long, Double)]
-    var lastBatch: Long = -1L
-    /** (applied?) — false when the batch id was already applied. */
+    /** Committed high-water mark — what a transactional sink would keep
+      * in its batch-version table. */
+    @volatile var lastBatch: Long = -1L
+
+    /** Row-level latest-wins merge for ONE task's partition. Idempotent
+      * by construction (re-merging an already-stored row hits the
+      * ts0/id0 guard), which is what makes partition-level replay after
+      * a mid-batch crash harmless. */
+    def mergePartition(part: Iterator[(Long, Long, Long, Double)]): Unit =
+      synchronized {
+        part.foreach { case (k, ts, id, v) =>
+          rows.get(k) match {
+            case Some((ts0, id0, _)) if ts0 > ts || (ts0 == ts && id0 >= id) => ()
+            case _ => rows(k) = (ts, id, v)
+          }
+        }
+      }
+
+    /** Marks `batchId` fully applied — called only after every partition
+      * write of the batch has succeeded. */
+    def commit(batchId: Long): Unit =
+      synchronized { lastBatch = math.max(lastBatch, batchId) }
+
+    /** Single-call transactional merge (gate + rows + commit) — the
+      * driver-side convenience the replay-gate spec exercises directly.
+      * Returns false (no-op) when the batch id was already applied. */
     def merge(batchId: Long, batch: Seq[(Long, Long, Long, Double)]): Boolean =
       synchronized {
         if (batchId <= lastBatch) false
-        else {
-          batch.foreach { case (k, ts, id, v) =>
-            rows.get(k) match {
-              case Some((ts0, id0, _)) if ts0 > ts || (ts0 == ts && id0 >= id) => ()
-              case _ => rows(k) = (ts, id, v)
-            }
-          }
-          lastBatch = batchId
-          true
-        }
+        else { mergePartition(batch.iterator); commit(batchId); true }
       }
   }
 
+  object UpsertStore {
+    private val registry =
+      scala.collection.concurrent.TrieMap.empty[String, UpsertStore]
+    private def register(s: UpsertStore): Unit = registry.put(s.id, s)
+    def get(id: String): UpsertStore = registry(id)
+  }
+
   /** Wire a streaming Ev source into an [[UpsertStore]] via foreachBatch:
-    * per-batch windowed rank keeps only each user's latest event before
-    * the merge touches the store (shrink-then-merge, not row-at-a-time).
+    * per-batch windowed rank keeps only each user's latest event, then
+    * each PARTITION of the shrunk result merges straight into the store
+    * from its own task (shrink-then-merge, no driver round-trip — the
+    * rows never materialize driver-side). Effectively-once comes from
+    * two pieces: the batch-id high-water mark skips wholesale replays of
+    * committed batches, and row-level latest-wins idempotence absorbs
+    * partial replays of a batch that crashed between partition writes
+    * and commit.
     */
   def upsertSink(events: Dataset[Ev], store: UpsertStore)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.expressions.Window
+    val storeId = store.id // tasks capture the id, not the store
     events.toDF().writeStream.outputMode(OutputMode.Update)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts").desc, col("event_id").desc)
-        val latest = batch
-          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .select(col("user_id"), unix_micros(col("ts")).as("us"),
-            col("event_id"), col("value"))
-          .collect() // one row per key per batch — bounded by keyset
-          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-        store.merge(batchId, latest.toIndexedSeq)
+        // replay gate: a transactional sink reads its committed version
+        if (batchId > store.lastBatch) {
+          val w = Window.partitionBy(col("user_id"))
+            .orderBy(col("ts").desc, col("event_id").desc)
+          batch
+            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+            .select(col("user_id"), unix_micros(col("ts")).as("us"),
+              col("event_id"), col("value"))
+            .foreachPartition { (part: Iterator[org.apache.spark.sql.Row]) =>
+              UpsertStore.get(storeId).mergePartition(part.map(r =>
+                (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))))
+            }
+          store.commit(batchId)
+        }
         ()
       }
   }

@@ -146,6 +146,29 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(compact >= 1)
   }
 
+  test("M8b approx profile: distincts within 5% of exact, rest identical") {
+    val d = sf("sf0.01")
+    val exact = graft.operators.PipelineOps
+      .queries("m8_profile")(spark, d).collect()(0)
+    val approx = graft.operators.PipelineOps
+      .queries("m8b_profile_approx")(spark, d).collect()(0)
+    for (c <- Seq("o_orderstatus_distinct", "o_custkey_distinct",
+        "o_orderpriority_distinct")) {
+      val e = exact.getAs[Long](c).toDouble
+      val a = approx.getAs[Long](c).toDouble
+      assert(math.abs(a - e) <= 0.05 * e + 1, s"$c exact=$e approx=$a")
+    }
+    for (c <- Seq("n_rows", "o_orderstatus_nonnull", "o_custkey_nonnull",
+        "o_orderpriority_nonnull")) {
+      assert(exact.getAs[Long](c) === approx.getAs[Long](c), c)
+    }
+    for (c <- Seq("o_orderstatus_min", "o_orderstatus_max",
+        "o_custkey_min", "o_custkey_max",
+        "o_orderpriority_min", "o_orderpriority_max")) {
+      assert(exact.getAs[String](c) === approx.getAs[String](c), c)
+    }
+  }
+
   test("multimodal stubs: resize shapes payloads, frame sampler strides") {
     val payload = Array.tabulate[Byte](100)(_.toByte)
     assert(Multimodal.resizeStub(payload, 8, 4).length === 32)
