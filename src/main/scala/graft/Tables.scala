@@ -40,7 +40,14 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/events.parquet")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  /** documents loads through [[fanOut]]: every consumer runs CPU-heavy
+    * per-row text work (tokenize/shingle/regex/hash), which a one-row-
+    * group fixture file would otherwise serialize onto a single task.
+    * Filters and pruning still push past the repartition to the scan
+    * (PushDownPredicates handles RepartitionByExpression). */
+  def documents(s: SparkSession, d: String): DataFrame =
+    fanOut(load(s, d, "documents"),
+      org.apache.spark.sql.functions.col("doc_id"))
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** Small-input fan-out guard for CPU-heavy per-row transforms (shingle
