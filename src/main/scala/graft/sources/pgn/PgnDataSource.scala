@@ -48,7 +48,10 @@ private[pgn] class PgnTable(path: String) extends Table
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder =
-    new PgnScanBuilder(path)
+    // files above splitSize are planned as boundary-aligned byte ranges
+    // (PgnBatch.planInputPartitions); 128 MB default mirrors
+    // spark.sql.files.maxPartitionBytes
+    new PgnScanBuilder(path, options.getLong("splitSize", 128L << 20))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {

@@ -42,6 +42,15 @@ class RegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("bench short keys (id prefix before first '_') are unique") {
+    // Bench's final stdout line must fit the driver's 2000-char tail, so
+    // it keys the per-query map by the id prefix (`l2c_shingle_jaccard`
+    // → `l2c`). A collision would silently merge two timings.
+    val shorts = SparkEntry.queries.keys.toSeq.map(_.takeWhile(_ != '_'))
+    val dups = shorts.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"colliding bench short keys: ${dups.mkString(", ")}")
+  }
+
   test("module spot-check: RegistrySpec knows every SparkEntry module") {
     // if a new module is added to SparkEntry but not here, the key-count
     // equality above would miss its internal duplicates — pin the count
