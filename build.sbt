@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked program stdout goes straight through instead of via the sbt
+// logger: keeps Bench's final JSON line free of the "[info] " prefix the
+// driver-side artifact parser would choke on.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,5 +30,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // 24g default: local[32] means 32 concurrent tasks sharing one heap;
+  // at 8g the round-1/2 bench runs spent more time in G1 allocation
+  // stalls than in queries (pass sums 479→189→72 s across identical
+  // passes at 8g vs 121→66 s at 24g, /tmp GC logs round 3). The
+  // production twin is ordinary executor sizing — ~0.75g/task-slot.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+) ++ sys.env.get("GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))
