@@ -51,16 +51,19 @@ object Similarity {
         round(dotCol(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("sim"))
   }
 
-  /** Deterministic random hyperplanes for the LSH signature. */
-  private val NumPlanes = 12
-  private lazy val planes: Seq[Seq[Double]] = {
+  /** Deterministic random hyperplanes for the LSH signatures: enough
+    * for `tables × bits` sign tests at 64 dims (seeded — reruns and the
+    * recall spec see identical buckets).
+    */
+  private def planes(n: Int): Seq[Seq[Double]] = {
     val rng = new scala.util.Random(42)
-    Seq.fill(NumPlanes)(Seq.fill(64)(rng.nextGaussian()))
+    Seq.fill(n)(Seq.fill(64)(rng.nextGaussian()))
   }
 
-  private def bucketCol(emb: Column): Column =
-    planes.zipWithIndex.map { case (hp, j) =>
-      when(dotCol(emb, typedlit(hp)) > 0, lit(1 << j)).otherwise(lit(0))
+  /** One bucket id from `bits` consecutive hyperplane sign tests. */
+  private def bucketCol(emb: Column, hp: Seq[Seq[Double]]): Column =
+    hp.zipWithIndex.map { case (p, j) =>
+      when(dotCol(emb, typedlit(p)) > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
   /** One embedding row for the broadcast kernel (public: Catalyst's
@@ -387,24 +390,49 @@ object Similarity {
     else blockTopK(embeddings, k)
   }
 
-  /** ANN top-k via random-hyperplane LSH buckets (public for specs). */
-  def annTopK(embeddings: DataFrame, k: Int): DataFrame = {
-    {
-      val v = vecs(embeddings).withColumn("bucket", bucketCol(col("emb")))
-      val a = v.select(col("vec_id").as("id_a"), col("emb").as("ea"),
-        col("norm").as("na"), col("bucket"))
-      val b = v.select(col("vec_id").as("id_b"), col("emb").as("eb"),
-        col("norm").as("nb"), col("bucket"))
-      val w = Window.partitionBy(col("id_a"))
-        .orderBy(col("sim").desc, col("id_b"))
-      a.join(b, Seq("bucket")).filter(col("id_a") =!= col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          round(dotCol(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("sim"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= k)
-        .select(col("id_a").as("vec_id"), col("id_b").as("neighbor"),
-          col("sim"), col("rn"))
-    }
+  /** ANN top-k via MULTI-TABLE random-hyperplane LSH (public for
+    * specs): `tables` independent `bits`-bit signatures; a pair is a
+    * candidate when it co-buckets in ANY table (union recall
+    * 1−(1−p^bits)^tables for per-plane agreement p), deduped once, then
+    * exact-cosine scored and top-k ranked. The single 12-bit-table
+    * variant of rounds 1-2 had recall@3 ≈ 0.004 on the fixture's
+    * near-orthogonal embeddings — one table is a candidate FILTER, not
+    * a search structure; the table count is the standard recall dial
+    * (recall@3 0.004 → ~0.5 at 16×8 on the same data, RECALL_r{N}).
+    *
+    * Scale shape: candidate generation is `tables` equi-shuffles on
+    * (table, bucket); `bits` grows with log(corpus) to keep per-bucket
+    * width flat, `tables` buys recall linearly in cost. The dedup'd
+    * candidate set (≪ n² by construction) re-joins embeddings by id —
+    * two id-keyed shuffles — so full vectors never ride the bucket
+    * explosion.
+    */
+  def annTopK(embeddings: DataFrame, k: Int, bits: Int = 8,
+      tables: Int = 16): DataFrame = {
+    val hp = planes(tables * bits)
+    val v = vecs(embeddings)
+    // all `tables` bucket ids in one array column, exploded to
+    // (t, bucket): one pass over the vector computes every signature
+    val sig = v.select(col("vec_id"),
+      posexplode(array((0 until tables).map(t =>
+        bucketCol(col("emb"), hp.slice(t * bits, (t + 1) * bits))): _*))
+        .as(Seq("t", "bucket")))
+    val cand = sig.select(col("t"), col("bucket"), col("vec_id").as("id_a"))
+      .join(sig.select(col("t"), col("bucket"), col("vec_id").as("id_b")),
+        Seq("t", "bucket"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val a = v.select(col("vec_id").as("id_a"), col("emb").as("ea"), col("norm").as("na"))
+    val b = v.select(col("vec_id").as("id_b"), col("emb").as("eb"), col("norm").as("nb"))
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("sim").desc, col("id_b"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(dotCol(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("id_a").as("vec_id"), col("id_b").as("neighbor"),
+        col("sim"), col("rn"))
   }
 
   /** IVF (inverted-file) ANN — the learned-bucket scale path next to the
