@@ -40,7 +40,10 @@ object Recall {
     val entries = variants.map { case (name, df) =>
       val got = pairs(df)
       val recall = if (exact.isEmpty) 0.0 else (got & exact).size.toDouble / exact.size
-      f""""$name":{"recall_at_$k":$recall%.4f,"hits":${(got & exact).size},"returned":${got.size}}"""
+      // Locale.ROOT: f"%.4f" under a comma-decimal default locale
+      // (de_DE etc.) would emit invalid JSON
+      val r4 = String.format(java.util.Locale.ROOT, "%.4f", Double.box(recall))
+      s""""$name":{"recall_at_$k":$r4,"hits":${(got & exact).size},"returned":${got.size}}"""
     }
     val json = s"""{"sf":"$sfDir","k":$k,"exact_pairs":${exact.size},""" +
       entries.mkString("", ",", "}")

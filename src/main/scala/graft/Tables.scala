@@ -58,9 +58,23 @@ object Tables {
     * definition tiny (it fit in fewer splits than cores). At 100 TB the
     * scan itself yields thousands of splits and this is an explicit no-op,
     * so no production-scale data ever takes the extra shuffle.
+    *
+    * Planned parallelism is ESTIMATED from optimizer statistics
+    * (ceil(sizeInBytes / maxPartitionBytes) — the same arithmetic file
+    * split planning uses, minus small-file packing, which only makes the
+    * estimate lower and the guard more willing to fan out). The previous
+    * probe, `df.rdd.getNumPartitions`, forced physical planning + RDD
+    * lineage construction on every documents()/orders() load; stats are
+    * available from the optimized logical plan without either. Leaves
+    * without real stats default to Long.MaxValue sizeInBytes and fall
+    * through to the no-op branch — correct, since fanOut is only applied
+    * to file scans, and an unknown-size input should not pay a shuffle.
     */
   def fanOut(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target, key) else df
+    val maxSplit = BigInt(df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val plannedSplits = (bytes + maxSplit - 1) / maxSplit
+    if (plannedSplits < target) df.repartition(target, key) else df
   }
 }

@@ -332,13 +332,22 @@ object Dedup {
       .select(col("doc_id"), size(col("arr")).as("n_sh"), col("arr"))
       .select(col("doc_id"), col("n_sh"), explode(col("arr")).as("sh_str"))
       .select(col("doc_id"), col("n_sh"), xxhash64(col("sh_str")).as("sh"))
-      .cache() // feeds the DF agg, the kept-set build, and the fallback
-    // distinct shingles with corpus DF <= maxDf: small by construction
-    // (bounded by the distinct-shingle count) -> broadcast the filter
-    // (with its DF, which is also the prefix ordering key)
-    val keep = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // Corpus DF per shingle as a count window over the explode — ONE
+    // shuffle keyed on sh, computed in the same job as everything below.
+    // Round 3 instead ran a separate groupBy(sh) aggregation and JOINED
+    // the explode against a driver-collected BROADCAST of the kept set;
+    // that cost an extra pass over the (then-cached) explode plus a
+    // driver round-trip per invocation — and could never scale anyway:
+    // under a Zipf vocabulary "DF ≤ 100" keeps nearly every distinct
+    // shingle, so the broadcast side GROWS with the corpus. The window
+    // form's shuffle is the same key the candidate join needs, stays
+    // executor-side, and is count-only (no array building), so even a
+    // hot head-of-Zipf shingle is a linear scan on its task before the
+    // filter drops it.
+    val shF = sh
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
       .filter(col("df") <= maxDf)
-    val shF = sh.join(broadcast(keep), "sh")
     // per-doc kept set in global (df, sh) order; prefix = the slice the
     // theorem needs for threshold prefixT. n_sh (FULL distinct-shingle
     // count) rides along for the score denominator, nk = |kept| for the
@@ -353,7 +362,7 @@ object Dedup {
         slice(col("kept"), lit(1),
           (floor(size(col("kept")) * (1 - prefixT)) + 1).cast(IntegerType))
           .as("pfx"))
-      .cache() // feeds candidate gen and both verify sides
+      .cache() // feeds candidate gen, both verify sides, and the fallback
     // candidate generation with the two standard exact prunes on top of
     // the prefix theorem (cuts 118k → ~3k candidate pairs at sf0.1):
     //  - length filter: J_kept ≥ T ⇒ min(nk1,nk2) ≥ T·max(nk1,nk2)
@@ -396,8 +405,14 @@ object Dedup {
     } else {
       // certificate failed (corpus has < k pairs above prefixT): exact
       // full co-occurrence join, pair groupBy keyed on (d1,n1,d2,n2) so
-      // jaccard divides in place with no sizes re-join.
-      val f = sh.join(broadcast(keep.select(col("sh"))), "sh")
+      // jaccard divides in place with no sizes re-join. The kept-shingle
+      // explode is re-derived from the already-cached docSets (kept
+      // arrays carry exactly the DF-filtered shingles), so this branch
+      // re-reads a 1-row-per-doc cache instead of re-running the
+      // scan+shingle pipeline — and the certificate path pays no cache
+      // for an input only this rare branch would reuse.
+      val f = docSets.select(col("doc_id"), col("n_sh"),
+        explode(col("kept")).as("sh"))
       f.select(col("sh"), col("doc_id").as("d1"), col("n_sh").as("n1"))
         .join(f.select(col("sh"), col("doc_id").as("d2"), col("n_sh").as("n2")), "sh")
         .filter(col("d1") < col("d2"))

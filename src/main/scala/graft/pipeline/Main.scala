@@ -23,6 +23,12 @@ import java.nio.file.Paths
 object Main {
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("run")
+    if (!Set("extract", "transform", "run").contains(mode)) {
+      // a typo'd subcommand must not exit 0 looking like a successful
+      // no-op in the container entrypoint
+      System.err.println(s"unknown mode '$mode'; usage: Main [extract|transform|run] [config.yml]")
+      sys.exit(2)
+    }
     val cfg = args.drop(1).headOption
       .orElse(Option("config/etl_config.yml")
         .filter(p => java.nio.file.Files.exists(Paths.get(p))))

@@ -152,7 +152,11 @@ private[pgn] object PgnSplitReader {
     val ch = java.nio.channels.FileChannel.open(
       java.nio.file.Paths.get(file), java.nio.file.StandardOpenOption.READ)
     try {
-      val size = ch.size()
+      // var, not val: if the file is truncated after ch.size() is
+      // sampled, a short read marks the new EOF here — otherwise the
+      // cEnd loop below (whose only exit is `pos >= size`) would spin
+      // on a position that can never advance.
+      var size = ch.size()
       // Read from start-1 so a boundary at exactly `start` is visible as
       // preceded-by-'\n' (the previous split cuts at that same newline).
       val readFrom = if (start == 0L) 0L else start - 1
@@ -164,7 +168,7 @@ private[pgn] object PgnSplitReader {
           val want = math.min(Chunk.toLong, math.min(target, size) - pos).toInt
           val bb = java.nio.ByteBuffer.allocate(want)
           val n = ch.read(bb, pos)
-          if (n <= 0) return
+          if (n <= 0) { size = pos; return } // concurrent truncation: treat as EOF
           buf.write(bb.array(), 0, n)
           pos += n
         }

@@ -68,8 +68,11 @@ def main():
         else:
             uncovered.append(name)
             print(f"| {name} | {s:.3f} | — | rows-only | {rtxt} |")
+    # guard: with zero oracle-covered queries (or all-error DuckDB runs)
+    # tot_d stays 0.0 — print the table without a ratio instead of dying
+    tot_ratio = f"{tot_s/tot_d:.1f}×" if tot_d > 0 else "—"
     print(f"| **oracle-covered total** | **{tot_s:.1f}** | **{tot_d:.1f}** "
-          f"| **{tot_s/tot_d:.1f}×** | |")
+          f"| **{tot_ratio}** | |")
     print(f"\n{len(uncovered)} rows-only entries (no SQL oracle): "
           + " ".join(uncovered), file=sys.stderr)
 
