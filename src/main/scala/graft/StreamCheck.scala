@@ -1,0 +1,245 @@
+package graft
+
+import graft.streaming.Streams
+import graft.streaming.Streams.Ev
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming round artifact (VERDICT r3 stretch #8): the T1–T10 family
+  * is spec-only in the driver's correctness gate (no SQL oracle can
+  * express a MemoryStream scenario), so this main re-runs each spec
+  * scenario end-to-end and emits STREAM_r{N}.json — per-scenario pass,
+  * rows emitted, micro-batches run, replay-gate hits — the same way
+  * RECALL_r{N}.json makes the ANN quality machine-checkable.
+  *
+  *   sbt "runMain graft.StreamCheck STREAM_r04.json"
+  *
+  * Scenarios mirror StreamingSpec verbatim (same inputs, same expected
+  * outputs); a scenario is `ok` iff the spec's assertion holds here.
+  */
+object StreamCheck {
+
+  private def ts(min: Int, sec: Int = 0): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+
+  private def ev(id: Long, min: Int, sec: Int = 0, user: Long = 1L,
+      typ: String = "click", value: Double = 1.0): Ev =
+    Ev(id, ts(min, sec), user, typ, value)
+
+  /** One scenario result: pass flag + counters for the artifact. */
+  private case class Res(ok: Boolean, rows: Long, batches: Long)
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("STREAM.json")
+    val spark = Tuning(SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def run(df: org.apache.spark.sql.DataFrame, name: String,
+        mode: String, feeds: Seq[() => Unit]): (Long, Long) = {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).start()
+      feeds.foreach { f => f(); q.processAllAvailable() }
+      val batches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(0L)
+      q.stop()
+      (spark.table(name).count(), batches)
+    }
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Res]
+    def scenario(name: String)(body: => Res): Unit =
+      results(name) = try body catch {
+        case e: Throwable =>
+          System.err.println(s"[stream] $name failed: ${e.getMessage}")
+          Res(ok = false, rows = -1, batches = -1)
+      }
+
+    scenario("t1_file_exactly_once") {
+      val dir = java.nio.file.Files.createTempDirectory("sc_t1_in")
+      val ckpt = java.nio.file.Files.createTempDirectory("sc_t1_ckpt").toString
+      val outDir = java.nio.file.Files.createTempDirectory("sc_t1_out").toString
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.StringType)))
+      def write(name: String, lines: Seq[String]): Unit =
+        java.nio.file.Files.write(dir.resolve(name), lines.mkString("\n").getBytes)
+      def runOnce(): Long = {
+        val q = Streams.fileStream(spark, dir.toString, schema)
+          .writeStream.format("json").option("path", outDir)
+          .option("checkpointLocation", ckpt).outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        spark.read.schema(schema).json(outDir).count()
+      }
+      write("a.ndjson", Seq("""{"id":"g1"}""", """{"id":"g2"}"""))
+      val first = runOnce()
+      write("b.ndjson", Seq("""{"id":"g3"}"""))
+      val second = runOnce() // 3, not 5: only the new file was read
+      Res(first == 2 && second == 3, second, 2)
+    }
+
+    scenario("t2_tumbling") {
+      val in = MemoryStream[Ev](spark)
+      val (rows, batches) = run(Streams.tumblingCounts(in.toDF(), "1 minute"),
+        "sc_t2", "complete", Seq(() => in.addData(
+          ev(1, 0), ev(2, 0), ev(3, 1), ev(4, 2, typ = "view"))))
+      val got = spark.table("sc_t2")
+        .select(date_format($"w_start", "HH:mm"), $"event_type", $"n")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      Res(got == Set(("10:00", "click", 2L), ("10:01", "click", 1L),
+        ("10:02", "view", 1L)), rows, batches)
+    }
+
+    scenario("t3_sliding") {
+      val in = MemoryStream[Ev](spark)
+      val (rows, batches) = run(
+        Streams.slidingCounts(in.toDF(), "5 minutes", "1 minute"),
+        "sc_t3", "complete", Seq(() => in.addData(ev(1, 2, sec = 30))))
+      Res(rows == 5, rows, batches) // one event → width/slide = 5 windows
+    }
+
+    scenario("t4_session_windows") {
+      val batch = Seq(ev(1, 0), ev(2, 1), ev(3, 5)).toDF()
+      val got = Streams.sessionCounts(batch, "2 minutes")
+        .select(date_format($"s_start", "HH:mm"), $"n")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      Res(got == Set(("10:00", 2L), ("10:05", 1L)), got.size.toLong, 1)
+    }
+
+    scenario("t5_watermark_drops_late") {
+      val in = MemoryStream[Ev](spark)
+      val (rows, batches) = run(
+        Streams.watermarkedCounts(in.toDF(), "10 minutes", "1 minute"),
+        "sc_t5", "append", Seq(
+          () => in.addData(ev(1, 0)),
+          () => in.addData(ev(2, 30)), // watermark → 10:20
+          () => in.addData(ev(3, 1)),  // late: dropped
+          () => in.addData(ev(4, 40))))
+      val finalized = spark.table("sc_t5")
+        .select(date_format($"w_start", "HH:mm"), $"n")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      Res(finalized.get("10:00").contains(1L) && !finalized.contains("10:01"),
+        rows, batches)
+    }
+
+    scenario("t6_dedup_within_watermark") {
+      val in = MemoryStream[Ev](spark)
+      val (rows, batches) = run(
+        Streams.dedupWithinWatermark(in.toDF(), "10 minutes"),
+        "sc_t6", "append", Seq(
+          () => in.addData(ev(1, 0), ev(1, 0), ev(2, 1)),
+          () => in.addData(ev(1, 2)))) // cross-batch duplicate
+      val ids = spark.table("sc_t6").select("event_id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      Res(ids == Seq(1L, 2L), rows, batches)
+    }
+
+    scenario("t7_stateful_sessionize") {
+      val in = MemoryStream[Ev](spark)
+      val q = Streams.sessionize(in.toDS(), timeoutMs = 0)
+        .writeStream.format("memory").queryName("sc_t7")
+        .outputMode("append").start()
+      in.addData(ev(1, 0, 0, 7L), ev(2, 1, 0, 7L), ev(3, 1, 0, 9L))
+      q.processAllAvailable()
+      in.addData(ev(4, 2, 0, 7L))
+      q.processAllAvailable()
+      val batches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(0L)
+      q.stop()
+      val emits = spark.table("sc_t7").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toList
+      Res(emits.contains((7L, 2L)) && emits.contains((7L, 3L)) &&
+        emits.contains((9L, 1L)), emits.size.toLong, batches)
+    }
+
+    scenario("t8_interval_join") {
+      val pIn = MemoryStream[Ev](spark)
+      val cIn = MemoryStream[Ev](spark)
+      val q = Streams.intervalJoin(pIn.toDF(), cIn.toDF(),
+          watermark = "10 minutes", interval = "10 minutes")
+        .writeStream.format("memory").queryName("sc_t8")
+        .outputMode("append").start()
+      cIn.addData(ev(100, 0), ev(101, 25))
+      pIn.addData(ev(1, 5, typ = "purchase"), ev(2, 30, typ = "purchase"))
+      q.processAllAvailable()
+      val batches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(0L)
+      q.stop()
+      val got = spark.table("sc_t8").select($"p_id", $"c_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      Res(got == Set((1L, 100L), (2L, 101L)), got.size.toLong, batches)
+    }
+
+    scenario("t8b_interval_join_left_outer") {
+      val pIn = MemoryStream[Ev](spark)
+      val cIn = MemoryStream[Ev](spark)
+      val q = Streams.intervalJoinLeftOuter(pIn.toDF(), cIn.toDF(),
+          watermark = "5 minutes", interval = "10 minutes")
+        .writeStream.format("memory").queryName("sc_t8b")
+        .outputMode("append").start()
+      cIn.addData(ev(100, 0))
+      pIn.addData(ev(1, 5, typ = "purchase"), ev(2, 30, typ = "purchase"))
+      q.processAllAvailable()
+      cIn.addData(ev(998, 55)) // advance both watermarks past 30+interval
+      pIn.addData(ev(999, 55, typ = "purchase"))
+      q.processAllAvailable()
+      val batches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(0L)
+      q.stop()
+      val got = spark.table("sc_t8b").select($"p_id", $"c_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      Res(got.contains((1L, 100L)) && got.contains((2L, -1L)),
+        got.size.toLong, batches)
+    }
+
+    var replayGateHits = 0L
+    scenario("t9_upsert_replay_gate") {
+      val store = new Streams.UpsertStore
+      val in = MemoryStream[Ev](spark)
+      val q = Streams.upsertSink(in.toDS(), store)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("sc_t9_ckpt").toString)
+        .start()
+      in.addData(ev(1, 0, 0, 7L, value = 10.0), ev(2, 5, 0, 7L, value = 20.0),
+        ev(3, 1, 0, 9L, value = 30.0))
+      q.processAllAvailable()
+      in.addData(ev(0, 0, 0, 7L, value = 5.0)) // older event: must not win
+      q.processAllAvailable()
+      val batches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(0L)
+      q.stop()
+      val latestWins = store.rows(7L)._2 == 2L && store.rows(7L)._3 == 20.0 &&
+        store.rows(9L)._2 == 3L
+      // replaying an applied batch id must be a no-op
+      val snapshot = store.rows.toMap
+      val replayNoop = !store.merge(store.lastBatch,
+        Seq((7L, 999L, 999L, 99.0))) && store.rows.toMap == snapshot
+      if (replayNoop) replayGateHits += 1
+      Res(latestWins && replayNoop, store.rows.size.toLong, batches)
+    }
+
+    scenario("t10_stream_static_enrich") {
+      val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+      val in = MemoryStream[Ev](spark)
+      val (rows, batches) = run(Streams.enrich(in.toDF(), dim, "user_id"),
+        "sc_t10", "append", Seq(() => in.addData(
+          ev(1, 0, user = 1L), ev(2, 1, user = 2L), ev(3, 2, user = 9L))))
+      val got = spark.table("sc_t10").select($"event_id", $"tier").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      Res(got == Set((1L, "gold"), (2L, "basic")), rows, batches)
+    }
+
+    val passed = results.values.count(_.ok)
+    val entries = results.map { case (name, r) =>
+      s""""$name":{"ok":${r.ok},"rows":${r.rows},"batches":${r.batches}}"""
+    }
+    val json = s"""{"scenarios":${results.size},"passed":$passed,""" +
+      s""""replay_gate_hits":$replayGateHits,""" +
+      entries.mkString("", ",", "}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
+    println(json)
+    spark.stop()
+    if (passed != results.size) sys.exit(1)
+  }
+}

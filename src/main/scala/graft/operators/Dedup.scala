@@ -372,13 +372,25 @@ object Dedup {
     //    boundary-exact candidate from being dropped by double rounding;
     //    it can never admit a false "maybe" below the true bound because
     //    adjacent feasible values differ by ≥ 1/(1+T).
+    // Small-corpus broadcast gate (plan-time statistics, no count job —
+    // the exactTopK pattern): under ~32 MB of scanned document bytes
+    // (≈ 100k docs) the prefix explode and the kept-set dims are a few
+    // MB, so broadcasting them turns the candidate self-join and both
+    // verify joins into broadcast-hash joins — the only shuffles left in
+    // the tail are the cheap distinct over candidate pairs (bench: tail
+    // 2.0 s → ~0.3 s at sf0.1). Above the gate the sides grow with the
+    // corpus, so the plain equi-shuffle shape (which is what scales)
+    // stays untouched.
+    val smallCorpus = Tables.documents(s, d)
+      .queryExecution.optimizedPlan.stats.sizeInBytes <= (32L << 20)
+    def hint(df: DataFrame): DataFrame = if (smallCorpus) broadcast(df) else df
     val pfx = docSets.select(col("doc_id"), col("nk"),
       posexplode(col("pfx")).as(Seq("pos0", "sh")))
     val tt = prefixT / (1 + prefixT)
     val cand = pfx.select(col("sh"), col("doc_id").as("d1"),
         col("nk").as("nk1"), (col("pos0") + 1).as("p1"))
-      .join(pfx.select(col("sh"), col("doc_id").as("d2"),
-        col("nk").as("nk2"), (col("pos0") + 1).as("p2")), "sh")
+      .join(hint(pfx.select(col("sh"), col("doc_id").as("d2"),
+        col("nk").as("nk2"), (col("pos0") + 1).as("p2"))), "sh")
       .filter(col("d1") < col("d2"))
       .filter(col("nk1") >= lit(prefixT) * col("nk2") - lit(1e-9) &&
               col("nk2") >= lit(prefixT) * col("nk1") - lit(1e-9))
@@ -386,10 +398,10 @@ object Dedup {
         >= lit(tt) * (col("nk1") + col("nk2")) - lit(1e-9))
       .select(col("d1"), col("d2")).distinct()
     val candTop = cand
-      .join(docSets.select(col("doc_id").as("d1"), col("n_sh").as("n1"),
-        col("kept").as("k1")), "d1")
-      .join(docSets.select(col("doc_id").as("d2"), col("n_sh").as("n2"),
-        col("kept").as("k2")), "d2")
+      .join(hint(docSets.select(col("doc_id").as("d1"), col("n_sh").as("n1"),
+        col("kept").as("k1"))), "d1")
+      .join(hint(docSets.select(col("doc_id").as("d2"), col("n_sh").as("n2"),
+        col("kept").as("k2"))), "d2")
       .select(col("d1"), col("d2"),
         size(array_intersect(col("k1"), col("k2"))).as("inter"),
         col("n1"), col("n2"))

@@ -112,9 +112,13 @@ object PipelineOps {
     // M7: small-file compaction — the maintenance job every long-lived
     // partitioned dataset needs: a fragmented table (here: deliberately
     // written at 32-way parallelism, so ~32 files of a few KB each) is
-    // rewritten into size-targeted files via repartition. At 100 TB the
-    // target count comes from bytes/128MB; the fixture asserts the
-    // mechanism (file count collapses, values identical) not the bytes.
+    // rewritten into size-targeted files via repartition. The target
+    // count comes from the FILE LISTING's byte size (ceil(bytes/128 MB)
+    // — metadata the compactor already has), not a count() job: sizing
+    // by rows would pay one extra full scan per compaction and still
+    // guess at bytes/row. The fixture asserts the mechanism (file count
+    // collapses, values identical); at 100 TB the same arithmetic yields
+    // ~800k 128 MB files.
     "m7_compact" -> ((s, d) => {
       val frag = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"), "graft_m7_fragmented").toString
@@ -123,8 +127,10 @@ object PipelineOps {
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       ev.repartition(32).write.mode("overwrite").parquet(frag)
+      val bytes = new java.io.File(frag).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.length).sum
       val target = math.max(1,
-        (s.read.parquet(frag).count() / 500000L).toInt) // ~500k rows/file
+        math.ceil(bytes / (128.0 * 1024 * 1024)).toInt)
       s.read.parquet(frag).repartition(target)
         .write.mode("overwrite").parquet(compact)
       s.read.parquet(compact)

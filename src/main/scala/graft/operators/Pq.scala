@@ -13,11 +13,14 @@ import org.apache.spark.sql.functions._
   * deterministic sample) maps every subvector to one byte. A 64-float
   * embedding becomes `m` bytes — 32× smaller — which is what makes a
   * 100 TB embedding corpus hold an in-memory index at all: the ENCODED
-  * corpus broadcasts (m+8 bytes/vector ≈ 1.6 GB per 100M vectors)
-  * where raw vectors never could. Search is asymmetric (ADC): the query
-  * stays full precision, a per-query lookup table of subspace·centroid
-  * dots turns each candidate's score into m table lookups, and exact
-  * re-ranking of the PQ top-`rerank` candidates restores precision.
+  * corpus broadcasts (m+8 bytes/vector ≈ 800 MB per 50M vectors) where
+  * raw vectors never could, and beyond the broadcast gate the index
+  * SHARDS into hash blocks searched via a cogroup (see [[pqTopK]] —
+  * no driver-side corpus materialization at any size). Search is
+  * asymmetric (ADC): the query stays full precision, a per-query
+  * lookup table of subspace·centroid dots turns each candidate's score
+  * into m table lookups, and exact re-ranking of the PQ top-`rerank`
+  * candidates restores precision.
   */
 object Pq {
 
@@ -105,15 +108,88 @@ object Pq {
     }.toDF("vec_id", "code")
   }
 
-  /** ADC top-k with exact re-rank: PQ-score the whole encoded corpus per
-    * query (m lookups/candidate against a per-query LUT), take the best
-    * `rerank`, re-rank those exactly. The broadcast is the ENCODED
-    * corpus — the 32×-compressed index that fits where raw vectors
-    * don't; the raw-vector join for re-ranking touches only
-    * queries × rerank rows.
+  /** A PQ code assigned to a shard of the partitioned index. */
+  final case class CodeRow(blk: Int, vec_id: Long, code: Array[Byte])
+  /** A query replicated to one index shard (unit-normalized emb). */
+  final case class QueryRow(blk: Int, vec_id: Long, emb: Array[Double])
+  /** One PQ-scored candidate before the exact re-rank. */
+  final case class PqCand(vec_id: Long, neighbor: Long, score: Double)
+
+  /** LUT(s)(c) = dot(q_s, centroid_{s,c}) → PQ score of a code is
+    * Σ_s LUT(s)(code_s): m table lookups instead of a dim-length dot.
+    */
+  private def buildLut(b: Codebook, emb: Array[Double]): Array[Array[Double]] =
+    Array.tabulate(b.m) { s =>
+      val off = s * b.dsub
+      Array.tabulate(b.ksub) { c =>
+        var d = 0.0; var i = 0
+        val cent = b.centroids(s)(c)
+        while (i < cent.length) { d += emb(off + i) * cent(i); i += 1 }
+        d
+      }
+    }
+
+  /** Scan a code block for one query, keeping a running top-`rerank`
+    * by PQ score (score desc, id asc on ties — deterministic across
+    * both index layouts).
+    */
+  private def scanBlock(b: Codebook, lut: Array[Array[Double]],
+      codes: Array[(Long, Array[Byte])], self: Long,
+      rerank: Int): java.util.ArrayList[(Double, Long)] = {
+    val best = new java.util.ArrayList[(Double, Long)](rerank + 1)
+    var i = 0
+    while (i < codes.length) {
+      val (id, code) = codes(i)
+      if (id != self) {
+        var score = 0.0; var s = 0
+        while (s < b.m) { score += lut(s)(code(s) & 0xff); s += 1 }
+        var pos = best.size()
+        while (pos > 0 && {
+          val (ps, pid) = best.get(pos - 1)
+          ps < score || (ps == score && pid > id)
+        }) pos -= 1
+        if (pos < rerank) {
+          best.add(pos, (score, id))
+          if (best.size() > rerank) best.remove(rerank)
+        }
+      }
+      i += 1
+    }
+    best
+  }
+
+  /** ADC top-k with exact re-rank: PQ-score the corpus per query
+    * (m lookups/candidate against a per-query LUT), take the best
+    * `rerank`, re-rank those exactly. The raw-vector join for
+    * re-ranking touches only queries × rerank rows on either path.
+    *
+    * Index layout is gated on the corpus size (plan-time Catalyst
+    * statistics — same pattern as [[Similarity.exactTopK]], no count
+    * job; the byte fallback only over-estimates, erring toward the
+    * sharded path):
+    *  - ≤ `broadcastLimit` vectors: the ENCODED corpus (m+8 B/vector,
+    *    32× smaller than raw — ~800 MB at 50M vectors) broadcasts once
+    *    and queries stream through it. This is the classic single-node
+    *    PQ index, and it reaches ~10⁸ vectors where raw vectors never
+    *    could.
+    *  - above it: the index SHARDS — codes hash into `nBlocks` blocks,
+    *    each query visits every block via a cogroup on the block id
+    *    (the LUT is built per (query, block) task-side; only
+    *    block-local top-`rerank` candidate ids leave the task), and a
+    *    global top-`rerank` merge over ≤ nBlocks·rerank rows per query
+    *    feeds the same exact re-rank. No driver-side materialization of
+    *    the corpus at any size; parallelism is bounded by nBlocks —
+    *    size it ≥ cluster cores at scale, exactly as a sharded ANN
+    *    service does.
+    *
+    * Both paths rank PQ scores (desc, id asc), so under equal ties the
+    * sharded path's global merge selects the same candidate set the
+    * broadcast scan does (PqSpec asserts result equality at fixture
+    * scale).
     */
   def pqTopK(embeddings: DataFrame, k: Int, m: Int = 8, ksub: Int = 16,
-      rerank: Int = 32): DataFrame = {
+      rerank: Int = 32, broadcastLimit: Long = 50000000L,
+      nBlocks: Int = 32): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val cbOpt = train(embeddings, m, ksub)
@@ -121,41 +197,52 @@ object Pq {
       return Seq.empty[(Long, Long, Double, Int)].toDF("vec_id", "neighbor", "sim", "rn")
     val cb = cbOpt.get
     val bcCb = spark.sparkContext.broadcast(cb)
-    val encoded = encode(embeddings, cb)
-      .as[(Long, Array[Byte])].collect() // m+8 bytes per vector: the index
-    val bcCodes = spark.sparkContext.broadcast(encoded)
 
-    val candidates = unitVecs(embeddings).flatMap { q =>
-      val b = bcCb.value
-      // LUT(s)(c) = dot(q_s, centroid_{s,c}) → PQ score = Σ_s LUT(s)(code_s)
-      val lut = Array.tabulate(b.m) { s =>
-        val off = s * b.dsub
-        Array.tabulate(b.ksub) { c =>
-          var d = 0.0; var i = 0
-          val cent = b.centroids(s)(c)
-          while (i < cent.length) { d += q.emb(off + i) * cent(i); i += 1 }
-          d
+    val stats = embeddings.queryExecution.optimizedPlan.stats
+    val n = stats.rowCount.map(_.toLong)
+      .getOrElse(stats.sizeInBytes.toLong / 64L)
+
+    val candidates: DataFrame =
+      if (n <= broadcastLimit) {
+        val encoded = encode(embeddings, cb)
+          .as[(Long, Array[Byte])].collect() // gate-bounded: the index
+        val bcCodes = spark.sparkContext.broadcast(encoded)
+        unitVecs(embeddings).flatMap { q =>
+          val b = bcCb.value
+          val best = scanBlock(b, buildLut(b, q.emb), bcCodes.value,
+            q.vec_id, rerank)
+          (0 until best.size()).map(r => (q.vec_id, best.get(r)._2))
+        }.toDF("vec_id", "neighbor")
+      } else {
+        // sharded index: codes → nBlocks blocks, queries visit each
+        val codes = encode(embeddings, cb)
+          .select(pmod(xxhash64(col("vec_id")), lit(nBlocks))
+            .cast("int").as("blk"), col("vec_id"), col("code"))
+          .as[CodeRow]
+        val qs = unitVecs(embeddings).flatMap(q =>
+          (0 until nBlocks).map(b => QueryRow(b, q.vec_id, q.emb)))
+        val local = codes.groupByKey(_.blk).cogroup(qs.groupByKey(_.blk)) {
+          (_, cs, queries) =>
+            val cArr = cs.map(c => (c.vec_id, c.code)).toArray
+            queries.flatMap { q =>
+              val b = bcCb.value
+              val best = scanBlock(b, buildLut(b, q.emb), cArr, q.vec_id, rerank)
+              (0 until best.size()).map { r =>
+                val (s2, id2) = best.get(r)
+                PqCand(q.vec_id, id2, s2)
+              }
+            }
         }
+        // global top-rerank merge: ≤ nBlocks·rerank rows per query in,
+        // the same candidate set the broadcast scan would pick out
+        val wPq = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id"))
+          .orderBy(col("score").desc, col("neighbor"))
+        local.toDF()
+          .withColumn("prn", row_number().over(wPq))
+          .filter(col("prn") <= rerank)
+          .select(col("vec_id"), col("neighbor"))
       }
-      val codes = bcCodes.value
-      val best = new java.util.ArrayList[(Double, Long)](rerank + 1)
-      var i = 0
-      while (i < codes.length) {
-        val (id, code) = codes(i)
-        if (id != q.vec_id) {
-          var score = 0.0; var s = 0
-          while (s < b.m) { score += lut(s)(code(s) & 0xff); s += 1 }
-          var pos = best.size()
-          while (pos > 0 && best.get(pos - 1)._1 < score) pos -= 1
-          if (pos < rerank) {
-            best.add(pos, (score, id))
-            if (best.size() > rerank) best.remove(rerank)
-          }
-        }
-        i += 1
-      }
-      (0 until best.size()).map(r => (q.vec_id, best.get(r)._2))
-    }.toDF("vec_id", "neighbor")
 
     // exact re-rank of the surviving candidates only
     val v = Similarity.vecs(embeddings)

@@ -60,16 +60,12 @@ object Similarity {
     Seq.fill(n)(Seq.fill(64)(rng.nextGaussian()))
   }
 
-  /** One bucket id from `bits` consecutive hyperplane sign tests. */
-  private def bucketCol(emb: Column, hp: Seq[Seq[Double]]): Column =
-    hp.zipWithIndex.map { case (p, j) =>
-      when(dotCol(emb, typedlit(p)) > 0, lit(1 << j)).otherwise(lit(0))
-    }.reduce(_ + _)
-
   /** One embedding row for the broadcast kernel (public: Catalyst's
     * generated deserializer can't touch private classes).
     */
   case class VecRow(vec_id: Long, emb: Array[Double], norm: Double)
+  /** One LSH signature row: table id, bucket id, vector id. */
+  case class Sig(t: Int, bucket: Int, vec_id: Long)
   case class Scored(vec_id: Long, neighbor: Long, sim: Double, rn: Int)
   /** A vector tagged with its IVF list (cogroup key). */
   case class ListedVec(list: Int, vec_id: Long, emb: Array[Double], norm: Double)
@@ -390,35 +386,90 @@ object Similarity {
     else blockTopK(embeddings, k)
   }
 
-  /** ANN top-k via MULTI-TABLE random-hyperplane LSH (public for
-    * specs): `tables` independent `bits`-bit signatures; a pair is a
-    * candidate when it co-buckets in ANY table (union recall
-    * 1−(1−p^bits)^tables for per-plane agreement p), deduped once, then
-    * exact-cosine scored and top-k ranked. The single 12-bit-table
-    * variant of rounds 1-2 had recall@3 ≈ 0.004 on the fixture's
-    * near-orthogonal embeddings — one table is a candidate FILTER, not
-    * a search structure; the table count is the standard recall dial
-    * (recall@3 0.004 → ~0.5 at 16×8 on the same data, RECALL_r{N}).
+  /** ANN top-k via MULTI-TABLE, MULTI-PROBE random-hyperplane LSH
+    * (public for specs): `tables` independent `bits`-bit signatures; a
+    * pair is a candidate when a query PROBE co-buckets with a candidate
+    * signature in ANY table, deduped once, then exact-cosine scored and
+    * top-k ranked. Probing is the standard multiprobe refinement (Lv et
+    * al., "Multi-Probe LSH", VLDB 2007): besides its own bucket, each
+    * query probes the buckets reached by flipping the `probeFlips`
+    * sign tests with the smallest |dot| margin — exactly the planes a
+    * true neighbor most plausibly lands on the other side of — so one
+    * probe set buys what ~2^probeFlips extra tables would, without
+    * extra signatures on the indexed side.
     *
-    * Scale shape: candidate generation is `tables` equi-shuffles on
-    * (table, bucket); `bits` grows with log(corpus) to keep per-bucket
-    * width flat, `tables` buys recall linearly in cost. The dedup'd
-    * candidate set (≪ n² by construction) re-joins embeddings by id —
-    * two id-keyed shuffles — so full vectors never ride the bucket
-    * explosion.
+    * Recall on the fixture's near-orthogonal embeddings (RECALL_r{N},
+    * sf0.01, recall@3): one 12-bit table ≈ 0.004 (rounds 1-2 — a
+    * candidate FILTER, not a search structure); 16×8 multi-table 0.30
+    * (round 3); + 2-flip multiprobe is the round-4 dial. Quality gates
+    * live in SimilaritySpec (pinned floor) and RECALL_r{N}.json.
+    *
+    * Scale shape: candidate generation is an equi-shuffle on
+    * (table, bucket) — probe rows ≤ 2^probeFlips per (query, table) and
+    * the indexed side keeps exactly one signature per (vector, table);
+    * `bits` grows with log(corpus) to keep per-bucket width flat,
+    * `tables`/`probeFlips` buy recall. The dedup'd candidate set (≪ n²
+    * by construction) re-joins embeddings by id — two id-keyed
+    * shuffles — so full vectors never ride the bucket explosion.
     */
   def annTopK(embeddings: DataFrame, k: Int, bits: Int = 8,
-      tables: Int = 16): DataFrame = {
-    val hp = planes(tables * bits)
+      tables: Int = 16, probeFlips: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val hp: Array[Array[Double]] = planes(tables * bits).map(_.toArray).toArray
+    val bcH = spark.sparkContext.broadcast(hp)
     val v = vecs(embeddings)
-    // all `tables` bucket ids in one array column, exploded to
-    // (t, bucket): one pass over the vector computes every signature
-    val sig = v.select(col("vec_id"),
-      posexplode(array((0 until tables).map(t =>
-        bucketCol(col("emb"), hp.slice(t * bits, (t + 1) * bits))): _*))
-        .as(Seq("t", "bucket")))
-    val cand = sig.select(col("t"), col("bucket"), col("vec_id").as("id_a"))
-      .join(sig.select(col("t"), col("bucket"), col("vec_id").as("id_b")),
+    val typed = v.select(col("vec_id"), col("emb"), col("norm")).as[VecRow]
+
+    // indexed side: one signature per (vector, table)
+    val sigs = typed.mapPartitions { it =>
+      val h = bcH.value
+      it.flatMap { r =>
+        (0 until tables).map { t =>
+          var bucket = 0; var j = 0
+          while (j < bits) {
+            val p = h(t * bits + j)
+            var d = 0.0; var i = 0
+            val n = math.min(r.emb.length, p.length)
+            while (i < n) { d += r.emb(i) * p(i); i += 1 }
+            if (d > 0) bucket |= (1 << j)
+            j += 1
+          }
+          Sig(t, bucket, r.vec_id)
+        }
+      }
+    }
+
+    // probe side: own bucket + every combination of flipping the
+    // probeFlips lowest-|margin| planes (≤ 2^probeFlips buckets/table)
+    val probes = typed.mapPartitions { it =>
+      val h = bcH.value
+      it.flatMap { r =>
+        (0 until tables).flatMap { t =>
+          val margins = new Array[Double](bits)
+          var bucket = 0; var j = 0
+          while (j < bits) {
+            val p = h(t * bits + j)
+            var d = 0.0; var i = 0
+            val n = math.min(r.emb.length, p.length)
+            while (i < n) { d += r.emb(i) * p(i); i += 1 }
+            if (d > 0) bucket |= (1 << j)
+            margins(j) = math.abs(d)
+            j += 1
+          }
+          val flips = margins.zipWithIndex.sortBy(_._1)
+            .take(math.min(probeFlips, bits)).map(_._2)
+          var buckets = List(bucket)
+          flips.foreach(f => buckets = buckets ++ buckets.map(_ ^ (1 << f)))
+          buckets.map(bk => Sig(t, bk, r.vec_id))
+        }
+      }
+    }
+
+    val cand = probes.toDF()
+      .select(col("t"), col("bucket"), col("vec_id").as("id_a"))
+      .join(sigs.toDF()
+        .select(col("t"), col("bucket"), col("vec_id").as("id_b")),
         Seq("t", "bucket"))
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()

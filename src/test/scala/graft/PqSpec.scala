@@ -42,7 +42,22 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
     val exact = asSet(Similarity.bruteTopK(emb, 3))
     val pq = asSet(Pq.pqTopK(emb, 3, rerank = 32))
     val recall = (pq & exact).size.toDouble / exact.size
-    assert(recall > 0.3, s"recall=$recall")
+    // floor pinned just below the measured value (RECALL_r03 sf0.01:
+    // 0.69) so a codebook/ADC regression fails rather than degrading
+    assert(recall >= 0.6, s"PQ recall@3 regressed: $recall (floor 0.6)")
+  }
+
+  test("sharded-index path equals the broadcast path (gate forced both ways)") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val viaBroadcast = asSet(Pq.pqTopK(emb, 3, rerank = 32,
+      broadcastLimit = Long.MaxValue))
+    // a gate of 0 forces the sharded cogroup path; PQ scores and the
+    // exact re-rank are identical, so results must match exactly
+    val viaShards = asSet(Pq.pqTopK(emb, 3, rerank = 32,
+      broadcastLimit = 0L, nBlocks = 4))
+    assert(viaShards === viaBroadcast)
   }
 
   test("empty corpus yields an empty typed result") {

@@ -32,13 +32,12 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val ann = Similarity.annTopK(emb, 3)
       .select(col("vec_id"), col("neighbor")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // Single-probe LSH over near-orthogonal random embeddings: recall is
-    // modest by construction; the property pinned here is (a) nonzero
-    // overlap and (b) every ANN hit is a genuine co-bucket pair with a
-    // positive-ish similarity, i.e., no garbage results.
+    // Pinned floor just below the measured value (RECALL_r04: multiprobe
+    // 16×8+2-flip) so a regression in the hashing/probing FAILS here —
+    // the round-3 `> 0.0` gate would have passed a broken index.
     val recall = (ann & exact).size.toDouble / exact.size
     assert(ann.nonEmpty, "ANN produced no candidates")
-    assert(recall > 0.0, "ANN found no true top-3 neighbors at all")
+    assert(recall >= 0.45, s"LSH recall@3 regressed: $recall (floor 0.45)")
   }
 
   test("IVF ANN recall@3 beats unclustered probing odds on sf0.001") {
@@ -50,9 +49,10 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       .select(col("vec_id"), col("neighbor")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (ivf & exact).size.toDouble / exact.size
-    // probing 4 of 16 lists blindly would give ~0.25; the learned
-    // quantizer must do meaningfully better
-    assert(recall > 0.3, s"recall=$recall")
+    // probing 4 of 16 lists blindly would give ~0.25; floor pinned just
+    // below the measured value (RECALL_r03 sf0.01: 0.62) so a quantizer
+    // regression fails rather than degrading silently
+    assert(recall >= 0.55, s"IVF recall@3 regressed: $recall (floor 0.55)")
   }
 
   test("cosine fold matches a hand-computed dot product") {
