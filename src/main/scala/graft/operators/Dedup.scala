@@ -24,23 +24,6 @@ object Dedup {
   def docTokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
 
-  /** Word 3-gram shingles (distinct) from a PRE-SPLIT token-array column,
-    * [] for docs under 3 tokens. The token array must be projected once
-    * before this expression: Catalyst performs no common-subexpression
-    * elimination inside higher-order-function lambdas, so inlining
-    * `split(text)` here would re-split the whole document for every
-    * element of every shingle — O(tokens²) per doc (this exact trap cost
-    * 21.6 s at sf0.1 before the pre-projection).
-    */
-  private def shingleOf(toks: Column): Column =
-    when(size(toks) < 3, array().cast(ArrayType(StringType)))
-      .otherwise(array_distinct(transform(
-        sequence(lit(0), size(toks) - 3),
-        i => concat_ws(" ",
-          element_at(toks, i + 1),
-          element_at(toks, i + 2),
-          element_at(toks, i + 3)))))
-
   private val NumPerm = 16 // minhash permutations
   private val Bands = 4    // LSH bands (4 rows each: ~0.99 recall at j=0.9,
                            // ~4× fewer false candidates than 2-row bands)
@@ -134,6 +117,12 @@ object Dedup {
     // cached: feeds the cluster groupBy, the membership join, and the
     // rep-only band join — without it the explode+agg runs three times
     val withKey = sig.withColumn("sig_key", xxhash64(sigCols: _*)).cache()
+    // Materialize before fan-out: the downstream joins' map stages are
+    // submitted concurrently, and against a cold cache each would race to
+    // evaluate the token-explode + 16-minhash aggregation itself (the
+    // same measured pattern as shingleJaccardTopK's docSets; this one
+    // also warms `toks`, which sits inside withKey's plan).
+    withKey.count()
     val reps = withKey.groupBy(col("sig_key"))
       .agg(min(col("doc_id")).as("rep_id"))
     val members = withKey.join(reps, "sig_key")
@@ -272,6 +261,8 @@ object Dedup {
     // Drop the larger doc_id of each verified pair.
     "l2b2_simhash_dedup" -> ((s, d) => {
       val sh = queries("l2b_simhash")(s, d).cache() // (doc_id, simhash)
+      sh.count() // materialize once: both band-join map stages launch
+                 // concurrently and would race the cold cache otherwise
       val bands = sh.select(col("doc_id"), col("simhash"),
           explode(array((0 until 4).map(b =>
             struct(lit(b).as("b"),
@@ -318,20 +309,22 @@ object Dedup {
     */
   def shingleJaccardTopK(s: SparkSession, d: String, k: Int,
       prefixT: Double = 0.9, maxDf: Int = 100): DataFrame = {
-    // shingles travel as xxhash64 longs, not strings: same distinct
-    // set (collision odds ~1e-10 at this vocabulary), half the
-    // explode/shuffle bytes of the string form the oracle SQL uses.
+    // shingles travel as 64-bit hashes, not strings: same distinct set
+    // (collision odds ~1e-10 at this vocabulary), half the explode/
+    // shuffle bytes of the string form the oracle SQL uses — computed by
+    // the one-node native ShingleHash expression (primitive loop, no
+    // interpreted HOF lambdas, and a plan tree small enough that per-task
+    // closure deserialization stops dominating the stage; see its doc).
     // fanOut: the shingle transform is the CPU-heavy part — without it
     // a one-row-group fixture file serializes it onto a single task.
     val sh = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
-      .select(col("doc_id"), split(col("text"), " ").as("t")) // split ONCE
-      .select(col("doc_id"), shingleOf(col("t")).as("arr"))
+      .select(col("doc_id"),
+        graft.functions.ShingleHash.shingleHashes(split(col("text"), " ")).as("arr"))
       // n_sh is computed BEFORE the explode: putting size(arr) in the
       // same select as explode(arr) makes Generate retain the whole
       // array on every exploded row just to size it afterwards
       .select(col("doc_id"), size(col("arr")).as("n_sh"), col("arr"))
-      .select(col("doc_id"), col("n_sh"), explode(col("arr")).as("sh_str"))
-      .select(col("doc_id"), col("n_sh"), xxhash64(col("sh_str")).as("sh"))
+      .select(col("doc_id"), col("n_sh"), explode(col("arr")).as("sh"))
     // Corpus DF per shingle as a count window over the explode — ONE
     // shuffle keyed on sh, computed in the same job as everything below.
     // Round 3 instead ran a separate groupBy(sh) aggregation and JOINED
@@ -344,7 +337,26 @@ object Dedup {
     // executor-side, and is count-only (no array building), so even a
     // hot head-of-Zipf shingle is a linear scan on its task before the
     // filter drops it.
-    val shF = sh
+    // Small-corpus gate (plan-time statistics, no count job — the
+    // exactTopK pattern): under ~32 MB of scanned document bytes
+    // (≈ 100k docs) the prefix explode and the kept-set dims are a few
+    // MB, so broadcasting them turns the candidate self-join and both
+    // verify joins into broadcast-hash joins, and the window shuffle +
+    // per-doc cache can run at modest parallelism (below). Above the
+    // gate the sides grow with the corpus, so the equi-shuffle shape
+    // (what scales) is kept.
+    val smallCorpus = Tables.documents(s, d)
+      .queryExecution.optimizedPlan.stats.sizeInBytes <= (32L << 20)
+    // Under the gate, pin the window's shuffle at 8 reducers (explicit
+    // REPARTITION_BY_NUM, exempt from AQE coalescing): AQE folds this
+    // ~MB shuffle to 2 partitions and serializes the sort behind 2 tasks
+    // (~0.3 s of the query), while the session's full 32 wastes ~150 ms
+    // of fixed per-task closure-deserialization cost per reducer. 8 is
+    // wide enough to parallelize the sort and narrow enough that task
+    // overhead stays negligible. At scale the window plans its own
+    // exchange from the session's shuffle-partition sizing as usual.
+    val shP = if (smallCorpus) sh.repartition(8, col("sh")) else sh
+    val shF = shP
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
       .filter(col("df") <= maxDf)
@@ -352,7 +364,7 @@ object Dedup {
     // theorem needs for threshold prefixT. n_sh (FULL distinct-shingle
     // count) rides along for the score denominator, nk = |kept| for the
     // length/positional filters.
-    val docSets = shF
+    val docSets0 = shF
       .groupBy(col("doc_id"), col("n_sh"))
       .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ord"))
       .select(col("doc_id"), col("n_sh"),
@@ -362,7 +374,20 @@ object Dedup {
         slice(col("kept"), lit(1),
           (floor(size(col("kept")) * (1 - prefixT)) + 1).cast(IntegerType))
           .as("pfx"))
+    // Under the gate, store the cache in 8 partitions (coalesce, no extra
+    // shuffle): every downstream stage over the cache then schedules 8
+    // tasks instead of 32, and with ~150 ms/task of fixed plan-closure
+    // deserialization cost that's most of the candidate stage's measured
+    // 5-7 CPU-s gone. At scale the aggregation's own partitioning stands.
+    val docSets = (if (smallCorpus) docSets0.coalesce(8) else docSets0)
       .cache() // feeds candidate gen, both verify sides, and the fallback
+    // Materialize the cache BEFORE the joins consume it: the candidate
+    // job launches its broadcast builds concurrently (pfx self-join side
+    // plus both verify dims), and against a cold cache each future races
+    // to evaluate the full scan→shingle→window pipeline itself — measured
+    // three concurrent evaluations of the heaviest stage (~9+7+3 CPU-s at
+    // sf0.1) before this count. One tiny job serializes it to exactly one.
+    docSets.count()
     // candidate generation with the two standard exact prunes on top of
     // the prefix theorem (cuts 118k → ~3k candidate pairs at sf0.1):
     //  - length filter: J_kept ≥ T ⇒ min(nk1,nk2) ≥ T·max(nk1,nk2)
@@ -372,17 +397,6 @@ object Dedup {
     //    boundary-exact candidate from being dropped by double rounding;
     //    it can never admit a false "maybe" below the true bound because
     //    adjacent feasible values differ by ≥ 1/(1+T).
-    // Small-corpus broadcast gate (plan-time statistics, no count job —
-    // the exactTopK pattern): under ~32 MB of scanned document bytes
-    // (≈ 100k docs) the prefix explode and the kept-set dims are a few
-    // MB, so broadcasting them turns the candidate self-join and both
-    // verify joins into broadcast-hash joins — the only shuffles left in
-    // the tail are the cheap distinct over candidate pairs (bench: tail
-    // 2.0 s → ~0.3 s at sf0.1). Above the gate the sides grow with the
-    // corpus, so the plain equi-shuffle shape (which is what scales)
-    // stays untouched.
-    val smallCorpus = Tables.documents(s, d)
-      .queryExecution.optimizedPlan.stats.sizeInBytes <= (32L << 20)
     def hint(df: DataFrame): DataFrame = if (smallCorpus) broadcast(df) else df
     val pfx = docSets.select(col("doc_id"), col("nk"),
       posexplode(col("pfx")).as(Seq("pos0", "sh")))
@@ -397,14 +411,18 @@ object Dedup {
       .filter(lit(1) + least(col("nk1") - col("p1"), col("nk2") - col("p2"))
         >= lit(tt) * (col("nk1") + col("nk2")) - lit(1e-9))
       .select(col("d1"), col("d2")).distinct()
+    // Both verify dims are the SAME subtree (no per-side aliasing inside
+    // the broadcast): canonically-equal BroadcastExchanges collapse into
+    // one build + a ReusedExchange, where the aliased form built the same
+    // 5000-row relation twice.
+    val dim = hint(docSets.select(col("doc_id"), col("n_sh"), col("kept")))
     val candTop = cand
-      .join(hint(docSets.select(col("doc_id").as("d1"), col("n_sh").as("n1"),
-        col("kept").as("k1"))), "d1")
-      .join(hint(docSets.select(col("doc_id").as("d2"), col("n_sh").as("n2"),
-        col("kept").as("k2"))), "d2")
+      .join(dim, col("d1") === dim("doc_id"))
+      .select(col("d1"), col("d2"), col("n_sh").as("n1"), col("kept").as("k1"))
+      .join(dim, col("d2") === dim("doc_id"))
       .select(col("d1"), col("d2"),
-        size(array_intersect(col("k1"), col("k2"))).as("inter"),
-        col("n1"), col("n2"))
+        size(array_intersect(col("k1"), col("kept"))).as("inter"),
+        col("n1"), col("n_sh").as("n2"))
       .select(col("d1"), col("d2"),
         (col("inter").cast(DoubleType) / (col("n1") + col("n2") - col("inter")))
           .as("jaccard"))

@@ -196,6 +196,10 @@ object PipelineOps {
       // signature-cluster step, applied to the graph problem.
       val reps = sh.groupBy(col("simhash"))
         .agg(min(col("doc_id")).as("rep")).cache()
+      // materialize once (also warms `sh` inside the plan): the band
+      // self-join's two map stages launch concurrently and would race
+      // the cold caches into duplicate simhash evaluations otherwise
+      reps.count()
       val bands = reps.select(col("rep"), col("simhash"),
           explode(array((0 until 4).map(b =>
             struct(lit(b).as("b"),

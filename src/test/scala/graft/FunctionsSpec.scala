@@ -57,6 +57,43 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(codegen === evaled.asInstanceOf[Long])
   }
 
+  test("ShingleHash: distinct-set size matches the string-shingle form") {
+    import spark.implicits._
+    import graft.functions.ShingleHash
+    // string-form reference: distinct "t1 t2 t3" windows
+    def refCount(toks: Seq[String]): Int =
+      if (toks.length < 3) 0
+      else toks.sliding(3).map(_.mkString(" ")).toSeq.distinct.size
+    val cases = Seq(
+      Seq("a", "b", "c", "d", "e"),              // all distinct
+      Seq("a", "b", "a", "b", "a", "b"),         // heavy repeats: 2 distinct
+      Seq("x", "y"),                             // under 3 tokens -> empty
+      Seq("w", "w", "w", "w"),                   // single repeated window
+      Seq("t1", "t2", "t3", "t1", "t2", "t3", "t1"))
+    for (c <- cases) {
+      val got = Seq(c).toDF("toks")
+        .select(ShingleHash.shingleHashes(col("toks")).as("hs"))
+        .head().getSeq[Long](0)
+      assert(got.length === refCount(c), s"case $c")
+      assert(got.distinct.length === got.length, s"dupes in $c")
+      assert(got === got.sorted, s"not canonical order in $c")
+    }
+  }
+
+  test("ShingleHash: interpreted eval matches codegen path") {
+    import spark.implicits._
+    import graft.functions.ShingleHash
+    val toks = Seq("alpha", "beta", "gamma", "beta", "alpha")
+    val codegen = Seq(toks).toDF("toks")
+      .select(ShingleHash.shingleHashes(col("toks"))).head().getSeq[Long](0)
+    val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      toks.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray)
+    val evaled = graft.functions.ShingleHash(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(lit(1)))
+      .nullSafeEval(arr).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(codegen === evaled.toLongArray().toSeq)
+  }
+
   test("crc32/hash built-ins: known vectors (F9 non-oracle part)") {
     import spark.implicits._
     val r = Seq("hello").toDF("s").select(
