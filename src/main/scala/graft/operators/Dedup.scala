@@ -110,13 +110,21 @@ object Dedup {
     * 112 s → ~2 s at sf0.1 for identical output policy.
     */
   def minhashDedup(docs: DataFrame, threshold: Double = 0.9): DataFrame = {
-    // one token explode feeds BOTH the signatures and the exact verifier
-    val toks = docTokens(docs).cache()
+    // one token explode feeds BOTH the signatures and the exact verifier.
+    // Small-input gate (plan-time statistics): below ~32 MB of source
+    // bytes the cached relations are compacted to 8 partitions, so the
+    // five-plus downstream stages that consume them schedule 8 tasks
+    // instead of 32 — with ~150 ms/task of fixed plan-closure cost at
+    // fixture scale, that overhead (not data) dominated every stage of
+    // this query. Above the gate the natural partitioning stands.
+    val small = docs.queryExecution.optimizedPlan.stats.sizeInBytes <= (32L << 20)
+    def compact(df: DataFrame): DataFrame = if (small) df.coalesce(8) else df
+    val toks = compact(docTokens(docs)).cache()
     val sig = minhashSignaturesFromTokens(toks)
     val sigCols = (0 until NumPerm).map(i => col(s"mh_$i"))
     // cached: feeds the cluster groupBy, the membership join, and the
     // rep-only band join — without it the explode+agg runs three times
-    val withKey = sig.withColumn("sig_key", xxhash64(sigCols: _*)).cache()
+    val withKey = compact(sig.withColumn("sig_key", xxhash64(sigCols: _*))).cache()
     // Materialize before fan-out: the downstream joins' map stages are
     // submitted concurrently, and against a cold cache each would race to
     // evaluate the token-explode + 16-minhash aggregation itself (the
@@ -260,7 +268,12 @@ object Dedup {
     // such pair without any pairwise scan; exact popcount(xor) verifies.
     // Drop the larger doc_id of each verified pair.
     "l2b2_simhash_dedup" -> ((s, d) => {
-      val sh = queries("l2b_simhash")(s, d).cache() // (doc_id, simhash)
+      // small-input gate: compact the tiny fingerprint cache (1 row/doc)
+      // so downstream band-join stages stop paying 32 tasks of fixed cost
+      val small = Tables.documents(s, d)
+        .queryExecution.optimizedPlan.stats.sizeInBytes <= (32L << 20)
+      val sh0 = queries("l2b_simhash")(s, d)
+      val sh = (if (small) sh0.coalesce(8) else sh0).cache() // (doc_id, simhash)
       sh.count() // materialize once: both band-join map stages launch
                  // concurrently and would race the cold cache otherwise
       val bands = sh.select(col("doc_id"), col("simhash"),

@@ -187,15 +187,22 @@ object PipelineOps {
     // min-label propagation; rows-only + DedupSpec fixpoint/known-graph
     // coverage (an iterative fixpoint isn't a single oracle statement).
     "m5_dedup_clusters" -> ((s, d) => {
-      val sh = Dedup.queries("l2b_simhash")(s, d).cache() // (doc_id, simhash)
+      // small-input gate: compact the per-doc caches to 8 partitions so
+      // the band join / CC / membership stages stop paying 32 tasks of
+      // fixed plan-closure cost over a few thousand cached rows
+      val small = Tables.documents(s, d)
+        .queryExecution.optimizedPlan.stats.sizeInBytes <= (32L << 20)
+      def compact(df: org.apache.spark.sql.DataFrame) =
+        if (small) df.coalesce(8) else df
+      val sh = compact(Dedup.queries("l2b_simhash")(s, d)).cache() // (doc_id, simhash)
       // collapse identical simhashes to a min-id representative BEFORE
       // the band join and the CC iterations: exact/near-exact dup
       // clusters dominate real corpora (here: ~40% shrink at sf0.01),
       // and hamming distance 0 means every member shares its rep's
       // components — the same skew guard as minhashDedup's
       // signature-cluster step, applied to the graph problem.
-      val reps = sh.groupBy(col("simhash"))
-        .agg(min(col("doc_id")).as("rep")).cache()
+      val reps = compact(sh.groupBy(col("simhash"))
+        .agg(min(col("doc_id")).as("rep"))).cache()
       // materialize once (also warms `sh` inside the plan): the band
       // self-join's two map stages launch concurrently and would race
       // the cold caches into duplicate simhash evaluations otherwise

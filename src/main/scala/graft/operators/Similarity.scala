@@ -419,7 +419,11 @@ object Similarity {
     val hp: Array[Array[Double]] = planes(tables * bits).map(_.toArray).toArray
     val bcH = spark.sparkContext.broadcast(hp)
     val v = vecs(embeddings)
-    val typed = v.select(col("vec_id"), col("emb"), col("norm")).as[VecRow]
+    // fanOut: both hashing kernels below cost tables×bits dot products
+    // per vector; a one-split fixture file would run them on ONE task
+    // (measured 0.6 s serial at sf0.1) — same guard documents() gets.
+    val typed = Tables.fanOut(v.select(col("vec_id"), col("emb"), col("norm")),
+      col("vec_id")).as[VecRow]
 
     // indexed side: one signature per (vector, table)
     val sigs = typed.mapPartitions { it =>
@@ -466,8 +470,16 @@ object Similarity {
       }
     }
 
+    // The bucket join's reduce side does the real candidate-pair work
+    // (bucket-width² emissions + the distinct's partial agg); its ~MB
+    // shuffle makes AQE coalesce it to 2 partitions, serializing ~1.5
+    // CPU-s behind 2 tasks at sf0.1. The explicit repartition pins the
+    // exchange (REPARTITION_BY_NUM is exempt from coalescing) at a width
+    // that matches the work, not the bytes; at scale the (t, bucket) key
+    // space dwarfs any reducer count either way.
     val cand = probes.toDF()
       .select(col("t"), col("bucket"), col("vec_id").as("id_a"))
+      .repartition(16, col("t"), col("bucket"))
       .join(sigs.toDF()
         .select(col("t"), col("bucket"), col("vec_id").as("id_b")),
         Seq("t", "bucket"))
