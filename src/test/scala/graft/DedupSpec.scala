@@ -122,6 +122,66 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(gotSizes === wantSizes)
   }
 
+  /** Brute-force mirror of shingleJaccardTopK's semantics: distinct
+    * word-3-gram sets, corpus-DF filter on the intersection side only,
+    * FULL set sizes in the denominator, (jaccard desc, d1, d2) order.
+    */
+  private def bruteTopPairs(rows: Seq[(Long, String)], k: Int,
+      maxDf: Int = 100): Seq[(Long, Long, Double)] = {
+    def shingles(t: String): Set[String] = {
+      val toks = t.split(" ")
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sets = rows.map { case (id, t) => id -> shingles(t) }.toMap
+    val df = sets.values.flatten.groupBy(identity).map { case (s, o) => s -> o.size }
+    val kept = sets.map { case (id, s) => id -> s.filter(df(_) <= maxDf) }
+    val ids = rows.map(_._1).sorted
+    (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      d1 = ids(i); d2 = ids(j)
+      inter = (kept(d1) intersect kept(d2)).size
+      if inter > 0
+      jac = inter.toDouble / (sets(d1).size + sets(d2).size - inter)
+    } yield (d1, d2, jac))
+      .sortBy { case (d1, d2, j) => (-j, d1, d2) }.take(k)
+  }
+
+  private def runL2c(rows: Seq[(Long, String)], k: Int): Seq[(Long, Long, Double)] = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_l2c_spec").toString
+    docsDF(rows).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Dedup.shingleJaccardTopK(spark, dir, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+  }
+
+  test("l2c certificate path matches brute force (>= k pairs above T)") {
+    // 25 near-identical docs (pairwise jaccard ~1) guarantee >= 20 pairs
+    // >= 0.9, so the prefix-filter candidate top-k is certified exact
+    val common = (1 to 50).map(i => s"w$i").mkString(" ")
+    val rows = (1L to 25L).map(i => i -> s"$common tail$i a b") ++
+      Seq(100L -> unrelated, 101L -> (200 to 240).map(i => s"z$i").mkString(" "))
+    val got = runL2c(rows, 20)
+    val want = bruteTopPairs(rows, 20)
+    assert(got.map(p => (p._1, p._2)) === want.map(p => (p._1, p._2)))
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g._3 - w._3) < 1e-9) }
+  }
+
+  test("l2c fallback path matches brute force (< k pairs above T)") {
+    // every pair shares a 9-word prefix (7 common 3-grams, jaccard ~0.14)
+    // then diverges: 66 candidate pairs, none near 0.9 — the certificate
+    // fails and the exact full co-occurrence join produces the answer
+    val prefix = (1 to 9).map(i => s"p$i").mkString(" ")
+    val rows = (1L to 12L).map { i =>
+      i -> (prefix + " " + (1 to 20).map(j => s"u${i}_$j").mkString(" "))
+    }
+    val got = runL2c(rows, 20)
+    val want = bruteTopPairs(rows, 20)
+    assert(want.nonEmpty && want.head._3 < 0.9) // really the fallback regime
+    assert(got.size === want.size)
+    assert(got.map(p => (p._1, p._2)) === want.map(p => (p._1, p._2)))
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g._3 - w._3) < 1e-9) }
+  }
+
   test("lang-id picks the marker language on real text") {
     import spark.implicits._
     val samples = Seq(
