@@ -76,16 +76,17 @@ object Tables {
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val plannedSplits = (bytes + maxSplit - 1) / maxSplit
     if (plannedSplits >= cores) df
-    else {
-      // Width scales with DATA, not core count: at fixture scale a full
-      // core-count fan-out schedules mostly-empty tasks whose fixed
-      // ~100-200 ms plan-closure cost dominates the stage (measured: a
-      // 32-task aggregate over 5000 rows spent ~8 CPU-s on overhead).
-      // ~256 KB per task keeps per-task work meaningful, the floor of 8
-      // keeps CPU-heavy transforms parallel, and the cores cap restores
-      // the original behavior as soon as data justifies it.
-      val target = (bytes / 262144).min(cores).max(8).toInt
-      df.repartition(target, key)
-    }
+    else df.repartition(fanOutWidth(bytes, cores), key)
   }
+
+  /** Fan-out width scales with DATA, not core count: at fixture scale a
+    * full core-count fan-out schedules mostly-empty tasks whose fixed
+    * ~100-200 ms plan-closure cost dominates the stage (measured: a
+    * 32-task aggregate over 5000 rows spent ~8 CPU-s on overhead).
+    * ~256 KB per task keeps per-task work meaningful, the floor of 8
+    * keeps CPU-heavy transforms parallel, and the cores cap restores
+    * full-width behavior as soon as data justifies it.
+    */
+  def fanOutWidth(bytes: BigInt, cores: Int): Int =
+    (bytes / 262144).min(cores).max(8).toInt
 }

@@ -169,6 +169,14 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("fanOutWidth: ~256KB/task, floor 8, capped at core count") {
+    assert(Tables.fanOutWidth(BigInt(0), 32) === 8)          // tiny -> floor
+    assert(Tables.fanOutWidth(BigInt(1 << 20), 32) === 8)    // 1 MB -> 4, floored
+    assert(Tables.fanOutWidth(BigInt(4 << 20), 32) === 16)   // 4 MB -> 16
+    assert(Tables.fanOutWidth(BigInt(64 << 20), 32) === 32)  // 64 MB -> capped
+    assert(Tables.fanOutWidth(BigInt(64 << 20), 8) === 8)    // cap tracks cores
+  }
+
   test("multimodal stubs: resize shapes payloads, frame sampler strides") {
     val payload = Array.tabulate[Byte](100)(_.toByte)
     assert(Multimodal.resizeStub(payload, 8, 4).length === 32)
