@@ -17,9 +17,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Loaded-frame memo: a DataFrame is an immutable analyzed plan, so the
+  // same (session, dir, table) triple can be handed out again — saving
+  // the per-call file listing, parquet footer schema read, and analysis
+  // that every one of the ~106 inventory queries would otherwise repeat.
+  // Bounded: |sessions| × |dirs| × 10 tables, all plan objects.
+  private val loaded =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") events(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+    loaded.computeIfAbsent((spark, dir, name), _ =>
+      if (name == "events")
+        spark.read.parquet(s"$dir/events.parquet")
+          .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      else spark.read.parquet(s"$dir/$name.parquet"))
 
   /** Session conf required to read the fixtures: `events.ts` is parquet
     * TIMESTAMP(NANOS), which Spark only reads as a long (nanosAsLong);
@@ -37,9 +48,7 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(s"$d/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
   /** documents loads through [[fanOut]]: every consumer runs CPU-heavy
     * per-row text work (tokenize/shingle/regex/hash), which a one-row-
     * group fixture file would otherwise serialize onto a single task.
