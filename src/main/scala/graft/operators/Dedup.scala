@@ -63,11 +63,19 @@ object Dedup {
     }
     val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-      .cache() // also feeds AQE exact sizes for the broadcast decisions
-    val keep = buckets.groupBy(col("band"), col("sig"))
-      .agg(count(lit(1)).as("w")).filter(col("w") <= maxBucket)
-      .select(col("band"), col("sig"))
-    val kept = buckets.join(keep, Seq("band", "sig"))
+    // Bucket width as a count window over the explode — one shuffle on
+    // the same (band, sig) key the self-join needs, replacing the
+    // round-3 groupBy + join-back (an extra aggregation shuffle and a
+    // second pass over a cached explode; the same rewrite l2c's corpus-DF
+    // filter got). The cache + forced materialization cover the
+    // self-join's two concurrently-launched map stages.
+    val kept = buckets
+      .withColumn("w", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("sig"))))
+      .filter(col("w") <= maxBucket).drop("w")
+      .cache()
+    kept.count()
     val b2 = kept.select(col("band"), col("sig"), col("doc_id").as("doc_id2"))
     kept.join(b2,
         Seq("band", "sig")) // same band, same signature
