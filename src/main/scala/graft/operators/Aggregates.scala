@@ -37,11 +37,12 @@ object Aggregates {
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          sum(dec(col("l_extendedprice")) * (lit(BigDecimal(1)).cast(D18_2) - dec(col("l_discount"))))
-            .cast(DoubleType).as("sum_disc_price"),
-          sum(dec(col("l_extendedprice")) * (lit(BigDecimal(1)).cast(D18_2) - dec(col("l_discount")))
-              * (lit(BigDecimal(1)).cast(D18_2) + dec(col("l_tax"))))
-            .cast(DoubleType).as("sum_charge"),
+          // products of 2-dp columns carry 4/6 fractional digits exactly
+          lsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("sum_disc_price"),
+          lsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+              * (lit(1.0) + col("l_tax")), 6)
+            .as("sum_charge"),
           davg(col("l_quantity")).as("avg_qty"),
           davg(col("l_extendedprice")).as("avg_price"),
           davg(col("l_discount")).as("avg_disc"),
@@ -158,8 +159,8 @@ object Aggregates {
       s"""SELECT l_returnflag, l_linestatus,
          |  ${sqlDsum("l_quantity")} AS sum_qty,
          |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
-         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+         |  ${sqlLsum("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
+         |  ${sqlLsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
          |  ${sqlDavg("l_quantity")} AS avg_qty,
          |  ${sqlDavg("l_extendedprice")} AS avg_price,
          |  ${sqlDavg("l_discount")} AS avg_disc,

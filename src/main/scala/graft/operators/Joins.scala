@@ -88,8 +88,8 @@ object Joins {
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"))
         .agg(
-          sum(dec(col("l_extendedprice")) * (lit(BigDecimal(1)).cast(D18_2) - dec(col("l_discount"))))
-            .cast(DoubleType).as("revenue"),
+          lsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("revenue"),
           count(lit(1)).as("n_lineitems"))
     }),
 
@@ -217,8 +217,8 @@ object Joins {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
 
     "j6_multiway" ->
-      """SELECT r_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      s"""SELECT r_name,
+        |  ${graft.Exprs.sqlLsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
         |  COUNT(*) AS n_lineitems
         |FROM lineitem
         |  JOIN orders ON l_orderkey = o_orderkey

@@ -75,12 +75,13 @@ object Projections {
         .select(col("p_partkey"), col("p_name"))
     }),
 
-    // P8: computed projection (arithmetic over money columns, exact).
+    // P8: computed projection. Pure double arithmetic: both engines
+    // evaluate the identical IEEE-754 expression tree per row, so the
+    // results are bit-identical with no decimal round-trip needed.
     "p8_computed" -> ((s, d) => {
       Tables.lineitem(s, d).select(
         col("l_orderkey"), col("l_linenumber"),
-        (dec(col("l_extendedprice")) * (lit(BigDecimal(1)).cast(D18_2) - dec(col("l_discount"))))
-          .cast(DoubleType).as("revenue"))
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
     }),
 
     // P9: CASE WHEN bucketing.
@@ -125,7 +126,7 @@ object Projections {
 
     "p8_computed" ->
       """SELECT l_orderkey, l_linenumber,
-        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  l_extendedprice * (1 - l_discount) AS revenue
         |FROM lineitem""".stripMargin,
 
     "p9_case_when" ->

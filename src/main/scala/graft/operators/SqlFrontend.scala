@@ -35,12 +35,13 @@ object SqlFrontend {
       d
     })
 
-  /** TPC-H Q3 shape (shipping priority), dialect-neutral: decimal-exact
-    * revenue, date literals via TIMESTAMP, unique tiebreak in ORDER BY.
+  /** TPC-H Q3 shape (shipping priority), dialect-neutral: revenue summed
+    * as an exact scaled long (see graft.Exprs), date literals via
+    * TIMESTAMP, unique tiebreak in ORDER BY.
     */
   private val q3Sql =
     """SELECT o_orderkey,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1e4, 0) AS BIGINT)) AS DOUBLE) / 1e4 AS revenue,
       |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR(10)) AS order_date, o_orderpriority
       |FROM customer, orders, lineitem
       |WHERE c_mktsegment = 'BUILDING'
@@ -62,7 +63,7 @@ object SqlFrontend {
     */
   private val groupingSetsSql =
     """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS DOUBLE) / 1e2 AS total
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin
 

@@ -47,14 +47,17 @@ object Windows {
         lead(col("event_id"), 1).over(w).as("next_event"))
     }),
 
-    // W3: running aggregate, rows frame (exact decimal accumulation).
+    // W3: running aggregate, rows frame (exact scaled-long accumulation —
+    // DuckDB's segment-tree window sum associates differently than Spark's
+    // incremental one, so a double sum would drift in the last ulp).
     "w3_running_sum" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.events(s, d).select(
         col("user_id"), col("event_id"),
-        sum(dec(col("value"))).over(w).cast(DoubleType).as("running_value"))
+        (sum(slong(col("value"), 2)).over(w).cast(DoubleType) / 100.0)
+          .as("running_value"))
     }),
 
     // W4: sliding range frame — trailing 24 h average per user, keyed on
@@ -67,7 +70,7 @@ object Windows {
         .select(col("user_id"), col("event_id"), col("value"),
           unix_timestamp(col("ts")).as("epoch_s"))
         .select(col("user_id"), col("event_id"),
-          (sum(dec(col("value"))).over(w).cast(DoubleType) /
+          (sum(slong(col("value"), 2)).over(w).cast(DoubleType) / 100.0 /
             count(lit(1)).over(w)).as("avg_24h"))
     }),
 
@@ -113,15 +116,15 @@ object Windows {
 
     "w3_running_sum" ->
       """SELECT user_id, event_id,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |  CAST(SUM(CAST(ROUND(value * 1e2, 0) AS BIGINT)) OVER (
         |    PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e2 AS running_value
         |FROM events""".stripMargin,
 
     "w4_range_frame" ->
       """SELECT user_id, event_id,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
-        |    / COUNT(*) OVER w AS avg_24h
+        |  CAST(SUM(CAST(ROUND(value * 1e2, 0) AS BIGINT)) OVER w AS DOUBLE)
+        |    / 1e2 / COUNT(*) OVER w AS avg_24h
         |FROM (SELECT user_id, event_id, value,
         |        -- floor, not round: Spark's unix_timestamp truncates, and
         |        -- a CAST here rounds .5+ fractions up, shifting frames
