@@ -24,28 +24,47 @@ object Dedup {
   def docTokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
 
+  /** Distinct token-HASH set per doc, computed in the scan projection by
+    * the native [[graft.functions.TokenHashes]] kernel — no explode, no
+    * shuffle. The 8-byte/token array feeds minhash/simhash derivation and
+    * the exact `array_intersect` jaccard verifier.
+    */
+  def docTokenSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.TokenHashKernels.tokenHashes(split(col("text"), " ")).as("toks"))
+
   private val NumPerm = 16 // minhash permutations
   private val Bands = 4    // LSH bands (4 rows each: ~0.99 recall at j=0.9,
                            // ~4× fewer false candidates than 2-row bands)
 
-  /** MinHash signature columns mh_0..mh_{NumPerm-1} per doc, from salted
-    * xxhash64 over the distinct token set (one explode + one hash-agg —
-    * a single shuffle keyed on doc_id).
+  /** MinHash signature columns mh_0..mh_{NumPerm-1} per doc. Since round 5
+    * this is a per-row native kernel (one pass over the distinct
+    * token-hash set, no explode/aggregation/shuffle — see
+    * [[graft.functions.MinHashSig]]); the round-4 form shuffled the whole
+    * token explode into 16 min-aggregates.
     */
-  def minhashSignatures(docs: DataFrame): DataFrame =
-    minhashSignaturesFromTokens(docTokens(docs))
-
-  /** Signature variant over an already-exploded (doc_id, tok) relation,
-    * so callers that also need the token set elsewhere (e.g. the exact
-    * verifier) explode and cache it ONCE.
-    */
-  def minhashSignaturesFromTokens(toks: DataFrame): DataFrame = {
-    val mins = (0 until NumPerm).map(i =>
-      min(xxhash64(concat(lit(s"perm$i:"), col("tok")))).as(s"mh_$i"))
-    toks.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sig = docTokenSets(docs).select(col("doc_id"),
+      graft.functions.TokenHashKernels.minhashSig(col("toks"), NumPerm).as("sig"))
+    sig.select(col("doc_id") +:
+      (0 until NumPerm).map(i => element_at(col("sig"), i + 1).as(s"mh_$i")): _*)
   }
 
-  /** LSH candidate pairs (d1 < d2) from band-signature collisions.
+  /** LSH candidate pairs (d1 < d2) from band-signature collisions, over
+    * mh_0..mh_{NumPerm-1} signature columns. Spec-facing wrapper around
+    * [[lshCandidatesFromSig]]; the internal cache it builds stays
+    * session-lived here (bounded: ≤ Bands rows per doc) — the bench path
+    * goes through [[minhashDedup]], which releases it.
+    */
+  def lshCandidates(sig: DataFrame, maxBucket: Int = 50): DataFrame =
+    lshCandidatesFromSig(
+      sig.select(col("doc_id"),
+        array((0 until NumPerm).map(i => col(s"mh_$i")): _*).as("sig")),
+      maxBucket)._1
+
+  /** Candidate pairs from an (doc_id, sig ARRAY<BIGINT>) relation, plus
+    * the internal bucket cache for the caller to unpersist once the pairs
+    * are materialized.
     *
     * Buckets wider than `maxBucket` are dropped whole (deterministic, no
     * sampling): a band signature shared by hundreds of documents carries
@@ -55,14 +74,24 @@ object Dedup {
     * other, rarer bands; exact-duplicate clusters never reach this join
     * at all (see [[minhashDedup]]'s signature-cluster step).
     */
-  def lshCandidates(sig: DataFrame, maxBucket: Int = 50): DataFrame = {
+  def lshCandidatesFromSig(sig: DataFrame, maxBucket: Int = 50,
+      pinPartitions: Option[Int] = None): (DataFrame, DataFrame) = {
     val perBand = NumPerm / Bands
     val bandCols = (0 until Bands).map { b =>
-      val rows = (0 until perBand).map(r => col(s"mh_${b * perBand + r}"))
-      struct(lit(b).as("band"), xxhash64(rows: _*).as("sig"))
+      struct(lit(b).as("band"),
+        xxhash64(slice(col("sig"), b * perBand + 1, perBand)).as("sig_h"))
     }
-    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val buckets0 = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig_h").as("sig"))
+    // Small-input callers pin the window's shuffle width (the cache below
+    // freezes its partitioning — AQE can't re-coalesce cached-plan output,
+    // so without the pin every downstream stage over the cache schedules
+    // a full session-width task wave; same rewrite as shingleJaccardTopK's
+    // shP). At scale the window plans its own exchange as usual.
+    val buckets = pinPartitions match {
+      case Some(n) => buckets0.repartition(n, col("band"), col("sig"))
+      case None    => buckets0
+    }
     // Bucket width as a count window over the explode — one shuffle on
     // the same (band, sig) key the self-join needs, replacing the
     // round-3 groupBy + join-back (an extra aggregation shuffle and a
@@ -77,11 +106,12 @@ object Dedup {
       .cache()
     kept.count()
     val b2 = kept.select(col("band"), col("sig"), col("doc_id").as("doc_id2"))
-    kept.join(b2,
+    val pairs = kept.join(b2,
         Seq("band", "sig")) // same band, same signature
       .filter(col("doc_id") < col("doc_id2"))
       .select(col("doc_id").as("d1"), col("doc_id2").as("d2"))
       .distinct()
+    (pairs, kept)
   }
 
   /** Exact token-set jaccard for the given (d1, d2) pairs. */
@@ -118,27 +148,31 @@ object Dedup {
     * 112 s → ~2 s at sf0.1 for identical output policy.
     */
   def minhashDedup(docs: DataFrame, threshold: Double = 0.9): DataFrame = {
-    // one token explode feeds BOTH the signatures and the exact verifier.
+    // One native-kernel pass over the scan computes the distinct
+    // token-hash set AND the full minhash signature per row — no token
+    // explode, no signature shuffle (see TokenHashKernels). The cached
+    // base relation is 1 row/doc and feeds the cluster groupBy, the band
+    // join, and both sides of the exact verifier.
     // Small-input gate (plan-time statistics): below ~32 MB of source
-    // bytes the cached relations are compacted to 8 partitions, so the
-    // five-plus downstream stages that consume them schedule 8 tasks
-    // instead of 32 — with ~150 ms/task of fixed plan-closure cost at
-    // fixture scale, that overhead (not data) dominated every stage of
-    // this query. Above the gate the natural partitioning stands.
+    // bytes the cached relation is compacted to 8 partitions, so the
+    // downstream stages schedule 8 tasks instead of 32 — with ~150 ms/task
+    // of fixed plan-closure cost at fixture scale, that overhead (not
+    // data) dominated every stage. Above the gate the natural partitioning
+    // stands, and the verifier dims join by shuffle instead of broadcast.
     val small = docs.queryExecution.optimizedPlan.stats.sizeInBytes <= (32L << 20)
     def compact(df: DataFrame): DataFrame = if (small) df.coalesce(8) else df
-    val toks = compact(docTokens(docs)).cache()
-    val sig = minhashSignaturesFromTokens(toks)
-    val sigCols = (0 until NumPerm).map(i => col(s"mh_$i"))
-    // cached: feeds the cluster groupBy, the membership join, and the
-    // rep-only band join — without it the explode+agg runs three times
-    val withKey = compact(sig.withColumn("sig_key", xxhash64(sigCols: _*))).cache()
+    def hint(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val base = compact(docTokenSets(docs)
+        .select(col("doc_id"), col("toks"),
+          graft.functions.TokenHashKernels.minhashSig(col("toks"), NumPerm).as("sig")))
+      .cache()
     // Materialize before fan-out: the downstream joins' map stages are
     // submitted concurrently, and against a cold cache each would race to
-    // evaluate the token-explode + 16-minhash aggregation itself (the
-    // same measured pattern as shingleJaccardTopK's docSets; this one
-    // also warms `toks`, which sits inside withKey's plan).
-    withKey.count()
+    // evaluate the scan+kernel projection itself (the same measured
+    // pattern as shingleJaccardTopK's docSets).
+    base.count()
+    val withKey = base.select(col("doc_id"), col("sig"),
+      xxhash64(col("sig")).as("sig_key"))
     val reps = withKey.groupBy(col("sig_key"))
       .agg(min(col("doc_id")).as("rep_id"))
     val members = withKey.join(reps, "sig_key")
@@ -148,16 +182,37 @@ object Dedup {
     // (b) LSH band join across representatives only.
     val repSigs = withKey.join(
       reps.select(col("rep_id").as("doc_id")), "doc_id")
-    val repPairs = lshCandidates(repSigs)
+    val (repPairs, bucketCache) = lshCandidatesFromSig(
+      repSigs.select(col("doc_id"), col("sig")),
+      pinPartitions = if (small) Some(8) else None)
     // no distinct needed: memberPairs are unique by construction (one
     // row per non-rep member) and repPairs (already distinct) connect
     // DIFFERENT signatures while memberPairs connect identical ones —
-    // the two sets are disjoint, and the verifier's groupBy(d1,d2)
-    // would double-count intersections only if a pair repeated.
+    // the two sets are disjoint.
     val cand = memberPairs.unionByName(repPairs)
-    val verified = verifyJaccardFromTokens(toks, cand)
+    // Exact jaccard via array_intersect over the cached token-hash sets —
+    // runs only on candidate pairs, replacing the round-4 double
+    // explode-join + pair groupBy. Both dims are the SAME subtree, so
+    // under the broadcast hint the two builds collapse into one exchange.
+    val dim = hint(base.select(col("doc_id"), col("toks")))
+    val verified = cand
+      .join(dim, cand("d1") === dim("doc_id"))
+      .select(col("d1"), col("d2"), col("toks").as("k1"))
+      .join(dim, col("d2") === dim("doc_id"))
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("k1"), col("toks"))).cast(DoubleType).as("inter"),
+        size(col("k1")).as("n1"), size(col("toks")).as("n2"))
+      .withColumn("jaccard", col("inter") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jaccard") >= threshold)
+    // The removed-id set is tiny (ids of dropped near-dups);
+    // localCheckpoint pins it so the intermediates can be released — the
+    // round-4 caches leaked into executor storage for the session
+    // (ADVICE r4). NOTE: this makes the query constructor EAGER (it runs
+    // jobs); plan-only tooling should prefer the stateless operators.
     val removed = verified.select(col("d2").as("doc_id")).distinct()
+      .localCheckpoint()
+    base.unpersist()
+    bucketCache.unpersist()
     docs.join(removed, Seq("doc_id"), "left_anti")
   }
 
@@ -180,8 +235,13 @@ object Dedup {
       driverEdgeLimit: Long = 5000000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val sym = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // Materialize the edge list ONCE before symmetrizing: the union's two
+    // branches would otherwise each re-evaluate the (possibly expensive)
+    // candidate-join plan that produced it — measured as the two heaviest
+    // stages of m5 (the band self-join ran twice).
+    val e0 = edges.select(col("src"), col("dst")).localCheckpoint()
+    val sym = e0
+      .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct().cache()
     // Size gate: a near-dup edge list (post rep-collapse) is orders of
     // magnitude smaller than its corpus — when it fits the driver
@@ -192,6 +252,7 @@ object Dedup {
     if (sym.count() <= driverEdgeLimit) {
       val es = sym.select(col("src").cast("long"), col("dst").cast("long"))
         .as[(Long, Long)].collect()
+      sym.unpersist()
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         val p = parent.getOrElse(x, x)
@@ -232,6 +293,7 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    sym.unpersist() // labels are checkpointed — the edge cache can go
     labels
   }
 
@@ -254,20 +316,14 @@ object Dedup {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     }),
 
-    // L2b: SimHash — 64-bit locality-sensitive fingerprint per doc; docs
-    // within hamming distance 3 of a smaller-id doc are dropped. Bit
-    // votes are one explode + 64 conditional sums (single aggregation).
+    // L2b: SimHash — 64-bit locality-sensitive fingerprint per doc,
+    // computed per row by the native SimHash64 kernel (bit-identical to
+    // the round-3 explode + 64-conditional-sums aggregation, with no
+    // explode, no aggregation, no shuffle).
     "l2b_simhash" -> ((s, d) => {
-      val th = xxhash64(col("tok"))
-      val votes = (0 until 64).map { j =>
-        sum(when(shiftright(th, j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v_$j")
-      }
-      val bits = (0 until 64).map { j =>
-        when(col(s"v_$j") > 0, shiftleft(lit(1L), j)).otherwise(0L)
-      }
-      docTokens(Tables.documents(s, d))
-        .groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-        .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+      docTokenSets(Tables.documents(s, d))
+        .select(col("doc_id"),
+          graft.functions.TokenHashKernels.simhash64(col("toks")).as("simhash"))
     }),
 
     // L2b2: SimHash dedup — pigeonhole banding: if two 64-bit simhashes
@@ -296,6 +352,8 @@ object Dedup {
         .filter(col("doc_id") < col("d2"))
         .filter(bit_count(col("simhash").bitwiseXOR(col("sh2"))) <= 3)
         .select(col("d2").as("doc_id")).distinct()
+        .localCheckpoint() // pin the tiny id set, release the cache
+      sh.unpersist()
       Tables.documents(s, d)
         .join(removed, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("n_chars"))

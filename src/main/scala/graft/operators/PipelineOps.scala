@@ -224,8 +224,13 @@ object PipelineOps {
       val all = sh.join(reps, "simhash")
         .join(comps.withColumnRenamed("node", "rep"), Seq("rep"), "left")
         .select(col("doc_id"), coalesce(col("label"), col("rep")).as("cluster"))
-      all.groupBy(col("cluster"))
+      // pin the small per-cluster result, release the per-doc caches
+      // (the constructor is eager either way — see Dedup.minhashDedup)
+      val out = all.groupBy(col("cluster"))
         .agg(count(lit(1)).as("cluster_size"), min(col("doc_id")).as("rep_id"))
+        .localCheckpoint()
+      sh.unpersist(); reps.unpersist()
+      out
     })
   )
 
