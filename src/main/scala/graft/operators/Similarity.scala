@@ -401,8 +401,11 @@ object Similarity {
     * Recall on the fixture's near-orthogonal embeddings (RECALL_r{N},
     * sf0.01, recall@3): one 12-bit table ≈ 0.004 (rounds 1-2 — a
     * candidate FILTER, not a search structure); 16×8 multi-table 0.30
-    * (round 3); + 2-flip multiprobe is the round-4 dial. Quality gates
-    * live in SimilaritySpec (pinned floor) and RECALL_r{N}.json.
+    * (round 3); + 2-flip multiprobe 0.70 (round 4); 32 tables × 3 flips
+    * reaches 0.98 (round 5 default — the full dial sweep is
+    * graft.RecallTune; 16×8×4-flip hits 0.97 at ~2.6× the candidate
+    * volume, so more tables beat more flips here). Quality gates live in
+    * SimilaritySpec (pinned floor) and RECALL_r{N}.json.
     *
     * Scale shape: candidate generation is an equi-shuffle on
     * (table, bucket) — probe rows ≤ 2^probeFlips per (query, table) and
@@ -413,7 +416,7 @@ object Similarity {
     * shuffles — so full vectors never ride the bucket explosion.
     */
   def annTopK(embeddings: DataFrame, k: Int, bits: Int = 8,
-      tables: Int = 16, probeFlips: Int = 2): DataFrame = {
+      tables: Int = 32, probeFlips: Int = 3): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val hp: Array[Array[Double]] = planes(tables * bits).map(_.toArray).toArray
@@ -473,13 +476,18 @@ object Similarity {
     // The bucket join's reduce side does the real candidate-pair work
     // (bucket-width² emissions + the distinct's partial agg); its ~MB
     // shuffle makes AQE coalesce it to 2 partitions, serializing ~1.5
-    // CPU-s behind 2 tasks at sf0.1. The explicit repartition pins the
+    // CPU-s behind 2 tasks at sf0.1. Under the same plan-stats gate every
+    // other small-input guard uses, an explicit repartition pins the
     // exchange (REPARTITION_BY_NUM is exempt from coalescing) at a width
-    // that matches the work, not the bytes; at scale the (t, bucket) key
-    // space dwarfs any reducer count either way.
-    val cand = probes.toDF()
+    // that matches the work, not the bytes. Above the gate the session's
+    // natural shuffle planning stands — a fixed 16 would serialize the
+    // pair emission behind 16 tasks at any corpus size (ADVICE r4).
+    val smallEmb =
+      embeddings.queryExecution.optimizedPlan.stats.sizeInBytes <= (32L << 20)
+    val probesKeyed = probes.toDF()
       .select(col("t"), col("bucket"), col("vec_id").as("id_a"))
-      .repartition(16, col("t"), col("bucket"))
+    val cand = (if (smallEmb) probesKeyed.repartition(16, col("t"), col("bucket"))
+                else probesKeyed)
       .join(sigs.toDF()
         .select(col("t"), col("bucket"), col("vec_id").as("id_b")),
         Seq("t", "bucket"))
@@ -507,9 +515,18 @@ object Similarity {
     * queries probe the `nprobe` nearest lists via an equi-join on the
     * list id, exact cosine re-ranks within the probed lists. Cost:
     * ~corpus·nprobe/nlist pair evaluations instead of corpus².
+    *
+    * nprobe is the recall/cost dial (RecallTune sweep, recall@3 vs exact):
+    * 4/16 lists → 0.62, 10/16 → 0.90, 12/16 → 0.94 at sf0.01 on the
+    * fixture's near-orthogonal embeddings — a deliberately hard case
+    * (no cluster structure, so the quantizer's lists carry little
+    * signal and high recall genuinely requires probing most of them).
+    * Clustered real-world corpora sit far above this floor at the same
+    * nprobe/nlist ratio; at scale grow nlist with the corpus (and with
+    * cluster cores) and keep nprobe/nlist ≈ what the recall target needs.
     */
   def ivfTopK(embeddings: DataFrame, k: Int, nlist: Int = 16,
-      nprobe: Int = 4, iters: Int = 5, trainPerList: Int = 64): DataFrame = {
+      nprobe: Int = 12, iters: Int = 5, trainPerList: Int = 64): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val v = vecs(embeddings)
