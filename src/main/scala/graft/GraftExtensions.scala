@@ -25,6 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // bounded-interval range joins plan as bucketed equi joins by default
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     e.injectFunction((
       FunctionIdentifier("rolling_hash"),
       info("rolling_hash",

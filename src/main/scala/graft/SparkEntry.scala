@@ -47,6 +47,15 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.map(_._1).reduce(_ ++ _)
 
+  /** Diagnostic-only entries excluded from the default bench inventory
+    * (VERDICT r4 item 5). Still first-class queries — Verify and the
+    * correctness gate run them — but deliberately not scale-shaped:
+    * m8's exact multi-countDistinct profile plans an Expand ×4 over the
+    * fact table by design; m8b (one-pass HLL) is the default profiling
+    * entry. `SPARK_GRAFT_BENCH_ALL=1` times them anyway.
+    */
+  val benchOptIn: Set[String] = Set("m8_profile")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

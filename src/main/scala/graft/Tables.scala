@@ -22,15 +22,30 @@ object Tables {
   // the per-call file listing, parquet footer schema read, and analysis
   // that every one of the ~106 inventory queries would otherwise repeat.
   // Bounded: |sessions| × |dirs| × 10 tables, all plan objects.
+  //
+  // Two contracts (ADVICE r4):
+  //  - FIXTURE DIRS ARE IMMUTABLE for the life of a session: the memo
+  //    caches the first load's file index, so rewriting a table's parquet
+  //    under the same path in the same session would serve a stale
+  //    listing. Tests that rewrite inputs use fresh temp dirs.
+  //  - Entries of STOPPED sessions are evicted on the next load (a
+  //    DataFrame strongly references its session, so a weak-keyed map
+  //    would never collect; an explicit sweep is the reliable form).
   private val loaded =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    loaded.keySet.removeIf(_._1.sparkContext.isStopped)
+    // every query loads through here, so this is where the engine's
+    // session-default planner rules attach (bounded-interval range joins
+    // plan bucketed — graft.plans.RangeJoinRewrite)
+    plans.RangeJoinRewrite.ensureRegistered(spark)
     loaded.computeIfAbsent((spark, dir, name), _ =>
       if (name == "events")
         spark.read.parquet(s"$dir/events.parquet")
           .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
       else spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   /** Session conf required to read the fixtures: `events.ts` is parquet
     * TIMESTAMP(NANOS), which Spark only reads as a long (nanosAsLong);
@@ -92,10 +107,12 @@ object Tables {
     * full core-count fan-out schedules mostly-empty tasks whose fixed
     * ~100-200 ms plan-closure cost dominates the stage (measured: a
     * 32-task aggregate over 5000 rows spent ~8 CPU-s on overhead).
-    * ~256 KB per task keeps per-task work meaningful, the floor of 8
-    * keeps CPU-heavy transforms parallel, and the cores cap restores
+    * ~256 KB per task keeps per-task work meaningful, a floor of
+    * min(8, cores) keeps CPU-heavy transforms parallel without ever
+    * exceeding the core count (ADVICE r4: the old max(8) outranked the
+    * cores cap on <8-core sessions), and the cores cap restores
     * full-width behavior as soon as data justifies it.
     */
   def fanOutWidth(bytes: BigInt, cores: Int): Int =
-    (bytes / 262144).min(cores).max(8).toInt
+    (bytes / 262144).max(math.min(8, cores)).min(cores).toInt
 }

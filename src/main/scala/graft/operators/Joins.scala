@@ -94,8 +94,11 @@ object Joins {
     }),
 
     // J7: theta/range self-join — events of the same user within 1 hour
-    // after each event; equi part (user_id) keeps it a hash join with a
-    // range residual, not a BNL explosion.
+    // after each event, written NAIVELY: equi on user_id plus a bounded
+    // interval residual. The session-default RangeJoinRewrite rule
+    // (graft.plans) plans this as the bucketed equi join j7b builds by
+    // hand — PlanSpec asserts the rewrite fired; the oracle hash pins
+    // that results are unchanged.
     "j7_range_join" -> ((s, d) => {
       val e1 = Tables.events(s, d).select(
         col("user_id"), col("event_id").as("e1_id"), col("ts").as("ts1"))
@@ -109,23 +112,25 @@ object Joins {
         .agg(count(lit(1)).as("n_pairs"))
     }),
 
-    // J7b: the same range self-join, time-bucketed — the plan that holds
-    // at 100 TB. The plain J7 equi-joins on user_id alone, so a user's
-    // whole history lands in one task (quadratic in events-per-user and
-    // skew-prone). Bucketing by the window width (1 h) and probing each
-    // event's two overlapping buckets bounds candidates per task to two
-    // buckets' worth regardless of user cardinality. Result-identical to
-    // J7 (same oracle SQL).
+    // J7b: the same range self-join, time-bucketed BY HAND — the explicit
+    // form of the plan RangeJoinRewrite now derives for j7 (kept as the
+    // readable reference construction and as the rewrite's oracle twin).
+    // Bucketing by the window width (1 h) and probing each event's two
+    // overlapping buckets bounds candidates per task to two buckets'
+    // worth regardless of user-key cardinality. Result-identical to J7
+    // (same oracle SQL). The marker-prefixed bucket name opts this join
+    // OUT of the planner rewrite (it is already bucketed).
     "j7b_range_join_bucketed" -> ((s, d) => {
+      val bn = graft.plans.RangeJoinRewrite.Marker + "_manual"
       val ev = Tables.events(s, d)
         .select(col("user_id"), col("event_id"), col("ts"),
-          (unix_timestamp(col("ts")) / 3600L).cast("long").as("bkt"))
+          (unix_timestamp(col("ts")) / 3600L).cast("long").as(bn))
       val probes = ev.select(col("user_id"), col("event_id").as("e1_id"),
           col("ts").as("ts1"),
-          explode(array(col("bkt"), col("bkt") + 1)).as("bkt"))
-      val build = ev.select(col("user_id").as("u2"), col("ts").as("ts2"), col("bkt"))
+          explode(array(col(bn), col(bn) + 1)).as(bn))
+      val build = ev.select(col("user_id").as("u2"), col("ts").as("ts2"), col(bn))
       probes.join(build,
-          probes("user_id") === build("u2") && probes("bkt") === build("bkt") &&
+          probes("user_id") === build("u2") && probes(bn) === build(bn) &&
           col("ts2") > col("ts1") &&
           col("ts2") <= col("ts1") + expr("INTERVAL 1 HOUR"))
         .groupBy(col("user_id"))

@@ -139,15 +139,16 @@ object PipelineOps {
           graft.Exprs.dsum(col("value")).as("sum_value"))
     }),
 
-    // M8: column profiling — the data-quality report a pipeline runs
-    // before trusting a new drop: per-column null rate, exact distinct,
+    // M8: column profiling, exact mode — DIAGNOSTIC-ONLY, opt-in
+    // (SparkEntry.benchOptIn): per-column null rate, exact distinct,
     // min/max, from ONE scan of the table (no per-column jobs). "One
     // scan" is not "one pass" internally: multiple exact countDistincts
     // make Catalyst plan an Expand — k+1 rows per input row (×4 here) —
-    // which is the documented price of exact distincts; profiling runs
-    // that can tolerate ±2% should use approx_count_distinct instead
-    // (single HLL pass, no Expand), which is what m8b provides. fanOut
-    // parallelizes the Expand+agg when the fixture scan plans one task.
+    // which is the documented price of exact distincts and why this is
+    // NOT the default profile: m8b (single HLL pass, no Expand, ±2%) is
+    // the entry a 100 TB pipeline should run, with m8 reserved for
+    // auditing a sketch result on a bounded slice. fanOut parallelizes
+    // the Expand+agg when the fixture scan plans one task.
     "m8_profile" -> ((s, d) => {
       val o = Tables.fanOut(Tables.orders(s, d), col("o_orderkey"))
       def prof(c: String, castStr: org.apache.spark.sql.Column) = Seq(
@@ -161,10 +162,10 @@ object PipelineOps {
          prof("o_orderpriority", col("o_orderpriority"))): _*)
     }),
 
-    // M8b: the 100 TB-shaped profile — approx_count_distinct (HLL++,
-    // rsd 2%) replaces the exact distincts, so the whole report is ONE
-    // genuine aggregation pass with no Expand row blow-up. HLL sketch
-    // values differ across engines, so this is rows-only + a spec
+    // M8b: the DEFAULT profile (100 TB-shaped) — approx_count_distinct
+    // (HLL++, rsd 2%) replaces the exact distincts, so the whole report
+    // is ONE genuine aggregation pass with no Expand row blow-up. HLL
+    // sketch values differ across engines, so this is rows-only + a spec
     // asserting each approx count within 5% of the exact (m8) value.
     "m8b_profile_approx" -> ((s, d) => {
       val o = Tables.fanOut(Tables.orders(s, d), col("o_orderkey"))

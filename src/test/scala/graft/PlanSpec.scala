@@ -41,6 +41,16 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("(o_year") && p.contains("1997"), p)
   }
 
+  test("J7's naive bounded-interval join is planner-rewritten to buckets") {
+    // the session-default RangeJoinRewrite must fire on the naive
+    // formulation (marker bucket key + Generate in the plan) — j7's
+    // oracle hash pins result equivalence separately
+    val df = Joins.queries("j7_range_join")(spark, sf("sf0.001"))
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains(graft.plans.RangeJoinRewrite.Marker), opt.take(2000))
+    assert(plan(df).contains("Generate explode"), "probe side should explode buckets")
+  }
+
   test("J2 plans a broadcast hash join of the part dimension") {
     val p = plan(Joins.queries("j2_broadcast_join")(spark, sf("sf0.001")))
     assert(p.contains("BroadcastHashJoin"), p)
