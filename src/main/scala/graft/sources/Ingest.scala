@@ -88,6 +88,28 @@ object Ingest {
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
     }),
 
+    // S6b: partition-PRUNED catalog read — the s6 layout registered as
+    // an external catalog table (CREATE TABLE … USING parquet LOCATION +
+    // RECOVER PARTITIONS, the exact shape a 100 TB lake table has), then
+    // read through the catalog with a partition predicate. The scan must
+    // list ONE year directory, not the table (PlanSpec asserts
+    // PartitionFilters; PLANS.md carries the committed plan — VERDICT r4
+    // item 8). Oracle: the same 1997 slice recomputed from the source.
+    "s6b_partition_pruned_read" -> ((s, d) => {
+      val out = tmp("graft_s6b_orders_by_year")
+      Tables.orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .repartition(col("o_year"))
+        .write.mode("overwrite").partitionBy("o_year").parquet(out)
+      s.sql("DROP TABLE IF EXISTS s6b_orders_by_year")
+      s.sql(s"CREATE TABLE s6b_orders_by_year USING parquet LOCATION '$out'")
+      s.sql("ALTER TABLE s6b_orders_by_year RECOVER PARTITIONS")
+      s.table("s6b_orders_by_year")
+        .filter(col("o_year") === 1997)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+    }),
+
     // S7: PGN text sink on the sample (golden-file spec owns the exact
     // bytes; here the written dir is re-read and game blocks counted).
     "s7_pgn_sink" -> ((s, _) => {
@@ -193,6 +215,12 @@ object Ingest {
       s"""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
          |  COUNT(*) AS n_orders, ${sqlDsum("o_totalprice")} AS total
          |FROM orders GROUP BY 1""".stripMargin,
+
+    "s6b_partition_pruned_read" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+         |  ${sqlDsum("o_totalprice")} AS total
+         |FROM orders WHERE year(o_orderdate) = 1997
+         |GROUP BY o_orderstatus""".stripMargin,
 
     "s7b_pgn_roundtrip" ->
       """SELECT * FROM (VALUES

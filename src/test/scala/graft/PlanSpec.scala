@@ -51,6 +51,14 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(plan(df).contains("Generate explode"), "probe side should explode buckets")
   }
 
+  test("S6b catalog read scans only the filtered year partition") {
+    val df = graft.sources.Ingest.queries("s6b_partition_pruned_read")(
+      spark, sf("sf0.001"))
+    val p = plan(df)
+    assert(p.contains("PartitionFilters"), p.take(2000))
+    assert(p.contains("(o_year") && p.contains("1997"), p.take(2000))
+  }
+
   test("J2 plans a broadcast hash join of the part dimension") {
     val p = plan(Joins.queries("j2_broadcast_join")(spark, sf("sf0.001")))
     assert(p.contains("BroadcastHashJoin"), p)
