@@ -36,13 +36,19 @@ object RecallTune {
       println(f"[tune] $name%-36s recall@$k=$recall%.4f  ${dt}%6.2f s  cand_returned=${got.size}")
     }
 
-    for ((t, b, f) <- Seq((16, 8, 4), (32, 8, 3), (16, 8, 3)))
+    val lshConfigs = sys.env.get("TUNE_LSH") match {
+      case Some(s) => s.split(";").toSeq.map { c =>
+        val Array(t, b, f) = c.split(",").map(_.trim.toInt); (t, b, f) }
+      case None => Seq((16, 8, 4), (32, 8, 3), (16, 8, 3))
+    }
+    for ((t, b, f) <- lshConfigs)
       eval(s"lsh tables=$t bits=$b flips=$f",
         operators.Similarity.annTopK(emb, k, bits = b, tables = t, probeFlips = f))
 
-    for ((nl, np) <- Seq((16, 10), (16, 12)))
-      eval(s"ivf nlist=$nl nprobe=$np",
-        operators.Similarity.ivfTopK(emb, k, nlist = nl, nprobe = np))
+    if (!sys.env.contains("TUNE_LSH"))
+      for ((nl, np) <- Seq((16, 10), (16, 12)))
+        eval(s"ivf nlist=$nl nprobe=$np",
+          operators.Similarity.ivfTopK(emb, k, nlist = nl, nprobe = np))
 
     spark.stop()
   }

@@ -90,7 +90,10 @@ object Similarity {
     // same convention as Spark's round() and DuckDB's round().
     def round6(x: Double): Double =
       math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
-    v.mapPartitions { qs =>
+    // fanOut: the probe side does n·|corpus| dot products; a one-split
+    // fixture file would run them on ONE task (measured: 28 s serial at
+    // the sf1 scale run vs ~3 s fanned out) — same guard annTopK carries.
+    Tables.fanOut(v.toDF(), col("vec_id")).as[VecRow].mapPartitions { qs =>
       val cand = bc.value
       qs.flatMap { q =>
         val best = new java.util.ArrayList[(Double, Long)](k + 1)
@@ -410,16 +413,41 @@ object Similarity {
     * Scale shape: candidate generation is an equi-shuffle on
     * (table, bucket) — probe rows ≤ 2^probeFlips per (query, table) and
     * the indexed side keeps exactly one signature per (vector, table);
-    * `bits` grows with log(corpus) to keep per-bucket width flat,
+    * `bits` GROWS WITH log(corpus) to keep per-bucket width flat
+    * (bits ≤ 0 auto-sizes from plan statistics: ~4 vectors/bucket,
+    * clamped to [8, 20] — at sf0.01 that resolves to the measured 8, at
+    * 20k vectors to 12, without which probing covers the whole corpus
+    * and the "index" degenerates to an all-pairs join: measured
+    * 109 s → 8.6 s at the sf1 scale run, BASELINE §8);
     * `tables`/`probeFlips` buy recall. The dedup'd candidate set (≪ n²
     * by construction) re-joins embeddings by id — two id-keyed
     * shuffles — so full vectors never ride the bucket explosion.
     */
-  def annTopK(embeddings: DataFrame, k: Int, bits: Int = 8,
+  def annTopK(embeddings: DataFrame, k: Int, bits: Int = 0,
       tables: Int = 32, probeFlips: Int = 3): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val hp: Array[Array[Double]] = planes(tables * bits).map(_.toArray).toArray
+    val bits0 = if (bits > 0) bits else {
+      // rowCount when the catalog has one; otherwise bytes/384 — a FULL
+      // embedding row (dim floats + id), so the fallback UNDER-estimates
+      // n. The error direction matters and is the opposite of
+      // exactTopK's gate: under-estimating rows yields fewer bits →
+      // wider buckets → more candidates, which costs time but never
+      // recall; over-estimating would silently thin the index.
+      val st = embeddings.queryExecution.optimizedPlan.stats
+      val n = st.rowCount.map(_.toLong).getOrElse(st.sizeInBytes.toLong / 384L)
+      // ~4 vectors/bucket — the point the RecallTune sweeps support on
+      // BOTH fixture shapes: recall@3 0.985 at sf0.01 (resolves to
+      // bits=8), 0.949 at sf0.1 (bits=9, the hard near-orthogonal
+      // corpus), 1.000 at the 20k-vector sf1 run (bits=12) where fixed
+      // bits=8 degenerated to an all-pairs join (109 s -> ~10 s). Wider
+      // buckets only buy candidates the verifier must reject; a finer
+      // 2/bucket dropped sf0.1 recall to 0.85. The [8,20] clamp bounds
+      // bucket count at a billion vectors.
+      math.min(20, math.max(8,
+        64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n / 4L))))
+    }
+    val hp: Array[Array[Double]] = planes(tables * bits0).map(_.toArray).toArray
     val bcH = spark.sparkContext.broadcast(hp)
     val v = vecs(embeddings)
     // fanOut: both hashing kernels below cost tables×bits dot products
@@ -434,8 +462,8 @@ object Similarity {
       it.flatMap { r =>
         (0 until tables).map { t =>
           var bucket = 0; var j = 0
-          while (j < bits) {
-            val p = h(t * bits + j)
+          while (j < bits0) {
+            val p = h(t * bits0 + j)
             var d = 0.0; var i = 0
             val n = math.min(r.emb.length, p.length)
             while (i < n) { d += r.emb(i) * p(i); i += 1 }
@@ -453,10 +481,10 @@ object Similarity {
       val h = bcH.value
       it.flatMap { r =>
         (0 until tables).flatMap { t =>
-          val margins = new Array[Double](bits)
+          val margins = new Array[Double](bits0)
           var bucket = 0; var j = 0
-          while (j < bits) {
-            val p = h(t * bits + j)
+          while (j < bits0) {
+            val p = h(t * bits0 + j)
             var d = 0.0; var i = 0
             val n = math.min(r.emb.length, p.length)
             while (i < n) { d += r.emb(i) * p(i); i += 1 }
@@ -465,7 +493,7 @@ object Similarity {
             j += 1
           }
           val flips = margins.zipWithIndex.sortBy(_._1)
-            .take(math.min(probeFlips, bits)).map(_._2)
+            .take(math.min(probeFlips, bits0)).map(_._2)
           var buckets = List(bucket)
           flips.foreach(f => buckets = buckets ++ buckets.map(_ ^ (1 << f)))
           buckets.map(bk => Sig(t, bk, r.vec_id))

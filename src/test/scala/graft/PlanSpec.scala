@@ -59,6 +59,20 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("(o_year") && p.contains("1997"), p.take(2000))
   }
 
+  test("fanOut is the identity once planned splits reach core count") {
+    import org.apache.spark.sql.functions.col
+    // 16 GB of plan-stats bytes -> far more planned splits than cores:
+    // the small-input guard must be a no-op (the sf1 scale run's
+    // property, asserted mechanically — BASELINE §8)
+    val big = spark.range(2000000000L).toDF("id")
+    assert(Tables.fanOut(big, col("id")) eq big,
+      "fanOut must not repartition an input that already plans wide")
+    // and the fixture-scale branch IS taken (sub-split file)
+    val small = Tables.orders(spark, sf("sf0.001"))
+    assert(!(Tables.fanOut(small, col("o_orderkey")) eq small),
+      "fanOut should widen a sub-split fixture scan")
+  }
+
   test("J2 plans a broadcast hash join of the part dimension") {
     val p = plan(Joins.queries("j2_broadcast_join")(spark, sf("sf0.001")))
     assert(p.contains("BroadcastHashJoin"), p)
