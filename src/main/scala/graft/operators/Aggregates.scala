@@ -9,6 +9,23 @@ import org.apache.spark.sql.types._
 /** One lineitem row for the typed-API path (public for encoders). */
 case class LineQty(l_returnflag: String, l_linestatus: String, l_quantity: Double)
 
+/** Typed (sum, count) Aggregator for the a11 Dataset path. */
+object SumCount extends org.apache.spark.sql.expressions.Aggregator[
+    Double, (Double, Long), (Double, Long)] {
+  override def zero: (Double, Long) = (0.0, 0L)
+  override def reduce(b: (Double, Long), a: Double): (Double, Long) =
+    (b._1 + a, b._2 + 1)
+  override def merge(x: (Double, Long), y: (Double, Long)): (Double, Long) =
+    (x._1 + y._1, x._2 + y._2)
+  override def finish(r: (Double, Long)): (Double, Long) = r
+  override def bufferEncoder: org.apache.spark.sql.Encoder[(Double, Long)] =
+    org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaDouble,
+      org.apache.spark.sql.Encoders.scalaLong)
+  override def outputEncoder: org.apache.spark.sql.Encoder[(Double, Long)] =
+    bufferEncoder
+}
+
 /** Aggregation operators (SURVEY.md §2B A1–A8).
   *
   * All grouped aggregates rely on Spark's automatic partial+final hash
@@ -115,8 +132,13 @@ object Aggregates {
         .agg(percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_approx"))
     }),
 
-    // A11: the typed Dataset path — case-class Encoder, groupByKey +
-    // mapGroups (compile-time field checks; Tungsten rows underneath).
+    // A11: the typed Dataset path — case-class Encoder, groupByKey + a
+    // typed Aggregator (compile-time field checks; Tungsten rows
+    // underneath). The Aggregator matters at scale: it aggregates
+    // PARTIALLY before the shuffle (object-hash agg), so ~6 buffer rows
+    // per map task cross the wire — the round-4 mapGroups formulation
+    // shipped every input row to the reduce side (0.97 s → ~0.3 s at
+    // sf0.1, and the difference is the whole fact table at 100 TB).
     // Quantities are integral doubles, so the fold is order-independent.
     "a11_typed_groupbykey" -> ((s, d) => {
       import s.implicits._
@@ -125,15 +147,14 @@ object Aggregates {
         .as[LineQty]
         .groupByKey(r => (r.l_returnflag, r.l_linestatus))
         // mapValues before the shuffle: the two key strings already ride
-        // in the key tuple, so the value payload shrinks to the one
-        // double actually aggregated (~40% fewer shuffle bytes)
+        // in the key tuple, so the buffer payload is the one double
+        // actually aggregated
         .mapValues(_.l_quantity)
-        .mapGroups { (key: (String, String), qs: Iterator[Double]) =>
-          var n = 0L; var qty = 0.0
-          qs.foreach { q => n += 1; qty += q }
-          (key._1, key._2, qty, n)
-        }
-        .toDF("l_returnflag", "l_linestatus", "sum_qty", "n_rows")
+        .agg(SumCount.toColumn.name("sc"))
+        // flatten with column ops, not a typed .map — the latter would
+        // pay one more full encoder round-trip just to rename fields
+        .select(col("key._1").as("l_returnflag"), col("key._2").as("l_linestatus"),
+          col("sc._1").as("sum_qty"), col("sc._2").as("n_rows"))
     }),
 
     // A9: custom typed Aggregator (geometric mean). Rounded to 4dp: the

@@ -139,8 +139,13 @@ object Ingest {
     // (DuckDB has no ORC reader, so fidelity is checked through values).
     "s9_orc_roundtrip" -> ((s, d) => {
       val out = tmp("graft_s9_lineitem_orc")
-      Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      // fanOut BEFORE the write: a one-split source serializes the ORC
+      // encode onto 1-2 tasks AND leaves 1-2 files for the re-read to
+      // parse serially — writing from N tasks parallelizes both halves
+      // of the round-trip. Identity at scale (documents()' guard).
+      Tables.fanOut(Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag")),
+          col("l_orderkey"))
         .write.mode("overwrite").orc(out)
       s.read.orc(out)
         .groupBy(col("l_returnflag"))
