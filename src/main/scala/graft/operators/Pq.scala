@@ -47,8 +47,8 @@ object Pq {
   /** Train per-subspace L2 kmeans codebooks on a bounded deterministic
     * sample (first `trainLimit` rows by vec_id). None on empty input.
     */
-  def train(embeddings: DataFrame, m: Int = 8, ksub: Int = 16,
-      iters: Int = 8, trainLimit: Int = 1024): Option[Codebook] = {
+  def train(embeddings: DataFrame, m: Int = 8, ksub: Int = 256,
+      iters: Int = 5, trainLimit: Int = 2048): Option[Codebook] = {
     val sample = unitVecs(embeddings).orderBy(col("vec_id")).limit(trainLimit).collect()
     if (sample.isEmpty) return None
     val dim = sample(0).emb.length
@@ -187,8 +187,8 @@ object Pq {
     * broadcast scan does (PqSpec asserts result equality at fixture
     * scale).
     */
-  def pqTopK(embeddings: DataFrame, k: Int, m: Int = 8, ksub: Int = 16,
-      rerank: Int = 32, broadcastLimit: Long = 50000000L,
+  def pqTopK(embeddings: DataFrame, k: Int, m: Int = 8, ksub: Int = 256,
+      rerank: Int = 64, broadcastLimit: Long = 50000000L,
       nBlocks: Int = 32): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._

@@ -40,11 +40,13 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
       .select(col("vec_id"), col("neighbor")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = asSet(Similarity.bruteTopK(emb, 3))
-    val pq = asSet(Pq.pqTopK(emb, 3, rerank = 32))
+    val pq = asSet(Pq.pqTopK(emb, 3)) // ships ksub=256, rerank=64
     val recall = (pq & exact).size.toDouble / exact.size
-    // floor pinned just below the measured value (RECALL_r03 sf0.01:
-    // 0.69) so a codebook/ADC regression fails rather than degrading
-    assert(recall >= 0.6, s"PQ recall@3 regressed: $recall (floor 0.6)")
+    // floor pinned just below the measured value (round 5: byte-wide
+    // codebooks ksub=256 + rerank=64 → 0.993 at sf0.01, vs 0.69 for the
+    // round-3 ksub=16) so a codebook/ADC regression fails rather than
+    // degrading silently
+    assert(recall >= 0.95, s"PQ recall@3 regressed: $recall (floor 0.95)")
   }
 
   test("sharded-index path equals the broadcast path (gate forced both ways)") {
