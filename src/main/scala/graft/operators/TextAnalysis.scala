@@ -159,6 +159,32 @@ object TextAnalysis {
         graft.functions.RollingHash.rollingHash(toks).as("fingerprint"))
     }),
 
+    // L11: benchmark DECONTAMINATION — drop training documents sharing
+    // ≥ 3 distinct word-3-grams with an evaluation set (the standard
+    // guard against test-set leakage into a training corpus). The
+    // benchmark side is SMALL by definition at any corpus scale (eval
+    // sets are KBs–MBs), so its distinct shingle-hash set BROADCASTS
+    // and the corpus side stays scan → native ShingleHash kernel →
+    // explode → broadcast semi join → per-doc count: the only corpus
+    // shuffle is the per-doc count aggregation, and the anti join
+    // carries ids only. Fixture benchmark: the deterministic ~1% slice
+    // doc_id % 97 == 0 standing in for the eval set.
+    "l11_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def shingled(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+        explode(graft.functions.ShingleHash.shingleHashes(split(col("text"), " "))).as("sh"))
+      val bench = shingled(docs.filter(col("doc_id") % 97 === 0))
+        .select(col("sh")).distinct()
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+      val contaminated = shingled(train)
+        .join(broadcast(bench), "sh") // per-doc shingles are distinct,
+        .groupBy(col("doc_id"))       // so the count IS distinct overlap
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+      train.join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
     // Lang-ID heuristic over the corpus (rows-only; LangIdSpec pins
     // accuracy on real multilingual samples).
     "l9_lang_id" -> ((s, d) => {
@@ -172,6 +198,27 @@ object TextAnalysis {
   private val stopSql = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    // same 3-gram semantics as l2c's oracle (whole-token windows,
+    // docs with < 3 tokens have no shingles and always survive)
+    "l11_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(t) - 1, 1)),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS sh
+        |  FROM toks WHERE len(t) >= 3
+        |), bench AS (
+        |  SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0
+        |), cont AS (
+        |  SELECT s.doc_id FROM sh s JOIN bench USING (sh)
+        |  WHERE s.doc_id % 97 <> 0
+        |  GROUP BY 1 HAVING COUNT(*) >= 3
+        |)
+        |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+        |WHERE d.doc_id % 97 <> 0
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM cont)""".stripMargin,
+
     "l5_text_stats" ->
       s"""WITH t AS (SELECT doc_id, n_chars, lang, string_split(text, ' ') AS tk
          |  FROM documents)
