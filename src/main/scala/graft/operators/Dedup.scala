@@ -270,6 +270,14 @@ object Dedup {
     var labels = nodes.withColumn("label", col("node")).localCheckpoint()
     var iter = 0
     var converged = false
+    // Convergence check: labels only ever DECREASE (min-propagation +
+    // pointer jumps), so the label multiset is stationary iff its exact
+    // decimal sum is — one cheap aggregate per round where round 4 ran
+    // a full next⋈labels join just to look for a difference.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast(DecimalType(38, 0))))
+        .head().getDecimal(0)
+    var prevSum = labelSum(labels)
     while (iter < maxIter && !converged) {
       // each node adopts min(own label, neighbors' labels) ...
       val viaEdges = sym
@@ -287,10 +295,10 @@ object Dedup {
         .select(col("node"),
           coalesce(col("l2"), col("label")).as("label"))
         .localCheckpoint() // truncate lineage: plan growth is the real cost
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).limit(1).count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iter += 1
     }
     sym.unpersist() // labels are checkpointed — the edge cache can go
