@@ -92,6 +92,28 @@ object PipelineOps {
         .filter(col("cum_toks") <= 5000)
     }),
 
+    // M9: training-sequence PACKING — concat-then-chunk: within each
+    // source, documents in doc_id order concatenate into a token
+    // stream cut every `budget` tokens, and a document belongs to the
+    // sequence its first token lands in (doc boundaries may straddle
+    // cuts — the standard LLM pretraining packing layout, vs m4's
+    // budget FILTER and m6's per-document chunking). Deterministic:
+    // seq_id = floor(exclusive-prefix-sum / budget), one window + one
+    // hash aggregate, both on the same source-keyed shuffle.
+    "m9_sequence_pack" -> ((s, d) => {
+      val budget = 512
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast(LongType).as("n_toks"))
+        .withColumn("prev", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+        .select(col("source"), floor(col("prev") / budget).as("seq_id"),
+          col("n_toks"))
+        .groupBy(col("source"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_tokens"))
+    }),
+
     // M6: document chunking — fixed-size overlapping token windows
     // (chunk 50, stride 40 → 10-token overlap), the context-window prep
     // step before tokenization. Pre-split token array (HOF-lambda rule),
@@ -313,6 +335,21 @@ object PipelineOps {
         |  SELECT doc_id, source, n_toks,
         |    CAST(SUM(n_toks) OVER (PARTITION BY source
         |      ORDER BY n_toks DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
-        |  FROM t) WHERE cum_toks <= 5000""".stripMargin
+        |  FROM t) WHERE cum_toks <= 5000""".stripMargin,
+
+    "m9_sequence_pack" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, n_toks,
+        |    COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+        |  FROM t
+        |)
+        |SELECT source, CAST(FLOOR(prev / 512) AS BIGINT) AS seq_id,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+        |FROM c GROUP BY 1, 2""".stripMargin
   )
 }
