@@ -22,6 +22,10 @@ object ProfileQuery {
 
     val taskMax = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        println(f"    [job ${js.jobId}%3d start @${js.time % 1000000}%6d]")
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        println(f"    [job ${je.jobId}%3d end   @${je.time % 1000000}%6d]")
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         taskMax.merge(te.stageId, te.taskInfo.duration, (a, b) => math.max(a, b))
       override def onStageCompleted(st: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
@@ -37,9 +41,13 @@ object ProfileQuery {
       s.catalog.clearCache(); System.gc(); Thread.sleep(500)
       println(s"=== $name round $round ===")
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(s, d)
-        .write.format("noop").mode("overwrite").save()
-      println(f"[prof] FULL ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      val df = SparkEntry.queries(name)(s, d)
+      val t1 = System.nanoTime()
+      df.queryExecution.executedPlan // force optimize + physical planning
+      val t2 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val t3 = System.nanoTime()
+      println(f"[prof] build ${(t1 - t0) / 1e9}%6.3f s  plan ${(t2 - t1) / 1e9}%6.3f s  exec ${(t3 - t2) / 1e9}%6.3f s  FULL ${(t3 - t0) / 1e9}%7.3f s")
       Thread.sleep(400)
     }
     spark.stop()

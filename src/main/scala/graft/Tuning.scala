@@ -25,9 +25,19 @@ object Tuning {
     // smaller wastes scheduler cycles at 100 TB (800k tasks is fine,
     // 8M is not).
     "spark.sql.files.maxPartitionBytes" -> "134217728",
-    // Dimension tables broadcast up to 64 MB — region/nation/part-scale
-    // sides should never shuffle the fact table.
-    "spark.sql.autoBroadcastJoinThreshold" -> "67108864",
+    // Broadcast thresholds, split by estimate quality. The STATIC
+    // threshold drives compile-time estimates (file size × pruned-column
+    // ratio, NO filter selectivity) — at 64 MB a 110 MB fact table
+    // reading 4 of 16 columns "fits" and Spark collects millions of rows
+    // to the driver (measured: +2.4 s driver hash-relation build on Q3
+    // at sf1, and unbounded at 100 TB). 16 MB keeps true dimension
+    // tables (region/nation/part/customer) on the broadcast path while
+    // fact-side estimates fall through to shuffle joins. The ADAPTIVE
+    // threshold then re-promotes at runtime from MEASURED shuffle bytes,
+    // so a filtered fact side that really is small still broadcasts —
+    // estimates lie, runtime sizes don't.
+    "spark.sql.autoBroadcastJoinThreshold" -> "16777216",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "16777216",
     // Deterministic oracle parity: timezone pinned, nanos handled.
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
