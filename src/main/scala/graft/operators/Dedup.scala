@@ -216,20 +216,119 @@ object Dedup {
     docs.join(removed, Seq("doc_id"), "left_anti")
   }
 
-  /** Connected components over an undirected edge list by iterative
-    * min-label propagation: every node's label converges to the smallest
-    * node id reachable from it. The dedup-cluster primitive — pairwise
-    * near-dup survivorship (drop the larger id of each PAIR) under-merges
-    * transitive chains A~B~C where A≁C; clustering first, then keeping
-    * one representative per component, is the policy large corpora
-    * actually want.
+  /** Verified hamming-neighbor pairs (src < dst, distinct) over a
+    * (doc_id, simhash) relation, by pigeonhole banding: hashes within
+    * hamming `maxHamming` ≤ 3 share at least one of their four 16-bit
+    * bands exactly, so candidates only arise inside equal-(band, bits)
+    * buckets.
     *
-    * Scale: each iteration is one equi-join (labels × symmetrized edges)
-    * + one min-aggregate — all bucket-keyed shuffles, no driver-side
-    * graph. Iterations are bounded by the component diameter (near-dup
-    * clusters are shallow); `localCheckpoint` truncates the growing
-    * lineage each round, and the only driver-side value is the
-    * convergence count.
+    * Within a bucket, pairing is a SORTED SLIDING WINDOW, not a self-join:
+    * rows are hash-partitioned by bucket, sorted (bucket, simhash, id),
+    * and a per-partition linear pass compares each row against its
+    * `window` predecessors. Buckets of width ≤ window+1 — every bucket at
+    * fixture scale — get exactly the all-pairs result; wider (hot)
+    * buckets degrade gracefully to banded pairing instead of the O(width²)
+    * blow-up that made the join form unrunnable on duplicate-heavy
+    * corpora (measured: 488 s CPU at sf1, ~15 s for this kernel).
+    * Identical-hash runs sort adjacently, so every member of a hot
+    * bucket still pairs with a smaller neighbor — removal/connectivity
+    * semantics survive truncation; only far-apart same-bucket pairs
+    * (already rare at hamming ≤ 3, and re-findable via their other three
+    * bands) can be missed. mapPartitions is deliberate: Spark has no
+    * bounded-window SELF-pairing operator, and the DataFrame encodings
+    * (join or collect_list) are quadratic in bucket width — this is the
+    * per-partition imperative case the design notes reserve it for.
+    */
+  def simhashBandPairs(sh: DataFrame, maxHamming: Int = 3,
+      window: Int = 64, pinPartitions: Option[Int] = None): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    val bands = sh.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("b"),
+            shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("bits"))): _*)).as("bk"))
+      .select(col("bk.b").as("b"), col("bk.bits").as("bits"),
+        col("simhash"), col("doc_id"))
+    val parted = pinPartitions match {
+      case Some(n) => bands.repartition(n, col("b"), col("bits"))
+      case None    => bands.repartition(col("b"), col("bits"))
+    }
+    val (maxH, w) = (maxHamming, window)
+    parted.sortWithinPartitions(col("b"), col("bits"), col("simhash"), col("doc_id"))
+      .as[(Int, Long, Long, Long)]
+      .mapPartitions { it =>
+        // ring buffer of the last `w` (simhash, id) rows of the current bucket
+        val bufSh = new Array[Long](w)
+        val bufId = new Array[Long](w)
+        var n = 0; var pos = 0; var curB = -1; var curBits = 0L
+        it.flatMap { case (b, bits, shv, id) =>
+          if (b != curB || bits != curBits) {
+            curB = b; curBits = bits; n = 0; pos = 0
+          }
+          var out: List[(Long, Long)] = Nil
+          var i = 0
+          while (i < n) {
+            var j = pos - 1 - i
+            if (j < 0) j += w
+            if (java.lang.Long.bitCount(bufSh(j) ^ shv) <= maxH) {
+              val a = bufId(j)
+              out = (math.min(a, id), math.max(a, id)) :: out
+            }
+            i += 1
+          }
+          bufSh(pos) = shv; bufId(pos) = id
+          pos = (pos + 1) % w
+          if (n < w) n += 1
+          out
+        }
+      }
+      .toDF("src", "dst").distinct()
+  }
+
+  /** Eager checkpoint that also RESETS derived statistics — the
+    * materialization primitive every iterative DataFrame fixpoint here
+    * must use instead of bare `localCheckpoint`.
+    *
+    * `Dataset.localCheckpoint` truncates lineage but PROPAGATES the
+    * origin plan's Catalyst statistics into the resulting LogicalRDD,
+    * and the size-only estimator MULTIPLIES child sizes at every join.
+    * In a loop whose round builds the next state from several joins over
+    * the previous checkpoint, the `sizeInBytes` BigInt therefore
+    * compounds by a constant factor per round — after ~8 rounds the
+    * driver sits in BigInteger.multiply on numbers with millions of
+    * digits and planning time, not execution, is the hang (measured:
+    * the CC loop froze hard inside Toom-Cook multiplication). Rebuilding
+    * the frame from the checkpointed RDD discards the poisoned stats
+    * (fresh default estimate) at the cost of one row re-encoding pass
+    * over a small relation; runtime join planning is AQE's job anyway.
+    */
+  private def pinned(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint()
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
+  /** Connected components over an undirected edge list by iterative
+    * CONTRACTION: each round every node adopts the smallest id among
+    * itself and its neighbors, the full node→label mapping composes with
+    * those moves, and the edge list is rewritten onto the new labels
+    * (self-loops dropped, duplicates merged). Every label converges to
+    * the smallest node id reachable from it. The dedup-cluster
+    * primitive — pairwise near-dup survivorship (drop the larger id of
+    * each PAIR) under-merges transitive chains A~B~C where A≁C;
+    * clustering first, then keeping one representative per component, is
+    * the policy large corpora actually want.
+    *
+    * Scale: the work per round is proportional to the CURRENT edge set,
+    * which shrinks geometrically — a clique collapses to nothing in one
+    * round, and even a pure path collapses in one round because the
+    * moves relation is pointer-jumped to fixpoint first — where round-4's
+    * label-propagation loop re-joined the FULL edge list every round
+    * (measured at sf1:
+    * 15 rounds × 2×110 MB shuffles; this form touches the full list
+    * once). The improving-moves relation is usually small enough that
+    * AQE broadcasts the rewrites. `localCheckpoint` truncates lineage
+    * each round; convergence = the contracted edge set is empty, so the
+    * only driver-side value is an isEmpty probe.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20,
       driverEdgeLimit: Long = 5000000L): DataFrame = {
@@ -242,7 +341,7 @@ object Dedup {
     val e0 = edges.select(col("src"), col("dst")).localCheckpoint()
     val sym = e0
       .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .filter(col("src") =!= col("dst")).distinct().cache()
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
     // Size gate: a near-dup edge list (post rep-collapse) is orders of
     // magnitude smaller than its corpus — when it fits the driver
     // budget, union-find with path compression answers in microseconds
@@ -252,7 +351,6 @@ object Dedup {
     if (sym.count() <= driverEdgeLimit) {
       val es = sym.select(col("src").cast("long"), col("dst").cast("long"))
         .as[(Long, Long)].collect()
-      sym.unpersist()
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         val p = parent.getOrElse(x, x)
@@ -267,42 +365,56 @@ object Dedup {
       return parent.keys.toSeq.map(n => (n, find(n))).toDF("node", "label")
     }
     val nodes = sym.select(col("src").as("node")).distinct()
-    var labels = nodes.withColumn("label", col("node")).localCheckpoint()
+    // The contracted graph: edges between CURRENT labels, kept symmetric
+    // (the rewrite maps both directions through the same moves). Each
+    // round's move relation is retained; the full node→label mapping is
+    // folded ONCE after the loop instead of re-joined every round.
+    val moveRounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var g = sym
     var iter = 0
-    var converged = false
-    // Convergence check: labels only ever DECREASE (min-propagation +
-    // pointer jumps), so the label multiset is stationary iff its exact
-    // decimal sum is — one cheap aggregate per round where round 4 ran
-    // a full next⋈labels join just to look for a difference.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast(DecimalType(38, 0))))
-        .head().getDecimal(0)
-    var prevSum = labelSum(labels)
-    while (iter < maxIter && !converged) {
-      // each node adopts min(own label, neighbors' labels) ...
-      val viaEdges = sym
-        .join(labels.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), col("label"))
-      val minNbr = labels.unionByName(viaEdges)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-      // ... then pointer-jumps to its label's label: label(label(x)) ≤
-      // label(x), so chains collapse in O(log diameter) rounds instead
-      // of O(diameter) — round count, not per-round cost, is what
-      // dominates an iterative Spark fixpoint.
-      val next = minNbr
-        .join(minNbr.select(col("node").as("label"), col("label").as("l2")),
-          Seq("label"), "left")
-        .select(col("node"),
-          coalesce(col("l2"), col("label")).as("label"))
-        .localCheckpoint() // truncate lineage: plan growth is the real cost
-      val nextSum = labelSum(next)
-      labels = next
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
+    while (iter < maxIter && !g.isEmpty) {
+      // improving moves: each current label's new label is the min of
+      // itself and its neighbors ...
+      var m = pinned(g.groupBy(col("src")).agg(min(col("dst")).as("nl"))
+        .filter(col("nl") < col("src")))
+      // ... POINTER-JUMPED over the move forest TO FIXPOINT: composing
+      // the mapping with itself doubles chain hops per step, so a move
+      // chain of depth d flattens onto its root in ⌈log₂ d⌉ small
+      // self-joins and the contraction below then swallows the whole
+      // chain in THIS round. (A fixed jump count is not enough: k jumps
+      // only shift a path by 2^k nodes per round — subtractive, so a
+      // long chain would outrun any fixed round budget.) The probe runs
+      // BEFORE composing, so the common shallow round (no chained moves
+      // — any pair of merged cliques) costs one semi-join and no jump.
+      def chained(mm: DataFrame): Boolean =
+        !mm.select(col("nl")).join(mm.select(col("src").as("nl")),
+          Seq("nl"), "left_semi").isEmpty
+      while (chained(m)) {
+        val m2 = m.select(col("src").as("j_src"), col("nl").as("j_nl"))
+        m = pinned(m.join(m2, m("nl") === m2("j_src"), "left")
+          .select(col("src"), coalesce(col("j_nl"), col("nl")).as("nl")))
+      }
+      moveRounds += m
+      // contract: rewrite both endpoints through the moves, drop
+      // self-loops (bulk of a merged clique) BEFORE the distinct shuffle
+      g = pinned(g
+        .join(m, Seq("src"), "left")
+        .select(coalesce(col("nl"), col("src")).as("src"), col("dst"))
+        .join(m.withColumnRenamed("src", "dst").withColumnRenamed("nl", "nl2"),
+          Seq("dst"), "left")
+        .select(col("src"), coalesce(col("nl2"), col("dst")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct())
       iter += 1
     }
-    sym.unpersist() // labels are checkpointed — the edge cache can go
-    labels
+    // fold the per-round moves into the node→label mapping, in round
+    // order (round r's targets are round-r labels, exactly what round
+    // r+1's moves are keyed by). Checkpointed move relations keep this
+    // one plan shallow; the caller decides materialization.
+    moveRounds.foldLeft(nodes.withColumn("label", col("node"))) { (lab, m) =>
+      lab.join(m.withColumnRenamed("src", "label"), Seq("label"), "left")
+        .select(col("node"), coalesce(col("nl"), col("label")).as("label"))
+    }
   }
 
   val queries: Map[String, Q] = Map(
@@ -348,18 +460,13 @@ object Dedup {
       val sh = (if (small) sh0.coalesce(8) else sh0).cache() // (doc_id, simhash)
       sh.count() // materialize once: both band-join map stages launch
                  // concurrently and would race the cold cache otherwise
-      val bands = sh.select(col("doc_id"), col("simhash"),
-          explode(array((0 until 4).map(b =>
-            struct(lit(b).as("b"),
-              shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("bits"))): _*)).as("bk"))
-        .select(col("doc_id"), col("simhash"),
-          col("bk.b").as("b"), col("bk.bits").as("bits"))
-      val b2 = bands.select(col("b"), col("bits"),
-        col("doc_id").as("d2"), col("simhash").as("sh2"))
-      val removed = bands.join(b2, Seq("b", "bits"))
-        .filter(col("doc_id") < col("d2"))
-        .filter(bit_count(col("simhash").bitwiseXOR(col("sh2"))) <= 3)
-        .select(col("d2").as("doc_id")).distinct()
+      // verified hamming<=3 pairs via the sorted sliding-window band
+      // kernel (see simhashBandPairs): linear in bucket width, and every
+      // doc with a smaller near-identical neighbor still pairs with one,
+      // so the removed set survives hot-bucket truncation
+      val removed = simhashBandPairs(sh,
+          pinPartitions = if (small) Some(8) else None)
+        .select(col("dst").as("doc_id")).distinct()
         .localCheckpoint() // pin the tiny id set, release the cache
       sh.unpersist()
       Tables.documents(s, d)

@@ -230,18 +230,13 @@ object PipelineOps {
       // self-join's two map stages launch concurrently and would race
       // the cold caches into duplicate simhash evaluations otherwise
       reps.count()
-      val bands = reps.select(col("rep"), col("simhash"),
-          explode(array((0 until 4).map(b =>
-            struct(lit(b).as("b"),
-              shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("bits"))): _*)).as("bk"))
-        .select(col("rep"), col("simhash"),
-          col("bk.b").as("b"), col("bk.bits").as("bits"))
-      val b2 = bands.select(col("b"), col("bits"),
-        col("rep").as("r2"), col("simhash").as("sh2"))
-      val edges = bands.join(b2, Seq("b", "bits"))
-        .filter(col("rep") < col("r2"))
-        .filter(bit_count(col("simhash").bitwiseXOR(col("sh2"))) <= 3)
-        .select(col("rep").as("src"), col("r2").as("dst")).distinct()
+      // verified hamming<=3 edges between reps via the sorted
+      // sliding-window band kernel — linear in bucket width where the
+      // round-5 band self-join was quadratic (488 s CPU at sf1 on the
+      // mutation-cluster fixture, whose clusters all land in hot buckets)
+      val edges = graft.operators.Dedup.simhashBandPairs(
+        reps.select(col("rep").as("doc_id"), col("simhash")),
+        pinPartitions = if (small) Some(8) else None)
       val comps = Dedup.connectedComponents(edges)
       // members inherit their rep's component; singleton reps are their own
       val all = sh.join(reps, "simhash")

@@ -80,6 +80,53 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       "removed set must equal exactly the larger-id docs of hamming<=3 pairs")
   }
 
+  test("simhashBandPairs: exact below the window; removal survives hot buckets") {
+    import spark.implicits._
+    // (a) planted near-dup groups (each member ≤2 bit-flips off its
+    // group base, so in-group pairs span hamming 0..4 — some adjacent,
+    // some not), buckets far below the 64-row window → the kernel must
+    // equal the quadratic definition (all band-colliding hamming<=3
+    // pairs) exactly
+    val rnd = new scala.util.Random(7)
+    val hashes = (0 until 40).flatMap { g =>
+      val bse = rnd.nextLong()
+      (0 until 8).map { j =>
+        val flips = (0 until rnd.nextInt(3)).map(_ => 1L << rnd.nextInt(64))
+        (g * 8L + j) -> flips.foldLeft(bse)(_ ^ _)
+      }
+    }
+    val got = Dedup.simhashBandPairs(hashes.toDF("doc_id", "simhash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def bandsOf(h: Long) = (0 until 4).map(b => (b, (h >>> (b * 16)) & 0xFFFFL))
+    val want = (for {
+      (d1, h1) <- hashes; (d2, h2) <- hashes
+      if d1 < d2 && java.lang.Long.bitCount(h1 ^ h2) <= 3
+      if bandsOf(h1).intersect(bandsOf(h2)).nonEmpty
+    } yield (d1, d2)).toSet
+    assert(got === want)
+    // (b) hot bucket: 200 identical hashes blow past the window, so the
+    // pair set is banded (bounded, not all-pairs) — but every doc except
+    // the min keeps a smaller partner, so the dedup REMOVAL set is intact
+    val hot = (0L until 200L).map(i => i -> 0x1234abcd5678ef90L)
+    val pairs = Dedup.simhashBandPairs(hot.toDF("doc_id", "simhash")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length < 200 * 199 / 2, "hot bucket must not emit all pairs")
+    assert(pairs.map(_._2).distinct.sorted === (1L until 200L).toArray,
+      "every non-min doc must still pair with a smaller neighbor")
+  }
+
+  test("connected components: long chain converges within maxIter (pointer-jumped moves)") {
+    import spark.implicits._
+    // a 400-node path exceeds maxIter=20 under one-step contraction; the
+    // pointer-jumped moves must collapse it to a single min-labeled
+    // component within the default round budget
+    val edges = (0L until 399L).map(i => (i, i + 1)).toDF("src", "dst")
+    val labels = Dedup.connectedComponents(edges, driverEdgeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length === 400)
+    assert(labels.forall(_._2 == 0L), "all 400 chain nodes must reach label 0")
+  }
+
   test("connected components: chain merges, triangle+tail, isolated pair") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), // chain -> one component
