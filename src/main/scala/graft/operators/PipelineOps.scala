@@ -114,6 +114,30 @@ object PipelineOps {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_tokens"))
     }),
 
+    // M10: source-MIXTURE sampling — the curriculum/mixture knob of a
+    // pretraining data recipe. Each source gets a token budget
+    // proportional to its mixture weight (derived here from the source
+    // index: src_k gets (k+1)·100 tokens) and docs fill it in a
+    // deterministic pseudo-random priority (md5 of doc_id — unbiased,
+    // reproducible, engine-agnostic; m3 pins the cross-engine md5
+    // parity), unlike m4's longest-first packing. One source-keyed
+    // window; the weight lookup is a pure projection, so no extra
+    // shuffle or broadcast at any corpus size.
+    "m10_mixture_sample" -> ((s, d) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("pri"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast(LongType).as("n_toks"),
+          md5(col("doc_id").cast(StringType).cast(BinaryType)).as("pri"),
+          ((substring(col("source"), 4, 10).cast(LongType) + 1) * 100).as("budget"))
+        .withColumn("cum_toks", sum(col("n_toks")).over(w))
+        .filter(col("cum_toks") <= col("budget"))
+        .select(col("doc_id"), col("source"), col("n_toks"),
+          col("cum_toks"), col("budget"))
+    }),
+
     // M6: document chunking — fixed-size overlapping token windows
     // (chunk 50, stride 40 → 10-token overlap), the context-window prep
     // step before tokenization. Pre-split token array (HOF-lambda rule),
@@ -345,6 +369,21 @@ object PipelineOps {
         |)
         |SELECT source, CAST(FLOOR(prev / 512) AS BIGINT) AS seq_id,
         |  COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS total_tokens
-        |FROM c GROUP BY 1, 2""".stripMargin
+        |FROM c GROUP BY 1, 2""".stripMargin,
+
+    "m10_mixture_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |    md5(CAST(doc_id AS VARCHAR)) AS pri,
+        |    (CAST(SUBSTR(source, 4) AS BIGINT) + 1) * 100 AS budget
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, n_toks, cum_toks, budget FROM (
+        |  SELECT doc_id, source, n_toks, budget,
+        |    SUM(n_toks) OVER (PARTITION BY source ORDER BY pri, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks
+        |  FROM t)
+        |WHERE cum_toks <= budget""".stripMargin
   )
 }

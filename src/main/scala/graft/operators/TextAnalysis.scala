@@ -150,6 +150,27 @@ object TextAnalysis {
           "\\b\\d{3}-\\d{4}\\b", "<PHONE>").as("scrubbed"))
     }),
 
+    // L7d: intra-document REPETITION filter (the Gopher/MassiveText
+    // "repetitious text" gate): fraction of duplicate unigrams and of
+    // duplicate word-3-grams per doc, both computed inside the scan
+    // projection (array_distinct over the token array / the 3-gram
+    // transform — per-row, no explode, no shuffle); docs above either
+    // threshold are dropped. Catches loops and boilerplate that the
+    // cross-doc dedup family (L1/L2) cannot see.
+    "l7d_repetition_filter" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("tk"))
+        .filter(size(col("tk")) >= 3)
+        .select(col("doc_id"),
+          size(col("tk")).cast(LongType).as("n_toks"),
+          round(lit(1.0) - size(array_distinct(col("tk"))).cast(DoubleType)
+            / size(col("tk")), 6).as("dup_tok_frac"),
+          round(lit(1.0) - size(array_distinct(expr(
+            "transform(sequence(1, size(tk)-2), i -> concat(element_at(tk, i), ' ', element_at(tk, i+1), ' ', element_at(tk, i+2)))")))
+            .cast(DoubleType) / (size(col("tk")) - 2), 6).as("dup_g3_frac"))
+        .filter(col("dup_tok_frac") <= 0.55 && col("dup_g3_frac") <= 0.05)
+    }),
+
     // L10 (extension): document fingerprint via the native RollingHash
     // Catalyst expression (order-sensitive; codegen'd). Not expressible
     // in DuckDB → rows-only + known-vector spec.
@@ -218,6 +239,19 @@ object TextAnalysis {
         |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
         |WHERE d.doc_id % 97 <> 0
         |  AND d.doc_id NOT IN (SELECT doc_id FROM cont)""".stripMargin,
+
+    "l7d_repetition_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |), m AS (
+        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_toks,
+        |    ROUND(1 - len(list_distinct(tk))::DOUBLE / len(tk), 6) AS dup_tok_frac,
+        |    ROUND(1 - len(list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |        FOR i IN range(1, len(tk)-1)]))::DOUBLE / (len(tk) - 2), 6) AS dup_g3_frac
+        |  FROM t WHERE len(tk) >= 3
+        |)
+        |SELECT doc_id, n_toks, dup_tok_frac, dup_g3_frac FROM m
+        |WHERE dup_tok_frac <= 0.55 AND dup_g3_frac <= 0.05""".stripMargin,
 
     "l5_text_stats" ->
       s"""WITH t AS (SELECT doc_id, n_chars, lang, string_split(text, ' ') AS tk
