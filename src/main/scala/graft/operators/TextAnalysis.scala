@@ -153,21 +153,36 @@ object TextAnalysis {
     // L7d: intra-document REPETITION filter (the Gopher/MassiveText
     // "repetitious text" gate): fraction of duplicate unigrams and of
     // duplicate word-3-grams per doc, both computed inside the scan
-    // projection (array_distinct over the token array / the 3-gram
-    // transform — per-row, no explode, no shuffle); docs above either
+    // projection — per-row, no explode, no shuffle; docs above either
     // threshold are dropped. Catches loops and boilerplate that the
     // cross-doc dedup family (L1/L2) cannot see.
+    //
+    // Distinct counts come from the native one-pass kernels the dedup
+    // family already carries — size(TokenHashes) = distinct unigrams,
+    // size(ShingleHash) = distinct word-3-grams (both 64-bit-hash
+    // distinct: identical to string-distinct counts absent an XXH64
+    // collision inside one ≤100-token document, P≈n²/2⁶⁵). The first
+    // form of this query built 3-gram STRINGS per position and
+    // array_distinct'd them; because the threshold predicate
+    // legitimately pushes through the fan-out repartition into the scan
+    // filter (and the projection above re-evaluates it), that ~200 µs/row
+    // expression ran twice — serialized onto the fixture's single scan
+    // split. The kernels are ~µs/row, so scan-side evaluation is the
+    // RIGHT shape at every scale: at 100 TB the filter runs inside
+    // thousands of codegen'd scan tasks and drops rows before any
+    // exchange.
     "l7d_repetition_filter" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"), toks.as("tk"))
         .filter(size(col("tk")) >= 3)
         .select(col("doc_id"),
           size(col("tk")).cast(LongType).as("n_toks"),
-          round(lit(1.0) - size(array_distinct(col("tk"))).cast(DoubleType)
-            / size(col("tk")), 6).as("dup_tok_frac"),
-          round(lit(1.0) - size(array_distinct(expr(
-            "transform(sequence(1, size(tk)-2), i -> concat(element_at(tk, i), ' ', element_at(tk, i+1), ' ', element_at(tk, i+2)))")))
-            .cast(DoubleType) / (size(col("tk")) - 2), 6).as("dup_g3_frac"))
+          round(lit(1.0) -
+            size(graft.functions.TokenHashKernels.tokenHashes(col("tk")))
+              .cast(DoubleType) / size(col("tk")), 6).as("dup_tok_frac"),
+          round(lit(1.0) -
+            size(graft.functions.ShingleHash.shingleHashes(col("tk")))
+              .cast(DoubleType) / (size(col("tk")) - 2), 6).as("dup_g3_frac"))
         .filter(col("dup_tok_frac") <= 0.55 && col("dup_g3_frac") <= 0.05)
     }),
 
