@@ -28,6 +28,15 @@ import pyarrow.parquet as pq
 
 OFFSET = 1_000_000_000  # far above any fixture key
 
+# Row-group cap for the scaled files. pyarrow's default (1M rows) wrote
+# documents/events as a SINGLE row group, which serializes the parquet
+# scan onto one task in both engines (row groups are the parallelism
+# unit for Spark's split planning and DuckDB's scan scheduler alike) —
+# an artifact of the single-file fixture, not of either engine: real
+# 100 TB inputs arrive as thousands of files/row groups. 128k rows
+# keeps every scaled fact table wide enough to saturate local[32].
+ROW_GROUP_ROWS = 128 * 1024
+
 TABLES = {
     "region": (1, []),
     "nation": (1, []),
@@ -57,7 +66,8 @@ def scale_embeddings(src, dst, copies):
             "embedding": pa.array(list(e), type=pa.list_(pa.float32())),
             "label": pa.array(lab)}))
     out = pa.concat_tables(parts)
-    pq.write_table(out, os.path.join(dst, "embeddings.parquet"))
+    pq.write_table(out, os.path.join(dst, "embeddings.parquet"),
+                   row_group_size=ROW_GROUP_ROWS)
     print(f"{'embeddings':12} {t.num_rows:>9} -> {out.num_rows:>9} rows")
 
 
@@ -84,7 +94,8 @@ def main():
                     c = c.set_column(idx, "text", salted)
             parts.append(c)
         out = pa.concat_tables(parts)
-        pq.write_table(out, os.path.join(dst, f"{name}.parquet"))
+        pq.write_table(out, os.path.join(dst, f"{name}.parquet"),
+                       row_group_size=ROW_GROUP_ROWS)
         print(f"{name:12} {t.num_rows:>9} -> {out.num_rows:>9} rows")
 
 
