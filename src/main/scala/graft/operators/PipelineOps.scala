@@ -138,6 +138,28 @@ object PipelineOps {
           col("cum_toks"), col("budget"))
     }),
 
+    // M11: deterministic seeded GLOBAL SHUFFLE — the training-data
+    // ordering step: every epoch's example order must be pseudo-random
+    // yet exactly reproducible from (seed, doc_id) alone, independent of
+    // partitioning, cluster size, or replay (same property family as
+    // m3's content-addressed sampling). Shuffle key = md5(seed ‖ id);
+    // the first two hex chars shard the corpus into 256 pseudo-random
+    // output shards and a per-shard window assigns the within-shard
+    // position — at 100 TB that is 256-way parallel ordering with no
+    // global sequential scan (a single global row_number would serialize
+    // onto one task; per-shard positions plus the shard id ARE the total
+    // order a data loader consumes shard-by-shard).
+    "m11_global_shuffle" -> ((s, d) => {
+      val pri = md5(concat(lit("shuf:42:"), col("doc_id").cast(StringType))
+        .cast(BinaryType))
+      val w = Window.partitionBy(col("shard")).orderBy(col("pri"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), pri.as("pri"))
+        .withColumn("shard", substring(col("pri"), 1, 2))
+        .withColumn("pos", row_number().over(w))
+        .select(col("doc_id"), col("shard"), col("pos"))
+    }),
+
     // M6: document chunking — fixed-size overlapping token windows
     // (chunk 50, stride 40 → 10-token overlap), the context-window prep
     // step before tokenization. Pre-split token array (HOF-lambda rule),
@@ -384,6 +406,16 @@ object PipelineOps {
         |    SUM(n_toks) OVER (PARTITION BY source ORDER BY pri, doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks
         |  FROM t)
-        |WHERE cum_toks <= budget""".stripMargin
+        |WHERE cum_toks <= budget""".stripMargin,
+
+    "m11_global_shuffle" ->
+      """WITH t AS (
+        |  SELECT doc_id, md5('shuf:42:' || CAST(doc_id AS VARCHAR)) AS pri
+        |  FROM documents
+        |)
+        |SELECT doc_id, substr(pri, 1, 2) AS shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY substr(pri, 1, 2)
+        |    ORDER BY pri, doc_id) AS INT) AS pos
+        |FROM t""".stripMargin
   )
 }

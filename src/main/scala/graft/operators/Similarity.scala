@@ -141,6 +141,14 @@ object Similarity {
         .select(col("id_a"), col("id_b"), col("sim"))
     }),
 
+    // L12: SemDeDup — cluster-scoped semantic dedup over the embedding
+    // space (vs l4b's exact global near-dup removal). Seeded k-means,
+    // not SQL-expressible → rows-only + planted-duplicate spec
+    // (SimilaritySpec pins min-id-survives and cluster-scoping laws).
+    "l12_semdedup" -> ((s, d) =>
+      semDedup(Tables.embeddings(s, d), 0.45)
+        .join(Tables.embeddings(s, d).select(col("vec_id"), col("label")), "vec_id")),
+
     // L3b: ANN — random-hyperplane LSH buckets, then exact top-3 within
     // bucket. Not SQL-expressible (seeded hyperplanes) → rows-only +
     // recall spec against the l3 baseline.
@@ -328,6 +336,59 @@ object Similarity {
     survivors.toDF()
       .select(col("vec_id").as("id_a"), col("neighbor").as("id_b"), col("sim"))
       .distinct() // same-cell pairs arrive in both orientations
+  }
+
+  /** L12 kernel: SemDeDup-style SEMANTIC dedup (Abbas et al. 2023,
+    * arXiv:2303.09540) — k-means-cluster the embedding space with the
+    * same coarse quantizer the IVF index trains, then WITHIN each
+    * cluster greedily drop every vector whose cosine to an already-kept
+    * smaller-vec_id member is ≥ `minSim`. Cross-cluster near-dups are
+    * out of scope BY CONSTRUCTION — that is the algorithm's contract
+    * (and why it scales): the paper runs k ∝ n so cluster occupancy
+    * stays O(1) and the per-cluster quadratic never grows; the exact
+    * alternative is l4b's triangle-pruned [[thresholdJoin]]. Each
+    * cluster is one task (groupByKey on the cell id — an equi-shuffle);
+    * the greedy scan holds only the KEPT prefix in memory, ≤ occupancy,
+    * the same bound the IVF cogroup kernel already assumes. Seeded
+    * quantizer → deterministic; keep-min-id → order-independent output.
+    */
+  def semDedup(embeddings: DataFrame, minSim: Double = 0.45, nlist: Int = 16,
+      iters: Int = 5, trainPerList: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val v = vecs(embeddings)
+      .select(col("vec_id"), col("emb"), col("norm")).as[VecRow]
+    val trained = trainQuantizer(v, nlist, iters, trainPerList)
+    if (trained.isEmpty) // empty corpus: nothing to keep or drop
+      return Seq.empty[(Long, Int)].toDF("vec_id", "cell")
+    val bcC = spark.sparkContext.broadcast(trained.get)
+    val assigned = v.mapPartitions { it =>
+      val (cs, ns) = bcC.value
+      it.map { r =>
+        var best = 0; var bestSim = Double.NegativeInfinity
+        var c = 0
+        while (c < cs.length) {
+          val s = cosine(r.emb, r.norm, cs(c), ns(c))
+          if (s > bestSim) { bestSim = s; best = c }
+          c += 1
+        }
+        ListedVec(best, r.vec_id, r.emb, r.norm)
+      }
+    }
+    assigned.groupByKey(_.list).flatMapGroups { (cell, it) =>
+      val members = it.toArray.sortBy(_.vec_id)
+      val kept = scala.collection.mutable.ArrayBuffer.empty[ListedVec]
+      members.foreach { m =>
+        val dup = kept.exists { k =>
+          var dot = 0.0; var j = 0
+          val n = math.min(m.emb.length, k.emb.length)
+          while (j < n) { dot += m.emb(j) * k.emb(j); j += 1 }
+          dot / (m.norm * k.norm) >= minSim
+        }
+        if (!dup) kept += m
+      }
+      kept.map(k => (k.vec_id, cell))
+    }.toDF("vec_id", "cell")
   }
 
   /** Exact top-k for corpora too large to broadcast: block-pair

@@ -221,6 +221,34 @@ object TextAnalysis {
         .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
 
+    // L13: logistic quality-classifier SCORE — the linear-model stand-in
+    // for the fastText/CCNet-style quality classifier every pretraining
+    // recipe runs after the rule-based l7 gate. Features are the cheap
+    // per-document signals (log token count, stopword ratio, digit
+    // fraction, mean token length), combined by hand-specified weights
+    // through a sigmoid; swapping in learned weights changes constants,
+    // not the plan. Everything evaluates inside the scan projection —
+    // per-row, codegen'd, no shuffle at any corpus size — exactly how a
+    // linear scorer over 100 TB should run. Oracle-able because both
+    // engines compute ln/exp in IEEE double and the score is rounded to
+    // 6dp before compare (the l5c convention).
+    "l13_quality_score" -> ((s, d) => {
+      val tk = toks
+      val nToks = size(tk).cast(DoubleType)
+      val stopRatio =
+        size(filter(tk, t => t.isin(Stopwords: _*))).cast(DoubleType) / nToks
+      val avgLen = length(col("text")).cast(DoubleType) / nToks
+      val digitFrac =
+        (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+          .cast(DoubleType) / length(col("text"))
+      val z = lit(-2.0) + lit(0.35) * log(nToks) + lit(4.0) * stopRatio -
+        lit(6.0) * digitFrac - lit(0.05) * avgLen
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("quality_score"))
+        .withColumn("keep", col("quality_score") >= 0.5)
+    }),
+
     // Lang-ID heuristic over the corpus (rows-only; LangIdSpec pins
     // accuracy on real multilingual samples).
     "l9_lang_id" -> ((s, d) => {
@@ -344,6 +372,26 @@ object TextAnalysis {
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\s]')) AS INT) AS bpe_tokens
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "l13_quality_score" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents
+         |), f AS (
+         |  SELECT doc_id,
+         |    CAST(len(tk) AS DOUBLE) AS n_toks,
+         |    CAST(len(list_filter(tk, x -> list_contains($stopSql, x))) AS DOUBLE)
+         |      / len(tk) AS stop_ratio,
+         |    CAST(length(text) AS DOUBLE) / len(tk) AS avg_len,
+         |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+         |      AS DOUBLE) / length(text) AS digit_frac
+         |  FROM t
+         |)
+         |SELECT doc_id,
+         |  round(1.0 / (1.0 + exp(-(-2.0 + 0.35 * ln(n_toks) + 4.0 * stop_ratio
+         |    - 6.0 * digit_frac - 0.05 * avg_len))), 6) AS quality_score,
+         |  round(1.0 / (1.0 + exp(-(-2.0 + 0.35 * ln(n_toks) + 4.0 * stop_ratio
+         |    - 6.0 * digit_frac - 0.05 * avg_len))), 6) >= 0.5 AS keep
+         |FROM f""".stripMargin
   )
 }

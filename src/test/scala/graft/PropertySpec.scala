@@ -126,6 +126,35 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("l13 quality score is a proper probability; keep ⇔ score ≥ 0.5") {
+    val scored = operators.TextAnalysis.queries("l13_quality_score")(
+      spark, sf("sf0.001"))
+    val bad = scored.filter(
+      col("quality_score") <= 0.0 || col("quality_score") >= 1.0 ||
+        (col("keep") =!= (col("quality_score") >= 0.5))).count()
+    assert(bad === 0)
+    // both classes occur on the fixture — the boundary actually cuts
+    val classes = scored.select(col("keep")).distinct().count()
+    assert(classes === 2)
+  }
+
+  test("m11 shuffle is a permutation: every doc once, shard positions contiguous") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val shuf = operators.PipelineOps.queries("m11_global_shuffle")(
+      spark, sf("sf0.001"))
+    assert(shuf.count() === docs.count())
+    assert(shuf.select("doc_id").distinct().count() === docs.count())
+    // per-shard positions are exactly 1..n_shard (window assigned densely)
+    val holes = shuf.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), max(col("pos")).as("mx"), min(col("pos")).as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1).count()
+    assert(holes === 0)
+    // determinism: same seed → identical assignment on a re-run
+    val again = operators.PipelineOps.queries("m11_global_shuffle")(
+      spark, sf("sf0.001"))
+    assert(shuf.except(again).count() === 0)
+  }
+
   test("filter ≡ its predicate (P-law)") {
     import spark.implicits._
     for (seed <- 1L to 5L) {

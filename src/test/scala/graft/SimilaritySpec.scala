@@ -89,6 +89,27 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(Similarity.thresholdJoin(empty, 0.5).count() === 0)
     assert(Similarity.ivfTopK(empty, 3).count() === 0)
     assert(Similarity.exactTopK(empty, 3).count() === 0)
+    assert(Similarity.semDedup(empty, 0.9).count() === 0)
+  }
+
+  test("semDedup keeps exactly the min-id of each planted duplicate group") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    // 3 dup groups of sizes 3/2/2 (exact copies → cosine 1.0, so they
+    // land in the same k-means cell by construction) + 8 distinct
+    val bases = Seq.fill(3)(Seq.fill(64)(rng.nextGaussian().toFloat))
+    val dups = bases(0) +: bases(0) +: bases(0) +:
+      bases(1) +: bases(1) +: bases(2) +: bases(2) +: Nil
+    val distinctV = Seq.fill(8)(Seq.fill(64)(rng.nextGaussian().toFloat))
+    val rows = (dups ++ distinctV).zipWithIndex.map { case (e, i) => (i.toLong, e) }
+    val df = rows.toDF("vec_id", "embedding")
+    val kept = Similarity.semDedup(df, 0.999, nlist = 4, trainPerList = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // one survivor per dup group, and it is the smallest id (0, 3, 5)
+    assert(Set(0L, 3L, 5L).subsetOf(kept))
+    assert(Seq(1L, 2L, 4L, 6L).forall(!kept.contains(_)))
+    // distinct vectors all survive (random gaussians: cosine ≪ 0.999)
+    assert((7L until 15L).forall(kept.contains))
   }
 
   test("blockTopK equals bruteTopK and exactTopK gate picks the block path") {
