@@ -219,6 +219,29 @@ object StreamCheck {
       Res(latestWins && replayNoop, store.rows.size.toLong, batches)
     }
 
+    scenario("t11_transform_with_state") {
+      val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val in = MemoryStream[Ev](spark)
+        val (rows, batches) = run(Streams.runningStats(in.toDS()).toDF(),
+          "sc_t11", "update", Seq(
+            () => in.addData(ev(1, 0, 0, 7L, typ = "click", value = 1.5),
+              ev(2, 1, 0, 7L, typ = "view", value = 2.5), ev(3, 1, 0, 9L)),
+            () => in.addData(ev(4, 2, 0, 7L, typ = "click", value = 6.0))))
+        val emits = spark.table("sc_t11").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+        Res(emits.contains((7L, 2L, 4.0, 2L)) && emits.contains((9L, 1L, 1.0, 1L))
+          && emits.contains((7L, 3L, 10.0, 2L)), rows, batches)
+      } finally {
+        prior match {
+          case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    }
+
     scenario("t10_stream_static_enrich") {
       val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
       val in = MemoryStream[Ev](spark)

@@ -220,4 +220,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(byEmit.contains((7L, 2L)) && byEmit.contains((7L, 3L))
       && byEmit.contains((9L, 1L)))
   }
+
+  test("T11: transformWithState tracks named ValueState + MapState per key") {
+    import spark.implicits._
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev](spark)
+      val q = Streams.runningStats(in.toDS())
+        .writeStream.format("memory").queryName("t11_out")
+        .outputMode("update").start()
+      in.addData(ev(1, 0, 0, 7L, typ = "click", value = 1.5),
+        ev(2, 1, 0, 7L, typ = "view", value = 2.5), ev(3, 1, 0, 9L))
+      q.processAllAvailable()
+      in.addData(ev(4, 2, 0, 7L, typ = "click", value = 6.0))
+      q.processAllAvailable(); q.stop()
+      val emits = spark.table("t11_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      // batch 1: user 7 has 2 events / 4.0 total / 2 types; user 9 has 1
+      assert(emits.contains((7L, 2L, 4.0, 2L)), emits)
+      assert(emits.contains((9L, 1L, 1.0, 1L)), emits)
+      // batch 2: BOTH state variables carried — count/total resumed from
+      // the ValueState, type cardinality from the MapState
+      assert(emits.contains((7L, 3L, 10.0, 2L)), emits)
+    } finally {
+      prior match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
