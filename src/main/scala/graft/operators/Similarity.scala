@@ -227,6 +227,63 @@ object Similarity {
     Seq.empty[(Long, Long, Double, Int)].toDF("vec_id", "neighbor", "sim", "rn")
   }
 
+  /** Broadcast threshold kernel for index-sized corpora — the
+    * [[thresholdJoin]] analogue of [[bruteTopK]]: the corpus is
+    * broadcast once as primitive arrays, probes stream through
+    * mapPartitions emitting each qualifying unordered pair exactly once
+    * (candidate id > probe id — no distinct pass needed). One job, no
+    * quantizer training / radii collect / cache materialization — the
+    * five sequential driver jobs the cell path pays before its first
+    * executor task, which dominate index-sized inputs.
+    */
+  private def bruteThreshold(embeddings: DataFrame, minSim: Double): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val v = vecs(embeddings)
+      .select(col("vec_id"), col("emb"), col("norm")).as[VecRow]
+    val bc = spark.sparkContext.broadcast(v.collect())
+    def round6(x: Double): Double =
+      math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
+    // fanOut: n·|corpus| dot products on a one-split fixture file would
+    // run on ONE task — same guard bruteTopK carries.
+    Tables.fanOut(v.toDF(), col("vec_id")).as[VecRow].mapPartitions { qs =>
+      val cand = bc.value
+      qs.flatMap { q =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[Hit]
+        var i = 0
+        while (i < cand.length) {
+          val c = cand(i)
+          if (c.vec_id > q.vec_id) {
+            var dot = 0.0; var j = 0
+            val n = math.min(q.emb.length, c.emb.length)
+            while (j < n) { dot += q.emb(j) * c.emb(j); j += 1 }
+            val sim = round6(dot / (q.norm * c.norm))
+            if (sim >= minSim) out += Hit(q.vec_id, c.vec_id, sim)
+          }
+          i += 1
+        }
+        out
+      }
+    }.toDF()
+      .select(col("vec_id").as("id_a"), col("neighbor").as("id_b"), col("sim"))
+  }
+
+  /** Production exact-threshold entry: broadcast kernel when the corpus
+    * fits an in-memory index, the cell-pruned join beyond that — the
+    * same plan-time statistics gate as [[exactTopK]] (bytes/64 only ever
+    * OVER-estimates rows, erring toward the distributed path; both paths
+    * are exact, so a misestimate costs efficiency, never correctness).
+    */
+  def thresholdJoin(embeddings: DataFrame, minSim: Double, nlist: Int = 16,
+      iters: Int = 5, trainPerList: Int = 64,
+      broadcastLimit: Long = 2000000L): DataFrame = {
+    val stats = embeddings.queryExecution.optimizedPlan.stats
+    val n = stats.rowCount.map(_.toLong)
+      .getOrElse(stats.sizeInBytes.toLong / 64L)
+    if (n <= broadcastLimit) bruteThreshold(embeddings, minSim)
+    else cellThresholdJoin(embeddings, minSim, nlist, iters, trainPerList)
+  }
+
   /** Exact cosine-threshold self-join WITHOUT a cartesian: IVF cells +
     * triangle-inequality cell-pair pruning.
     *
@@ -244,7 +301,7 @@ object Similarity {
     * Σ_admissible |c1|·|c2| instead of n²; worst case degrades to
     * distributed exact with bounded task memory.
     */
-  def thresholdJoin(embeddings: DataFrame, minSim: Double, nlist: Int = 16,
+  def cellThresholdJoin(embeddings: DataFrame, minSim: Double, nlist: Int = 16,
       iters: Int = 5, trainPerList: Int = 64): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._

@@ -62,8 +62,12 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
         val brute = asSet(graft.operators.Similarity.pairSims(df)
           .filter($"id_a" < $"id_b" && $"sim" >= tau))
         val pruned = asSet(graft.operators.Similarity
-          .thresholdJoin(df, tau, nlist = 4, trainPerList = 8))
+          .thresholdJoin(df, tau, nlist = 4, trainPerList = 8,
+            broadcastLimit = 0)) // force the cell path
         assert(pruned === brute, s"seed=$seed tau=$tau dim=$dim")
+        // gate default on a 60-row input → broadcast kernel; also exact
+        val bcast = asSet(graft.operators.Similarity.thresholdJoin(df, tau))
+        assert(bcast === brute, s"seed=$seed tau=$tau dim=$dim (brute path)")
       }
     }
   }

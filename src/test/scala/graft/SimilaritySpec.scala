@@ -74,12 +74,14 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val brute = asSet(Similarity.pairSims(emb)
       .filter(col("id_a") < col("id_b") && col("sim") >= 0.45))
+    // both gate arms: default (broadcast kernel) and forced cell path
     val pruned = asSet(Similarity.thresholdJoin(emb, 0.45))
     assert(pruned === brute)
+    assert(asSet(Similarity.thresholdJoin(emb, 0.45, broadcastLimit = 0)) === brute)
     // and under a looser threshold (more admissible cell pairs)
     val brute2 = asSet(Similarity.pairSims(emb)
       .filter(col("id_a") < col("id_b") && col("sim") >= 0.2))
-    val pruned2 = asSet(Similarity.thresholdJoin(emb, 0.2))
+    val pruned2 = asSet(Similarity.thresholdJoin(emb, 0.2, broadcastLimit = 0))
     assert(pruned2 === brute2)
   }
 
