@@ -417,7 +417,83 @@ object Dedup {
     }
   }
 
+  /** M12: incremental exact dedup — dedup an INCOMING batch against an
+    * already-deduplicated corpus. The 100 TB shape this models: a daily
+    * shard lands next to a petabyte corpus, and re-running l1 over
+    * corpus+batch would reshuffle the corpus on every append. Here the
+    * corpus is only ever SCANNED, never shuffled:
+    *
+    *  1. within-batch dedup: groupBy digest, keep the min doc_id — a
+    *     shuffle of the batch only.
+    *  2. batch digests small enough to broadcast (the common case — a
+    *     shard is GBs against a PB corpus): one corpus scan, semi-joined
+    *     against the broadcast batch digests, yields the set of digests
+    *     the corpus already holds; the batch anti-joins that set. No
+    *     corpus shuffle, no bloom needed.
+    *  3. batch too large to broadcast (`broadcastLimit`): a bloom filter
+    *     over the corpus digests (one corpus scan, fixed-size partial
+    *     aggregate) prefilters the batch — bloom negatives are PROVABLY
+    *     new (no false negatives) and skip the join entirely; only the
+    *     bloom-positive sliver (true dups + fpp of the batch) pays the
+    *     exact anti join against the corpus digests. With the corpus
+    *     digest table bucketed on digest that join is co-located.
+    *
+    * Both arms are exact; the gate (plan-time statistics, same
+    * convention as [[graft.operators.Similarity.thresholdJoin]]) only
+    * moves cost. Returns (doc_id, text_md5, n_batch_copies) — the batch
+    * survivors, with their within-batch multiplicity.
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame,
+      broadcastLimit: Long = 4000000L, bloomFpp: Double = 0.01): DataFrame = {
+    val dg = md5(col("text").cast(BinaryType))
+    val firsts = batch
+      .groupBy(dg.as("text_md5"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("n_batch_copies"))
+    val corpusDg = corpus.select(dg.as("text_md5"))
+    val stats = batch.queryExecution.optimizedPlan.stats
+    val batchEst = stats.rowCount.map(_.toLong)
+      .getOrElse(stats.sizeInBytes.toLong / 256L)
+    if (batchEst <= broadcastLimit) {
+      val present = corpusDg
+        .join(broadcast(firsts.select(col("text_md5"))), Seq("text_md5"), "left_semi")
+        .distinct()
+      firsts.join(present, Seq("text_md5"), "left_anti")
+        .select(col("doc_id"), col("text_md5"), col("n_batch_copies"))
+    } else {
+      // corpus digests are 128-bit strings; the codegen'd bloom probe
+      // (BloomFilterMightContain) works on xxhash64 longs, so both the
+      // build side and the probe hash the digest first — same function,
+      // same seed, exact agreement.
+      val cStats = corpus.queryExecution.optimizedPlan.stats
+      val cEst = cStats.rowCount.map(_.toLong)
+        .getOrElse(cStats.sizeInBytes.toLong / 256L)
+        .max(1024L).min(500000000L)
+      val bloom = corpusDg.select(xxhash64(col("text_md5")).as("h"))
+        .stat.bloomFilter("h", cEst, bloomFpp)
+      val might = graft.functions.SketchOps
+        .bloomMightContain(bloom, xxhash64(col("text_md5")))
+      val fresh = firsts.filter(!might)
+      val maybe = firsts.filter(might)
+      val kept = maybe.join(corpusDg.distinct(), Seq("text_md5"), "left_anti")
+      fresh.unionByName(kept)
+        .select(col("doc_id"), col("text_md5"), col("n_batch_copies"))
+    }
+  }
+
   val queries: Map[String, Q] = Map(
+    // M12: incremental exact dedup — the ~10% batch (doc_id % 10 == 0)
+    // deduped against the other 90% standing corpus. See
+    // [[incrementalDedup]]; the fixture takes the broadcast arm, the
+    // bloom arm is spec-forced (DedupSpec) and exact either way, so the
+    // oracle is a plain anti join.
+    "m12_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      incrementalDedup(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0))
+    }),
+
     // L1: exact dedup by content hash — keep the smallest doc_id per
     // md5(text). groupBy on the hash = one shuffle keyed by digest; at
     // 100 TB the digest groupBy is the canonical exact-dedup plan.
@@ -651,6 +727,22 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    "m12_incremental_dedup" ->
+      """WITH batch AS (
+        |  SELECT doc_id, md5(text) AS text_md5
+        |  FROM documents WHERE doc_id % 10 = 0
+        |), firsts AS (
+        |  SELECT min(doc_id) AS doc_id, text_md5,
+        |    COUNT(*) AS n_batch_copies
+        |  FROM batch GROUP BY text_md5
+        |), corpus AS (
+        |  SELECT DISTINCT md5(text) AS text_md5
+        |  FROM documents WHERE doc_id % 10 <> 0
+        |)
+        |SELECT f.doc_id, f.text_md5, f.n_batch_copies
+        |FROM firsts f LEFT JOIN corpus c USING (text_md5)
+        |WHERE c.text_md5 IS NULL""".stripMargin,
+
     "l1_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS text_md5,
         |  COUNT(*) AS n_copies

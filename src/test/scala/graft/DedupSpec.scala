@@ -25,6 +25,23 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(survivors === Array(1L, 3L)) // 2 removed as near-dup of 1
   }
 
+  test("incrementalDedup keeps only batch docs new to the corpus (M12, both arms)") {
+    val corpus = docsDF(Seq((1L, "a b c"), (2L, "x y z")))
+    // 10/11: corpus dup (drop both); 12/13: within-batch dup (keep 12,
+    // multiplicity 2); 14: singleton (keep)
+    val batch = docsDF(Seq((10L, "a b c"), (11L, "a b c"),
+      (12L, "new doc"), (13L, "new doc"), (14L, "unique")))
+    val expected = Set((12L, 2L), (14L, 1L))
+    def got(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_batch_copies").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // default gate → broadcast semi-join arm (tiny batch)
+    assert(got(Dedup.incrementalDedup(corpus, batch)) === expected)
+    // forced bloom arm: bloom negatives skip the join, positives verify
+    assert(got(Dedup.incrementalDedup(corpus, batch, broadcastLimit = 0))
+      === expected)
+  }
+
   test("no false pair below 0.5 jaccard (L2 precision)") {
     val docs = docsDF(Seq((1L, base), (3L, unrelated)))
     val cand = Dedup.lshCandidates(Dedup.minhashSignatures(docs))
