@@ -41,20 +41,44 @@ object Tables {
     // plan bucketed — graft.plans.RangeJoinRewrite)
     plans.RangeJoinRewrite.ensureRegistered(spark)
     loaded.computeIfAbsent((spark, dir, name), _ =>
-      if (name == "events")
-        spark.read.parquet(s"$dir/events.parquet")
-          .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      if (name == "events") canonicalEvents(spark.read.parquet(s"$dir/events.parquet"))
       else spark.read.parquet(s"$dir/$name.parquet"))
   }
 
-  /** Session conf required to read the fixtures: `events.ts` is parquet
-    * TIMESTAMP(NANOS), which Spark only reads as a long (nanosAsLong);
-    * [[events]] rebuilds the TimestampType column. The fixture's ns values
-    * are µs-exact (verified: epoch_ns % 1000 == 0 for all rows), so the
-    * conversion is lossless.
+  /** Normalize `events.ts` to the engine's canonical TimestampType
+    * regardless of the fixture's physical parquet annotation — writers
+    * upgrade and the stored timestamp unit drifts (a 100 TB lake sees
+    * this daily; the driver's fixture regen reproduced it in round 7:
+    * TIMESTAMP(NANOS) → timestamp[us]).
+    *
+    *  - TIMESTAMP(NANOS): Spark reads it as LongType under
+    *    `nanosAsLong`; rebuild with timestamp_micros(ns div 1000). The
+    *    fixture's ns values are µs-exact (epoch_ns % 1000 == 0), so
+    *    this is lossless.
+    *  - timestamp[us] without UTC adjustment: Spark reads
+    *    TIMESTAMP_NTZ; cast to TimestampType (identity under the
+    *    engine's required UTC session timezone).
+    *  - Already TimestampType: pass through.
+    */
+  private def canonicalEvents(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType      => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => raw
+      case _             => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
+
+  /** Session conf required to read the fixtures. `nanosAsLong` lets the
+    * old-shape `events.ts` (parquet TIMESTAMP(NANOS)) load at all — it is
+    * a no-op for µs-annotated files — and UTC pins the NTZ→TZ cast in
+    * [[canonicalEvents]] plus all datetime function semantics to the
+    * oracle's timezone.
     */
   val requiredConfs: Map[String, String] = Map(
-    "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.session.timeZone" -> "UTC")
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

@@ -403,8 +403,8 @@ object PipelineOps {
         |)
         |SELECT doc_id, source, n_toks, cum_toks, budget FROM (
         |  SELECT doc_id, source, n_toks, budget,
-        |    SUM(n_toks) OVER (PARTITION BY source ORDER BY pri, doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks
+        |    CAST(SUM(n_toks) OVER (PARTITION BY source ORDER BY pri, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_toks
         |  FROM t)
         |WHERE cum_toks <= budget""".stripMargin,
 
