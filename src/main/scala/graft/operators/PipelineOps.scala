@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.Tables.Q
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -17,6 +18,79 @@ import org.apache.spark.sql.types._
 object PipelineOps {
 
   private val SessionGapUs = 1800000000L // 30 min in micros
+
+  // ---- two-level distributed prefix sum (m4/m9/m10's scale path) ------
+  //
+  // A running sum windowed on a LOW-CARDINALITY key (the ~10 training
+  // mixture sources) serializes each key onto one task: at 100 TB with
+  // 10 sources that is ~10 TB per task. The classic fix is a two-level
+  // scan: split each key's ordered stream into many shards that are
+  // CONTIGUOUS under the ordering, prefix-sum locally within
+  // (key, shard), and add back the broadcast total of all earlier
+  // shards. Parallelism then scales with shard count, not key count,
+  // and the result is bit-identical to the single-window form.
+
+  /** Shard width for [[rangeSharded]]: at least the session's core count
+    * (the fixture stays parallel), growing to ~64 MB of ordered input
+    * per shard at scale (100 TB → ~1.6 M shards, capped at 2^20).
+    */
+  private def prefixWidth(df: DataFrame): Int = {
+    val cores  = df.sparkSession.sparkContext.defaultParallelism
+    val bytes  = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target = 64L << 20
+    BigInt(cores).max((bytes + target - 1) / target).min(1 << 20).toInt
+  }
+
+  /** Hex-prefix shard-count law (m10/m11): 16^k shards from the first k
+    * hex chars of an already-uniform ordering key, with k growing until
+    * estimated per-shard input fits `target` bytes. The floor pins the
+    * fixture-scale (and oracle) shard shape; the cap (8 chars = 4 G
+    * shards) is unreachable below exabyte inputs.
+    */
+  private[graft] def hexShardChars(bytes: BigInt, floorChars: Int, target: Long): Int = {
+    var k = floorChars
+    var shards = BigInt(16).pow(k)
+    while (k < 8 && shards * target < bytes) { k += 1; shards *= 16 }
+    k
+  }
+
+  /** First level, generic orderings (m4's length-desc, m9's doc order):
+    * range-repartition on (part, ord) and stamp the physical partition
+    * id as the shard — contiguous under the ordering by construction.
+    * The explicit width disables AQE coalescing, so the stamped id is
+    * identical across the two consumers of the exchange (which
+    * ReuseExchange dedupes into one shuffle write anyway); shard
+    * BOUNDARIES may move run-to-run with the range sampler, but the
+    * final sums are boundary-independent. When the ordering key is
+    * already uniform (m10's md5 priority), prefer a hex-prefix shard
+    * column instead — pure projection, no extra shuffle.
+    */
+  private[operators] def rangeSharded(df: DataFrame, part: Column, ord: Seq[Column]): DataFrame =
+    df.repartitionByRange(prefixWidth(df), (part +: ord): _*)
+      .withColumn("__shard", spark_partition_id())
+
+  /** Second level: `df` carries a shard column contiguous under
+    * (part, ord) — every row of shard s orders before every row of
+    * shard s+1 within its part. The global running sum of `value` is
+    * the local running sum within (part, shard) plus the total of all
+    * earlier shards of the same part, joined back as a broadcast of the
+    * (|parts| × |shards|)-row offset table.
+    */
+  private[operators] def shardedRunningSum(df: DataFrame, part: String, shard: String,
+      ord: Seq[Column], value: String, out: String): DataFrame = {
+    val wLoc = Window.partitionBy(col(part), col(shard)).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.partitionBy(col(part)).orderBy(col(shard))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = df.groupBy(col(part), col(shard))
+      .agg(sum(col(value)).as("__tot"))
+      .select(col(part), col(shard),
+        coalesce(sum(col("__tot")).over(wOff), lit(0L)).as("__off"))
+    df.withColumn("__lcum", sum(col(value)).over(wLoc))
+      .join(broadcast(offsets), Seq(part, shard))
+      .withColumn(out, col("__lcum") + col("__off"))
+      .drop("__lcum", "__off", shard)
+  }
 
   val queries: Map[String, Q] = Map(
     // M1: sessionization — split each user's event stream at >30-min
@@ -76,20 +150,19 @@ object PipelineOps {
 
     // M4: per-stratum token budgeting — order each source's docs by a
     // deterministic priority (longer first, id tiebreak) and keep docs
-    // while the stratum's running token total stays within budget. The
-    // window is PARTITIONED by source: a global ordered cumsum is a
-    // sequential prefix scan no engine can parallelize; per-stratum
-    // budgets are both the scalable plan and what curriculum mixing
-    // actually specifies.
+    // while the stratum's running token total stays within budget.
+    // Computed via the two-level prefix sum (see [[rangeSharded]]):
+    // a plain window partitioned by the ~10 sources would serialize
+    // each source onto one task at 100 TB.
     "m4_token_budget" -> ((s, d) => {
-      val w = Window.partitionBy(col("source"))
-        .orderBy(col("n_toks").desc, col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, d)
+      val ord = Seq(col("n_toks").desc, col("doc_id"))
+      val toks = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           size(split(col("text"), " ")).cast(LongType).as("n_toks"))
-        .withColumn("cum_toks", sum(col("n_toks")).over(w))
+      shardedRunningSum(rangeSharded(toks, col("source"), ord),
+          "source", "__shard", ord, "n_toks", "cum_toks")
         .filter(col("cum_toks") <= 5000)
+        .select(col("doc_id"), col("source"), col("n_toks"), col("cum_toks"))
     }),
 
     // M9: training-sequence PACKING — concat-then-chunk: within each
@@ -98,18 +171,19 @@ object PipelineOps {
     // sequence its first token lands in (doc boundaries may straddle
     // cuts — the standard LLM pretraining packing layout, vs m4's
     // budget FILTER and m6's per-document chunking). Deterministic:
-    // seq_id = floor(exclusive-prefix-sum / budget), one window + one
-    // hash aggregate, both on the same source-keyed shuffle.
+    // seq_id = floor(exclusive-prefix-sum / budget); the prefix sum is
+    // the two-level sharded form (exclusive = inclusive − own), so
+    // packing parallelism scales with shards, not sources.
     "m9_sequence_pack" -> ((s, d) => {
       val budget = 512
-      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      Tables.documents(s, d)
+      val ord = Seq(col("doc_id"))
+      val toks = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           size(split(col("text"), " ")).cast(LongType).as("n_toks"))
-        .withColumn("prev", coalesce(sum(col("n_toks")).over(w), lit(0L)))
-        .select(col("source"), floor(col("prev") / budget).as("seq_id"),
-          col("n_toks"))
+      shardedRunningSum(rangeSharded(toks, col("source"), ord),
+          "source", "__shard", ord, "n_toks", "cum")
+        .select(col("source"),
+          floor((col("cum") - col("n_toks")) / budget).as("seq_id"), col("n_toks"))
         .groupBy(col("source"), col("seq_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_tokens"))
     }),
@@ -120,19 +194,23 @@ object PipelineOps {
     // index: src_k gets (k+1)·100 tokens) and docs fill it in a
     // deterministic pseudo-random priority (md5 of doc_id — unbiased,
     // reproducible, engine-agnostic; m3 pins the cross-engine md5
-    // parity), unlike m4's longest-first packing. One source-keyed
-    // window; the weight lookup is a pure projection, so no extra
-    // shuffle or broadcast at any corpus size.
+    // parity), unlike m4's longest-first packing. Because the ordering
+    // key is already uniform, the two-level prefix sum shards by the
+    // priority's own hex prefix — a pure projection (no range shuffle),
+    // contiguous under ORDER BY pri by string-prefix order, with shard
+    // count 16^k growing with table stats.
     "m10_mixture_sample" -> ((s, d) => {
-      val w = Window.partitionBy(col("source"))
-        .orderBy(col("pri"), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, d)
+      val docs = Tables.documents(s, d)
+      val k = hexShardChars(
+        docs.queryExecution.optimizedPlan.stats.sizeInBytes, 1, 64L << 20)
+      val t = docs
         .select(col("doc_id"), col("source"),
           size(split(col("text"), " ")).cast(LongType).as("n_toks"),
           md5(col("doc_id").cast(StringType).cast(BinaryType)).as("pri"),
           ((substring(col("source"), 4, 10).cast(LongType) + 1) * 100).as("budget"))
-        .withColumn("cum_toks", sum(col("n_toks")).over(w))
+        .withColumn("__shard", substring(col("pri"), 1, k))
+      shardedRunningSum(t, "source", "__shard",
+          Seq(col("pri"), col("doc_id")), "n_toks", "cum_toks")
         .filter(col("cum_toks") <= col("budget"))
         .select(col("doc_id"), col("source"), col("n_toks"),
           col("cum_toks"), col("budget"))
@@ -143,19 +221,26 @@ object PipelineOps {
     // yet exactly reproducible from (seed, doc_id) alone, independent of
     // partitioning, cluster size, or replay (same property family as
     // m3's content-addressed sampling). Shuffle key = md5(seed ‖ id);
-    // the first two hex chars shard the corpus into 256 pseudo-random
+    // the first k hex chars shard the corpus into 16^k pseudo-random
     // output shards and a per-shard window assigns the within-shard
-    // position — at 100 TB that is 256-way parallel ordering with no
-    // global sequential scan (a single global row_number would serialize
-    // onto one task; per-shard positions plus the shard id ARE the total
-    // order a data loader consumes shard-by-shard).
+    // position (a single global row_number would serialize onto one
+    // task; per-shard positions plus the shard id ARE the total order a
+    // data loader consumes shard-by-shard). k follows [[hexShardChars]]
+    // — floor 2 (= the 256 shards the fixture and oracle pin), growing
+    // with table stats so a shard's window sort stays ~256 MB: 100 TB →
+    // k=5 → 1 M shards, not 400 GB-per-task windows. (seed, doc_id) →
+    // shard is stable for a given k by construction — the hash doesn't
+    // depend on k, only the prefix length read from it.
     "m11_global_shuffle" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val k = hexShardChars(
+        docs.queryExecution.optimizedPlan.stats.sizeInBytes, 2, 256L << 20)
       val pri = md5(concat(lit("shuf:42:"), col("doc_id").cast(StringType))
         .cast(BinaryType))
       val w = Window.partitionBy(col("shard")).orderBy(col("pri"), col("doc_id"))
-      Tables.documents(s, d)
+      docs
         .select(col("doc_id"), pri.as("pri"))
-        .withColumn("shard", substring(col("pri"), 1, 2))
+        .withColumn("shard", substring(col("pri"), 1, k))
         .withColumn("pos", row_number().over(w))
         .select(col("doc_id"), col("shard"), col("pos"))
     }),
