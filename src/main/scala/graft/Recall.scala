@@ -23,7 +23,13 @@ object Recall {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, sfDir, out)
+    spark.stop()
+  }
 
+  /** Compute the recall artifact on an existing session (shared with
+    * [[Verify.dump]], which regenerates it every driver round). */
+  def run(spark: SparkSession, sfDir: String, out: String): Unit = {
     val k = 3
     def pairs(df: DataFrame): Set[(Long, Long)] = df
       .select(col("vec_id"), col("neighbor")).collect()
@@ -49,6 +55,5 @@ object Recall {
       entries.mkString("", ",", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
     println(json)
-    spark.stop()
   }
 }

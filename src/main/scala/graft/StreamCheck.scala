@@ -39,6 +39,15 @@ object StreamCheck {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val allPassed = check(spark, out)
+    spark.stop()
+    if (!allPassed) sys.exit(1)
+  }
+
+  /** Run every scenario on an existing session (shared with
+    * [[Verify.dump]], which regenerates the artifact every driver
+    * round), write the JSON artifact, return whether all passed. */
+  def check(spark: SparkSession, out: String): Boolean = {
     import spark.implicits._
 
     def run(df: org.apache.spark.sql.DataFrame, name: String,
@@ -262,7 +271,6 @@ object StreamCheck {
       entries.mkString("", ",", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
     println(json)
-    spark.stop()
-    if (passed != results.size) sys.exit(1)
+    passed == results.size
   }
 }

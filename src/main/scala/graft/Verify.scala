@@ -21,7 +21,8 @@ object Verify {
     * names whose query threw (the driver's compare then reports them as
     * NO_OUTPUT). Shared by [[main]] and the local OracleParitySpec gate.
     */
-  def dump(spark: SparkSession, sfDir: String, outDir: String): Seq[String] = {
+  def dump(spark: SparkSession, sfDir: String, outDir: String,
+      artifacts: Boolean = true): Seq[String] = {
     new java.io.File(outDir).mkdirs()
     val failed = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       try {
@@ -48,6 +49,36 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    // Per-round quality artifacts (VERDICT r7 missing #2): the driver
+    // runs Verify every round, so the rows-only inventory entries (ANN
+    // recall, streaming scenarios) get a CURRENT-round quality proof
+    // here instead of riding on a stale manually-run one. Emitted after
+    // the gate artifacts and individually fenced — an artifact failure
+    // must never cost correctness entries. Opt out with
+    // SPARK_GRAFT_SKIP_ARTIFACTS=1 (e.g. spec runs).
+    if (artifacts && !sys.env.contains("SPARK_GRAFT_SKIP_ARTIFACTS") &&
+        failed.isEmpty) {
+      val tag = roundTag()
+      try Recall.run(spark, sfDir, s"RECALL_$tag.json")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] recall artifact failed: ${e.getMessage}") }
+      try { StreamCheck.check(spark, s"STREAM_$tag.json"); () }
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] stream artifact failed: ${e.getMessage}") }
+    }
     failed
+  }
+
+  /** Artifact round tag: one past the newest CORRECTNESS_r{N}.json in
+    * the working directory (the driver writes that file AFTER running
+    * Verify, so the newest existing one is the previous round's). Falls
+    * back to "latest" outside a round checkout.
+    */
+  private def roundTag(): String = {
+    val r = "^CORRECTNESS_r(\\d+)\\.json$".r
+    val seen = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+      .flatMap(f => r.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+    if (seen.isEmpty) "latest" else f"r${seen.max + 1}%02d"
   }
 }

@@ -22,7 +22,7 @@ class OracleParitySpec extends AnyFunSuite with SparkTestBase {
   test("every SparkEntry query hash-matches its DuckDB oracle at sf0.001") {
     assume(oracleToolingPresent, "python3 + duckdb not available")
     val out = java.nio.file.Files.createTempDirectory("graft_parity").toString
-    val failedDumps = Verify.dump(spark, sf("sf0.001"), out)
+    val failedDumps = Verify.dump(spark, sf("sf0.001"), out, artifacts = false)
     assert(failedDumps.isEmpty, s"queries threw during dump: $failedDumps")
     val log = new StringBuilder
     val rc = Process(Seq("python3", "tools/check.py", sf("sf0.001"), out),
