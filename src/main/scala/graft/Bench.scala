@@ -156,8 +156,15 @@ object Bench {
     System.gc()
     Thread.sleep(3000)
     // view registration is session setup (driver-side file listing),
-    // not per-query work — do it for the measured dir before timing
-    graft.operators.SqlFrontend.registerViews(spark, sfDir)
+    // not per-query work — do it for the measured dir before timing.
+    // Fenced: this loads every fixture table, and an un-loadable table
+    // here must cost only the queries that need it (per-query -1), not
+    // the whole artifact — r7's events schema drift killed the round's
+    // bench precisely because this line ran unfenced.
+    try graft.operators.SqlFrontend.registerViews(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] view registration failed: ${e.getMessage}")
+    }
 
     // pass-major order (whole inventory, then again) rather than
     // query-major (same query 3× back to back): repeated immediate runs
