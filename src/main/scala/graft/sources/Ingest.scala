@@ -110,6 +110,41 @@ object Ingest {
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
     }),
 
+    // S11: BUCKETED co-located join — the table layout a 100 TB lake
+    // uses for repeated fact-fact joins: both sides written
+    // bucketBy(orderkey)+sortBy (one file per bucket via pre-
+    // repartition), registered in the catalog, then joined. The join
+    // reads bucket-aligned scans and plans with NO shuffle exchange on
+    // either side (PlanSpec asserts it) — at scale that deletes the two
+    // full-fact shuffles every vanilla orders⋈lineitem pays, per query,
+    // forever. The merge hint keeps the demonstration on the sort-merge
+    // path (a broadcast would also skip the shuffle, but only below the
+    // threshold — bucketing is the answer when BOTH sides are big).
+    // Oracle recomputes from the raw tables: layout must not change
+    // values.
+    "s11_bucketed_join" -> ((s, d) => {
+      val buckets = 16
+      def bucketed(df: org.apache.spark.sql.DataFrame, key: String,
+          table: String, path: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        df.repartition(buckets, col(key)) // one file per bucket → sorted scans
+          .write.mode("overwrite")
+          .bucketBy(buckets, key).sortBy(key)
+          .option("path", path).saveAsTable(table)
+      }
+      bucketed(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        "o_orderkey", "s11_orders_b", tmp("graft_s11_orders_b"))
+      bucketed(Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_extendedprice")),
+        "l_orderkey", "s11_lineitem_b", tmp("graft_s11_lineitem_b"))
+      s.table("s11_orders_b").hint("merge")
+        .join(s.table("s11_lineitem_b"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("total"))
+    }),
+
     // S7: PGN text sink on the sample (golden-file spec owns the exact
     // bytes; here the written dir is re-read and game blocks counted).
     "s7_pgn_sink" -> ((s, _) => {
@@ -226,6 +261,12 @@ object Ingest {
          |  ${sqlDsum("o_totalprice")} AS total
          |FROM orders WHERE year(o_orderdate) = 1997
          |GROUP BY o_orderstatus""".stripMargin,
+
+    "s11_bucketed_join" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+         |  ${sqlDsum("l_extendedprice")} AS total
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderpriority""".stripMargin,
 
     "s7b_pgn_roundtrip" ->
       """SELECT * FROM (VALUES

@@ -130,6 +130,20 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(total === 6000L)
   }
 
+  test("S11 inventory entry joins its bucketed tables with no exchange") {
+    // same property as the mechanism test above, but through the shipped
+    // s11 query (16 buckets, merge hint, catalog round-trip) — the entry
+    // the driver's oracle checks must actually plan co-located
+    val df = graft.sources.Ingest.queries("s11_bucketed_join")(
+      spark, sf("sf0.001"))
+    val p = plan(df)
+    val joinSubtree = p.linesIterator
+      .dropWhile(l => !l.contains("SortMergeJoin") && !l.contains("ShuffledHashJoin"))
+      .mkString("\n")
+    assert(joinSubtree.nonEmpty, p)
+    assert(!joinSubtree.contains("Exchange"), p)
+  }
+
   test("salted join equals the plain join and spreads the hot key") {
     import spark.implicits._
     val big = (Seq.fill(1000)(1L) ++ (2L to 50L)).map(k => (k, k * 10)).toDF("k", "v")
