@@ -262,6 +262,26 @@ object TextAnalysis {
   private val stopSql = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    // l9's marker scoring is plain per-token arithmetic, so it is
+    // SQL-expressible after all (was rows-only through r7): score per
+    // language = marker-token hits, winner = lexicographic max of
+    // (score, lang) — list_sort[-1] is DuckDB's struct-max, matching
+    // Spark's array_max tie-break (higher score, then greater lang).
+    "l9_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang AS labeled_lang,
+        |    string_split(text, ' ') AS tk FROM documents
+        |)
+        |SELECT doc_id, labeled_lang,
+        |  list_sort([
+        |    {'score': len(list_filter(tk, x -> x IN ('der','die','das','und','ist','ein'))), 'lang': 'de'},
+        |    {'score': len(list_filter(tk, x -> x IN ('the','and','of','is','query','window'))), 'lang': 'en'},
+        |    {'score': len(list_filter(tk, x -> x IN ('el','la','de','que','los','una'))), 'lang': 'es'},
+        |    {'score': len(list_filter(tk, x -> x IN ('le','la','les','des','une','est'))), 'lang': 'fr'},
+        |    {'score': len(list_filter(tk, x -> x IN ('的','是','在','了','我','不'))), 'lang': 'zh'}
+        |  ])[-1].lang AS predicted_lang
+        |FROM t""".stripMargin,
+
     // same 3-gram semantics as l2c's oracle (whole-token windows,
     // docs with < 3 tokens have no shingles and always survive)
     "l11_decontaminate" ->
