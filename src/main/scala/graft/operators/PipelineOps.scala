@@ -65,7 +65,7 @@ object PipelineOps {
     * already uniform (m10's md5 priority), prefer a hex-prefix shard
     * column instead — pure projection, no extra shuffle.
     */
-  private[operators] def rangeSharded(df: DataFrame, part: Column, ord: Seq[Column]): DataFrame =
+  private[graft] def rangeSharded(df: DataFrame, part: Column, ord: Seq[Column]): DataFrame =
     df.repartitionByRange(prefixWidth(df), (part +: ord): _*)
       .withColumn("__shard", spark_partition_id())
 
@@ -76,7 +76,7 @@ object PipelineOps {
     * earlier shards of the same part, joined back as a broadcast of the
     * (|parts| × |shards|)-row offset table.
     */
-  private[operators] def shardedRunningSum(df: DataFrame, part: String, shard: String,
+  private[graft] def shardedRunningSum(df: DataFrame, part: String, shard: String,
       ord: Seq[Column], value: String, out: String): DataFrame = {
     val wLoc = Window.partitionBy(col(part), col(shard)).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

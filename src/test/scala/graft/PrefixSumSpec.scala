@@ -63,6 +63,34 @@ class PrefixSumSpec extends AnyFunSuite with SparkTestBase {
       "two-level prefix sum diverges from single-window reference")
   }
 
+  test("sharded running sum equals naive on adversarial synthetic data") {
+    // skewed part sizes (one part holds ~2/3 of rows), heavy duplicate
+    // order keys (tiebreak on id does the real work), negative values,
+    // and a singleton part — the shapes a range sampler and the offset
+    // join must not get wrong
+    import spark.implicits._
+    val rows = (0 until 3000).map { i =>
+      val part = if (i % 3 != 0) "hot" else s"src${i % 11}"
+      (i.toLong, part, (i * 7) % 13, (i * 2654435761L % 97) - 48)
+    } :+ (99999L, "lonely", 0, 5L)
+    val df = rows.toDF("id", "part", "ord", "v")
+    val ord = Seq(col("ord"), col("id"))
+    val sharded = PipelineOps.shardedRunningSum(
+      PipelineOps.rangeSharded(df, col("part"), ord),
+      "part", "__shard", ord, "v", "cum")
+    val w = Window.partitionBy(col("part")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = df.withColumn("cum", sum(col("v")).over(w))
+    assert(sharded.select("id", "cum").exceptAll(naive.select("id", "cum")).isEmpty
+      && naive.select("id", "cum").exceptAll(sharded.select("id", "cum")).isEmpty,
+      "sharded ≠ naive on adversarial input")
+    // and the empty frame degenerates cleanly
+    val empty = PipelineOps.shardedRunningSum(
+      PipelineOps.rangeSharded(df.limit(0), col("part"), ord),
+      "part", "__shard", ord, "v", "cum")
+    assert(empty.count() == 0)
+  }
+
   test("hexShardChars width law: fixture floor, 100 TB growth, monotone") {
     val gb = BigInt(1) << 30
     // fixture-scale documents (~MBs) stay at the floor → m11's oracle
