@@ -554,7 +554,15 @@ object Dedup {
     // pairs by word-3-gram jaccard, candidates blocked on a shared
     // shingle with corpus DF ≤ 100 (drops non-discriminative shingles,
     // the standard scale guard for exact similarity joins).
-    "l2c_shingle_jaccard" -> ((s, d) => shingleJaccardTopK(s, d, 20))
+    "l2c_shingle_jaccard" -> ((s, d) => shingleJaccardTopK(s, d, 20)),
+
+    // L2d: asymmetric CONTAINMENT dedup — C(a→b) = |kept(a)∩kept(b)| /
+    // |kept(a)|: "how much of a is inside b". Catches what symmetric
+    // jaccard (l2c) structurally misses: a short document wrapped in
+    // boilerplate, a quoted passage, a subset page — jaccard divides by
+    // the UNION, so a 100-shingle doc fully contained in a 10k-shingle
+    // doc scores 0.01 jaccard but 1.0 containment.
+    "l2d_containment" -> ((s, d) => containmentTopK(s, d, 20))
   )
 
   /** Exact top-k doc pairs by word-3-gram jaccard, via PREFIX FILTERING
@@ -726,7 +734,93 @@ object Dedup {
     }
   }
 
+  /** Top-k ordered pairs by shingle CONTAINMENT C(a→b) =
+    * |kept(a)∩kept(b)| / |kept(a)| among pairs with C ≥ `t`, kept =
+    * corpus-DF ≤ `maxDf` word-3-gram hashes (the same kept space and
+    * kernels as [[shingleJaccardTopK]]).
+    *
+    * Prefix filter, asymmetric form: order each doc's kept shingles
+    * rarest-first; if C(a→b) ≥ t, then a's first ⌊(1−t)·|kept(a)|⌋+1
+    * shingles must intersect kept(b) — so candidates come from joining
+    * a-PREFIXES against the full kept occurrence list (not prefix ×
+    * prefix: containment's bound constrains only the contained side).
+    * Unlike l2c's global top-k, the ≥ t cut makes the candidate set
+    * provably complete by construction — no certificate or fallback
+    * join is needed. One length prune applies: |kept(b)| ≥ t·|kept(a)|.
+    * Verification is exact (array_intersect over cached kept arrays);
+    * at scale every stage is a shuffle or broadcast the corpus size
+    * justifies (the gates mirror l2c's).
+    */
+  def containmentTopK(s: SparkSession, d: String, k: Int,
+      t: Double = 0.9, maxDf: Int = 100): DataFrame = {
+    val sh = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+      .select(col("doc_id"),
+        graft.functions.ShingleHash.shingleHashes(split(col("text"), " ")).as("arr"))
+      .select(col("doc_id"), explode(col("arr")).as("sh"))
+    val smallCorpus = Tables.documents(s, d)
+      .queryExecution.optimizedPlan.stats.sizeInBytes <= (32L << 20)
+    val shP = if (smallCorpus) sh.repartition(8, col("sh")) else sh
+    val shF = shP.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
+      .filter(col("df") <= maxDf)
+    val docSets0 = shF.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ord"))
+      .select(col("doc_id"),
+        transform(col("ord"), x => x.getField("sh")).as("kept"))
+      .select(col("doc_id"), col("kept"), size(col("kept")).as("nk"),
+        slice(col("kept"), lit(1),
+          (floor(size(col("kept")) * (1 - t)) + 1).cast(IntegerType)).as("pfx"))
+    val docSets = (if (smallCorpus) docSets0.coalesce(8) else docSets0).cache()
+    docSets.count() // serialize the cache build (see shingleJaccardTopK)
+    def hint(df: DataFrame): DataFrame = if (smallCorpus) broadcast(df) else df
+    val cand = hint(docSets.select(col("doc_id").as("d1"), explode(col("pfx")).as("sh")))
+      .join(shF.select(col("doc_id").as("d2"), col("sh")), "sh")
+      .filter(col("d1") =!= col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+    val dim = hint(docSets.select(col("doc_id"), col("nk"), col("kept")))
+    cand
+      .join(dim, col("d1") === dim("doc_id"))
+      .select(col("d1"), col("d2"), col("nk").as("nk1"), col("kept").as("k1"))
+      .join(dim, col("d2") === dim("doc_id"))
+      .filter(col("nk") >= col("nk1") * t - lit(1e-9))
+      .select(col("d1"), col("d2"), col("nk1"),
+        size(array_intersect(col("k1"), col("kept"))).as("inter"))
+      .filter(col("inter") >= col("nk1") * t - lit(1e-9))
+      .select(col("d1"), col("d2"),
+        round(col("inter").cast(DoubleType) / col("nk1"), 6).as("containment"))
+      .orderBy(col("containment").desc, col("d1"), col("d2"))
+      .limit(k)
+  }
+
   val oracles: Map[String, String] = Map(
+    // l2d: the quadratic co-occurrence CTE is the blow-up the engine's
+    // prefix filter avoids — fine as an oracle at gate scale, never the
+    // engine plan (same stance as l2c's oracle note).
+    "l2d_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(t) - 1, 1)),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS sh
+        |  FROM toks WHERE len(t) >= 3
+        |), keep AS (
+        |  SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 100
+        |), shf AS (
+        |  SELECT sh.doc_id, sh.sh FROM sh JOIN keep USING (sh)
+        |), ksz AS (
+        |  SELECT doc_id, COUNT(*) AS nk FROM shf GROUP BY doc_id
+        |), pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT d1, d2,
+        |  ROUND(CAST(inter AS DOUBLE) / nk, 6) AS containment
+        |FROM pairs JOIN ksz ON ksz.doc_id = d1
+        |WHERE CAST(inter AS DOUBLE) / nk >= 0.9
+        |ORDER BY containment DESC, d1, d2 LIMIT 20""".stripMargin,
+
     "m12_incremental_dedup" ->
       """WITH batch AS (
         |  SELECT doc_id, md5(text) AS text_md5

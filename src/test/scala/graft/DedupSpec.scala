@@ -211,6 +211,26 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .sortBy { case (d1, d2, j) => (-j, d1, d2) }.take(k)
   }
 
+  test("l2d containment: boilerplate-wrapped doc is caught, jaccard misses it") {
+    // doc 2 = doc 1's full text wrapped in heavy boilerplate: every
+    // 3-gram of doc 1 appears in doc 2 (containment 1.0) while the
+    // union is dominated by the wrapper (jaccard << 0.9 — l2c's
+    // symmetric cut would never pair them)
+    val inner = (1 to 30).map(i => s"body$i").mkString(" ")
+    val wrapper =
+      (1 to 120).map(i => s"nav$i").mkString(" ") + " " + inner + " " +
+        (200 to 320).map(i => s"foot$i").mkString(" ")
+    val rows = Seq(1L -> inner, 2L -> wrapper, 3L -> unrelated)
+    val dir = java.nio.file.Files.createTempDirectory("graft_l2d_spec").toString
+    docsDF(rows).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.containmentTopK(spark, dir, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.contains((1L, 2L, 1.0)), got.mkString(", "))
+    assert(!got.exists(p => p._1 == 2L && p._2 == 1L),
+      "wrapper is NOT contained in the body — asymmetry must hold")
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc paired")
+  }
+
   private def runL2c(rows: Seq[(Long, String)], k: Int): Seq[(Long, Long, Double)] = {
     val dir = java.nio.file.Files.createTempDirectory("graft_l2c_spec").toString
     docsDF(rows).write.mode("overwrite").parquet(s"$dir/documents.parquet")
