@@ -773,8 +773,11 @@ object Dedup {
     val docSets = (if (smallCorpus) docSets0.coalesce(8) else docSets0).cache()
     docSets.count() // serialize the cache build (see shingleJaccardTopK)
     def hint(df: DataFrame): DataFrame = if (smallCorpus) broadcast(df) else df
+    // b-side kept occurrences re-derived from the CACHED kept arrays —
+    // one cache read instead of re-running the scan→shingle→window
+    // pipeline a second time (same trick as l2c's fallback branch)
     val cand = hint(docSets.select(col("doc_id").as("d1"), explode(col("pfx")).as("sh")))
-      .join(shF.select(col("doc_id").as("d2"), col("sh")), "sh")
+      .join(docSets.select(col("doc_id").as("d2"), explode(col("kept")).as("sh")), "sh")
       .filter(col("d1") =!= col("d2"))
       .select(col("d1"), col("d2")).distinct()
     val dim = hint(docSets.select(col("doc_id"), col("nk"), col("kept")))
