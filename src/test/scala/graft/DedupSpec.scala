@@ -266,6 +266,45 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     got.zip(want).foreach { case (g, w) => assert(math.abs(g._3 - w._3) < 1e-9) }
   }
 
+  test("hot-shingle corpus: l2c matches brute force through the df drop (r9)") {
+    // one boilerplate 3-gram planted in 120 docs — corpus DF >> maxDf=100,
+    // exactly the input whose every occurrence the r8 window form shipped
+    // to a single task before filtering. The partial-agg groupBy form must
+    // drop it and still produce the brute-force answer (here: only the
+    // planted near-dup pair survives the df filter with any overlap).
+    val hot = "hot1 hot2 hot3"
+    val rows: Seq[(Long, String)] =
+      (1L to 120L).map(i =>
+        i -> s"$hot h$i ${(1 to 12).map(j => s"u${i}_$j").mkString(" ")}") ++
+        Seq(500L -> base, 501L -> nearDup)
+    val got = runL2c(rows, 10)
+    val want = bruteTopPairs(rows, 10)
+    assert(want.nonEmpty && want.forall { case (d1, d2, _) => d1 >= 500L && d2 >= 500L },
+      "fixture broken: only the planted pair should survive the df filter")
+    assert(got.map(p => (p._1, p._2)) === want.map(p => (p._1, p._2)))
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g._3 - w._3) < 1e-9) }
+  }
+
+  test("l2d candidate prefix covers containment exactly at t (integer prefix law, r9)") {
+    // kept(a) has exactly 10 shingles, 9 of them inside b → C(a→b) = 0.9,
+    // the threshold itself. The prefix must then be 10 − ⌈0.9·10⌉ + 1 = 2
+    // elements; the float form ⌊10·(1−0.9)⌋+1 evaluated to 1 (0.0999…98)
+    // and the single rarest shingle (a10 a11 a12, df=1, NOT in b) missed
+    // the candidate join while verify and the oracle both accept the pair
+    // (ADVICE r8 medium).
+    val aToks = (1 to 12).map(i => s"a$i")
+    val a = aToks.mkString(" ")
+    val b = (aToks.take(11) ++ (1 to 30).map(i => s"f$i")).mkString(" ")
+    val rows = Seq(1L -> a, 2L -> b, 3L -> unrelated)
+    val dir = java.nio.file.Files.createTempDirectory("graft_l2d_edge").toString
+    docsDF(rows).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.containmentTopK(spark, dir, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.contains((1L, 2L, 0.9)), got.mkString(", "))
+    assert(!got.exists(p => p._1 == 2L && p._2 == 1L), "b is not contained in a")
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc paired")
+  }
+
   test("lang-id picks the marker language on real text") {
     import spark.implicits._
     val samples = Seq(

@@ -215,6 +215,30 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("l2d corpus-DF stage: partial aggregate + join, no Window anywhere (r9)") {
+    // VERDICT r8 #1: the df filter must never plan a Window keyed by the
+    // shingle — a window needs every occurrence of one key on one task,
+    // and hot shingles are the rows the filter exists to drop. The
+    // partial-agg groupBy collapses them map-side; this pins the shape
+    // (including inside the cached docSets subtree, where the stage
+    // actually lives).
+    def deep(p: org.apache.spark.sql.execution.SparkPlan): String = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        deep(a.executedPlan)
+      case other =>
+        val cached = other.collect {
+          case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+            deep(s.relation.cachedPlan)
+        }
+        (other.toString +: cached).mkString("\n")
+    }
+    val df = graft.operators.Dedup.queries("l2d_containment")(spark, sf("sf0.001"))
+    df.collect()
+    val p = deep(df.queryExecution.executedPlan)
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("partial_count"), p.take(3000))
+  }
+
   test("fanOutWidth: ~256KB/task, floor 8, capped at core count") {
     assert(Tables.fanOutWidth(BigInt(0), 32) === 8)          // tiny -> floor
     assert(Tables.fanOutWidth(BigInt(1 << 20), 32) === 8)    // 1 MB -> 4, floored
