@@ -77,18 +77,57 @@ class PrefixSumSpec extends AnyFunSuite with SparkTestBase {
     val ord = Seq(col("ord"), col("id"))
     val sharded = PipelineOps.shardedRunningSum(
       PipelineOps.rangeSharded(df, col("part"), ord),
-      "part", "__shard", ord, "v", "cum")
+      "part", "__shard", ord, "v", "cum", shards = 64)
     val w = Window.partitionBy(col("part")).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val naive = df.withColumn("cum", sum(col("v")).over(w))
     assert(sharded.select("id", "cum").exceptAll(naive.select("id", "cum")).isEmpty
       && naive.select("id", "cum").exceptAll(sharded.select("id", "cum")).isEmpty,
       "sharded ≠ naive on adversarial input")
+    // the beyond-the-gate arm (offsets NOT broadcast — the 100 TB shape
+    // where 2^20 shards would ship MBs to every executor) must produce
+    // the identical result through the equi-shuffle join
+    val unbroadcast = PipelineOps.shardedRunningSum(
+      PipelineOps.rangeSharded(df, col("part"), ord),
+      "part", "__shard", ord, "v", "cum", shards = 1L << 20)
+    assert(unbroadcast.select("id", "cum")
+        .exceptAll(naive.select("id", "cum")).isEmpty
+      && naive.select("id", "cum")
+        .exceptAll(unbroadcast.select("id", "cum")).isEmpty,
+      "shuffle-join offsets arm ≠ naive")
     // and the empty frame degenerates cleanly
     val empty = PipelineOps.shardedRunningSum(
       PipelineOps.rangeSharded(df.limit(0), col("part"), ord),
-      "part", "__shard", ord, "v", "cum")
+      "part", "__shard", ord, "v", "cum", shards = 64)
     assert(empty.count() == 0)
+  }
+
+  test("offsets broadcast gate: fixture widths in, 2^20-shard cap out") {
+    assert(PipelineOps.broadcastOffsets(32))
+    assert(PipelineOps.broadcastOffsets(8192))
+    assert(!PipelineOps.broadcastOffsets(1 << 20))
+  }
+
+  test("m4's two consumers of the range shuffle share ONE exchange (reuse pin)") {
+    // shardedRunningSum stamps __shard = spark_partition_id() on the
+    // range-repartitioned frame and consumes it twice (offsets aggregate
+    // + local window). The stamps agree across consumers only because
+    // ReuseExchange dedupes the range shuffle — two independent
+    // exchanges would sample boundaries independently and join offsets
+    // against mismatched shard labels (ADVICE r8). Pin it: after
+    // execution the final adaptive plan must contain exactly one
+    // materialized range exchange; the second consumer reads it as a
+    // reused stage.
+    val df = PipelineOps.queries("m4_token_budget")(spark, sf("sf0.001"))
+    df.collect()
+    // AQE toString prints final + initial plan; judge the FINAL one, and
+    // don't count a ReusedExchange's reference text as a second exchange
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val ranges = p.linesIterator.count(l =>
+      l.contains("Exchange rangepartitioning") && !l.contains("ReusedExchange"))
+    assert(ranges == 1, s"expected 1 materialized range exchange, got $ranges:\n" +
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(p.contains("ReusedExchange"), p.take(3000))
   }
 
   test("hexShardChars width law: fixture floor, 100 TB growth, monotone") {
