@@ -61,10 +61,23 @@ object Tables {
     *  - Already TimestampType: pass through.
     */
   private def canonicalEvents(raw: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.functions.{col, expr, max}
     import org.apache.spark.sql.types.{LongType, TimestampType}
     raw.schema("ts").dataType match {
-      case LongType      => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case LongType =>
+        // div-1000 is only valid when the int64 really is epoch-NANOS
+        // (the nanosAsLong read path). A future fixture storing plain
+        // int64 MICROS with no timestamp annotation would be silently
+        // scaled 1000× — fail loudly instead (ADVICE r8): epoch-nanos
+        // for any plausible date (≥ 1973) exceed 1e17, epoch-micros
+        // stay below 4.1e15 until the year 2100. One tiny agg job,
+        // memoized with the load.
+        val mx = raw.agg(max(col("ts"))).head()
+        if (!mx.isNullAt(0) && mx.getLong(0) < 100000000000000000L)
+          throw new IllegalStateException(
+            s"events.ts int64 max=${mx.getLong(0)} is not epoch-nanos " +
+              "magnitude; refusing the div-1000 nanos rebuild")
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case TimestampType => raw
       case _             => raw.withColumn("ts", col("ts").cast(TimestampType))
     }

@@ -71,7 +71,12 @@ object TextAnalysis {
     }),
 
     // L6: TF-IDF top-10 terms per source (explode → two hash aggs →
-    // windowed top-k; idf computed from corpus doc frequency).
+    // per-source partial top-k Aggregator; idf from corpus doc
+    // frequency). The r8 form ranked with a per-source window — that
+    // sorts each source's FULL vocabulary on one task, and vocabulary
+    // grows with the corpus (Heaps' law). The k-bounded TopKTerms
+    // buffers (the l3 blockTopK machinery) ship k rows per partition
+    // per source through the shuffle instead.
     "l6_tfidf_topterms" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val nDocs = docs.select(countDistinct(col("doc_id")).as("n")).as("nd")
@@ -81,14 +86,18 @@ object TextAnalysis {
         .agg(count(lit(1)).as("tf"))
       val df = words.select(col("doc_id"), col("word")).distinct()
         .groupBy(col("word")).agg(count(lit(1)).as("df"))
-      val w = Window.partitionBy(col("source"))
-        .orderBy(col("tfidf").desc, col("word"))
+      val topk = udaf(new graft.functions.TopKTerms(10),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.STRING))
       tf.join(df, "word").crossJoin(broadcast(nDocs))
         .withColumn("tfidf",
           round(col("tf") * log(col("n").cast(DoubleType) / col("df")), 6))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 10)
-        .select(col("source"), col("word"), col("tfidf"), col("rn"))
+        .groupBy(col("source"))
+        .agg(topk(col("tfidf"), col("word")).as("top"))
+        .select(col("source"), posexplode(col("top")))
+        .select(col("source"), col("col._2").as("word"),
+          col("col._1").as("tfidf"), (col("pos") + 1).as("rn"))
     }),
 
     // L7: composed quality filter — the document-retention predicate of
@@ -249,11 +258,16 @@ object TextAnalysis {
         .withColumn("keep", col("quality_score") >= 0.5)
     }),
 
-    // Lang-ID heuristic over the corpus (rows-only; LangIdSpec pins
-    // accuracy on real multilingual samples).
+    // Lang-ID heuristic over the corpus (oracle-checked since r8;
+    // LangIdSpec pins accuracy on real multilingual samples). The
+    // inventory entry tokenizes on the literal single space — the same
+    // split every paired query and the oracle's string_split use; the
+    // standalone langIdCol helper keeps \s+ for free-form text
+    // (ADVICE r8: a tab/newline would tokenize differently between the
+    // engine and the oracle and shift marker scores).
     "l9_lang_id" -> ((s, d) => {
       Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), split(col("text"), "\\s+").as("t"))
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
         .select(col("doc_id"), col("lang").as("labeled_lang"),
           langIdOfTokens(col("t")).as("predicted_lang"))
     })

@@ -17,6 +17,20 @@ object Ingest {
   private def tmp(name: String): String =
     java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), name).toString
 
+  /** s11 bucket-count law (VERDICT r8 #8): like `hexShardChars`, the
+    * count comes from table statistics instead of a fixture-shaped
+    * constant — floor 16 (the fixture/oracle shape) doubling until each
+    * bucket's share of the larger fact fits ~256 MB, capped at 2^20.
+    * 100 TB of lineitem → 2^19 buckets of ~190 MB; a fixed 16 would be
+    * 6 TB per bucket file.
+    */
+  private[graft] def s11Buckets(bytes: BigInt,
+      target: Long = 256L << 20, floor: Int = 16): Int = {
+    var b = floor
+    while (b < (1 << 20) && BigInt(b) * target < bytes) b *= 2
+    b
+  }
+
   val queries: Map[String, Q] = Map(
     // S1: parquet scan of every fixture table (vectorized reader).
     "s1_parquet_scan" -> ((s, d) => {
@@ -121,9 +135,14 @@ object Ingest {
     // path (a broadcast would also skip the shuffle, but only below the
     // threshold — bucketing is the answer when BOTH sides are big).
     // Oracle recomputes from the raw tables: layout must not change
-    // values.
+    // values. NOTE: timings of this entry measure layout BUILD + join —
+    // both bucketed tables are written per invocation; table/path names
+    // derive from the data dir, so sessions over different fixtures
+    // don't clobber each other (ADVICE r8).
     "s11_bucketed_join" -> ((s, d) => {
-      val buckets = 16
+      val buckets = s11Buckets(Tables.lineitem(s, d)
+        .queryExecution.optimizedPlan.stats.sizeInBytes)
+      val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
       def bucketed(df: org.apache.spark.sql.DataFrame, key: String,
           table: String, path: String): Unit = {
         s.sql(s"DROP TABLE IF EXISTS $table")
@@ -134,12 +153,12 @@ object Ingest {
       }
       bucketed(Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_orderpriority")),
-        "o_orderkey", "s11_orders_b", tmp("graft_s11_orders_b"))
+        "o_orderkey", s"s11_orders_b_$tag", tmp(s"graft_s11_orders_b_$tag"))
       bucketed(Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_extendedprice")),
-        "l_orderkey", "s11_lineitem_b", tmp("graft_s11_lineitem_b"))
-      s.table("s11_orders_b").hint("merge")
-        .join(s.table("s11_lineitem_b"),
+        "l_orderkey", s"s11_lineitem_b_$tag", tmp(s"graft_s11_lineitem_b_$tag"))
+      s.table(s"s11_orders_b_$tag").hint("merge")
+        .join(s.table(s"s11_lineitem_b_$tag"),
           col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("total"))

@@ -239,6 +239,27 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("partial_count"), p.take(3000))
   }
 
+  test("l6 top-k per source plans the partial TopKTerms aggregate, no window") {
+    // vocab grows with corpus (Heaps' law): the rank-filter window form
+    // sorted each source's full vocabulary on one task; the k-bounded
+    // Aggregator ships k rows per partition (VERDICT r8 #5)
+    val df = graft.operators.TextAnalysis
+      .queries("l6_tfidf_topterms")(spark, sf("sf0.001"))
+    val p = plan(df)
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("ObjectHashAggregate"), p.take(3000))
+  }
+
+  test("s11 bucket-count law: fixture floor 16, 100 TB growth, capped") {
+    import graft.sources.Ingest.s11Buckets
+    val gb = BigInt(1) << 30
+    assert(s11Buckets(gb) === 16)              // fixture scale stays 16
+    assert(s11Buckets(gb * 100 * 1024) === (1 << 19)) // 100 TB → 512k buckets
+    assert(s11Buckets(BigInt(10).pow(30)) === (1 << 20)) // capped
+    val widths = (0 to 60).map(e => s11Buckets(BigInt(1) << e))
+    assert(widths.sliding(2).forall(p => p.head <= p.last), widths.toString)
+  }
+
   test("fanOutWidth: ~256KB/task, floor 8, capped at core count") {
     assert(Tables.fanOutWidth(BigInt(0), 32) === 8)          // tiny -> floor
     assert(Tables.fanOutWidth(BigInt(1 << 20), 32) === 8)    // 1 MB -> 4, floored
