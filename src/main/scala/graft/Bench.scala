@@ -102,6 +102,25 @@ object Bench {
     val all = sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")
     val names = SparkEntry.queries.keys.toSeq
       .filter(n => all || !SparkEntry.benchOptIn(n)).sorted
+
+    // Load gate, RECORD runs only (VERDICT r8 missing #3): a committed
+    // record captured at load_avg 5 confounds the round-over-round trend
+    // (r8: 55.7 s contended vs 47.9 s quiet, same code). Before warmup
+    // and before each timed pass, wait until the 1-min load average
+    // drops under SPARK_GRAFT_BENCH_LOAD_MAX (default 2.0), bounded per
+    // gate and by the global deadline; every gate event is recorded in
+    // bench_full.json so a still-contended artifact is self-describing.
+    val recordMode = sys.env.contains("SPARK_GRAFT_BENCH_RECORD")
+    val loadMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_MAX", "2.0").toDouble
+    val gateEvents = scala.collection.mutable.ArrayBuffer.empty[String]
+    def loadGate(tag: String): Unit = if (recordMode) {
+      var waited = 0
+      while (loadAvg > loadMax && waited < 120 && remaining > 60) {
+        Thread.sleep(5000); waited += 5
+      }
+      gateEvents +=
+        s"""{"at":"$tag","load":${f3(loadAvg)},"waited_s":$waited}"""
+    }
     val loadBefore = loadAvg
 
     // lower median: for an even run count this takes the faster middle
@@ -131,6 +150,7 @@ object Bench {
         java.nio.file.Paths.get(fullPath),
         s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":$runs,""" +
           s""""load_avg":[${f3(loadBefore)},${f3(loadAvg)}],""" +
+          s""""load_gate":${gateEvents.mkString("[", ",", "]")},""" +
           s""""queries":$medJson,"passes":$passJson,"sf":"$sfDir"}""")
     }
 
@@ -145,6 +165,7 @@ object Bench {
     // parseable (if first-touch-inflated) artifact in the tail.
     // (per-query deadline guard here too: a warmup that blows the whole
     // budget must still end with a parseable runs:0 line, not rc=124)
+    loadGate("warmup")
     val warmup: Map[String, Double] =
       names.map(n => n -> (if (remaining < 20) -1.0 else once(n))).toMap
     spark.catalog.clearCache() // drop warmup-cached subtrees
@@ -178,6 +199,7 @@ object Bench {
       // included), padded 1.3× for contention, +15 s teardown slack
       fits = remaining > slowestPass * 1.3 + 15
       if (fits) {
+        loadGate(s"pass${perPass.size + 1}")
         val passT0 = elapsed
         // Per-query deadline check INSIDE the pass: a contention burst
         // can stretch a pass well past its projection (r4 ran at load
