@@ -146,6 +146,12 @@ object Dedup {
     * representative makes that part linear (member↔rep verification),
     * and only distinct-signature representatives enter the band join.
     * 112 s → ~2 s at sf0.1 for identical output policy.
+    *
+    * Signature equality does NOT imply set equality: a member whose
+    * exact verify against its rep fails is a signature COLLISION, and
+    * (since r9) re-enters the band join as its own representative —
+    * without that, true dup pairs inside a collided cluster were
+    * unreachable by any candidate path and silently survived.
     */
   def minhashDedup(docs: DataFrame, threshold: Double = 0.9): DataFrame = {
     // One native-kernel pass over the scan computes the distinct
@@ -171,31 +177,12 @@ object Dedup {
     // evaluate the scan+kernel projection itself (the same measured
     // pattern as shingleJaccardTopK's docSets).
     base.count()
-    val withKey = base.select(col("doc_id"), col("sig"),
-      xxhash64(col("sig")).as("sig_key"))
-    val reps = withKey.groupBy(col("sig_key"))
-      .agg(min(col("doc_id")).as("rep_id"))
-    val members = withKey.join(reps, "sig_key")
-    // (a) members verify against their cluster representative — linear.
-    val memberPairs = members.filter(col("doc_id") =!= col("rep_id"))
-      .select(col("rep_id").as("d1"), col("doc_id").as("d2"))
-    // (b) LSH band join across representatives only.
-    val repSigs = withKey.join(
-      reps.select(col("rep_id").as("doc_id")), "doc_id")
-    val (repPairs, bucketCache) = lshCandidatesFromSig(
-      repSigs.select(col("doc_id"), col("sig")),
-      pinPartitions = if (small) Some(8) else None)
-    // no distinct needed: memberPairs are unique by construction (one
-    // row per non-rep member) and repPairs (already distinct) connect
-    // DIFFERENT signatures while memberPairs connect identical ones —
-    // the two sets are disjoint.
-    val cand = memberPairs.unionByName(repPairs)
     // Exact jaccard via array_intersect over the cached token-hash sets —
     // runs only on candidate pairs, replacing the round-4 double
     // explode-join + pair groupBy. Both dims are the SAME subtree, so
     // under the broadcast hint the two builds collapse into one exchange.
     val dim = hint(base.select(col("doc_id"), col("toks")))
-    val verified = cand
+    def verifyPairs(cand: DataFrame): DataFrame = cand
       .join(dim, cand("d1") === dim("doc_id"))
       .select(col("d1"), col("d2"), col("toks").as("k1"))
       .join(dim, col("d2") === dim("doc_id"))
@@ -203,7 +190,50 @@ object Dedup {
         size(array_intersect(col("k1"), col("toks"))).cast(DoubleType).as("inter"),
         size(col("k1")).as("n1"), size(col("toks")).as("n2"))
       .withColumn("jaccard", col("inter") / (col("n1") + col("n2") - col("inter")))
-      .filter(col("jaccard") >= threshold)
+    // (a) SET-exact clustering: key = hash of the full sorted token-hash
+    // array, so a cluster means IDENTICAL distinct-token sets (jaccard
+    // 1.0 by construction — the verify is a hash-collision safety net,
+    // not a filter). The r8 form clustered on the minhash SIGNATURE
+    // instead; signature equality does not imply set equality, and on a
+    // collision the member↔rep verify rejected the pair while no other
+    // path could reach the true dups inside the cluster — identical-set
+    // docs silently co-survived (r9 find). Set-keying makes the
+    // exact-dup collapse unconditional.
+    val withKey = base.select(col("doc_id"), col("sig"),
+      xxhash64(col("toks")).as("set_key"))
+    val setReps = withKey.groupBy(col("set_key"))
+      .agg(min(col("doc_id")).as("rep_id"))
+    val setMembers = withKey.join(setReps, "set_key")
+    val setPairs = setMembers.filter(col("doc_id") =!= col("rep_id"))
+      .select(col("rep_id").as("d1"), col("doc_id").as("d2"))
+    // (b) signature clustering over the set-distinct reps — the skew
+    // guard for NEAR-exact families whose members often share a full
+    // 16-minima signature. Members verify exactly against their sig-rep;
+    // a failed member is a signature COLLISION (same minima, genuinely
+    // different set) and re-enters the band join as its own rep instead
+    // of hiding behind a dissimilar one. The checkpoint is one slim row
+    // per sig-cluster member — same order as the removed-id set.
+    val sigKeyed = withKey
+      .join(setReps.select(col("rep_id").as("doc_id")), "doc_id")
+      .select(col("doc_id"), col("sig"), xxhash64(col("sig")).as("sig_key"))
+    val sigReps = sigKeyed.groupBy(col("sig_key"))
+      .agg(min(col("doc_id")).as("rep_id"))
+    val sigPairs = sigKeyed.join(sigReps, "sig_key")
+      .filter(col("doc_id") =!= col("rep_id"))
+      .select(col("rep_id").as("d1"), col("doc_id").as("d2"))
+    val sigV = verifyPairs(sigPairs).localCheckpoint()
+    val collided = sigV.filter(col("jaccard") < threshold)
+      .select(col("d2").as("doc_id"))
+    // (c) LSH band join across sig-representatives + collision-failed
+    // members.
+    val repSigs = sigKeyed.join(
+      sigReps.select(col("rep_id").as("doc_id")).unionByName(collided), "doc_id")
+    val (repPairs, bucketCache) = lshCandidatesFromSig(
+      repSigs.select(col("doc_id"), col("sig")),
+      pinPartitions = if (small) Some(8) else None)
+    val verified = verifyPairs(setPairs).filter(col("jaccard") >= threshold)
+      .unionByName(sigV.filter(col("jaccard") >= threshold))
+      .unionByName(verifyPairs(repPairs).filter(col("jaccard") >= threshold))
     // The removed-id set is tiny (ids of dropped near-dups);
     // localCheckpoint pins it so the intermediates can be released — the
     // round-4 caches leaked into executor storage for the session
@@ -556,6 +586,20 @@ object Dedup {
     // the standard scale guard for exact similarity joins).
     "l2c_shingle_jaccard" -> ((s, d) => shingleJaccardTopK(s, d, 20)),
 
+    // L2e: EXACT jaccard-threshold dedup — the deterministic twin of l2
+    // with recall 1.0 by construction: candidates from the token-level
+    // prefix filter (provably complete at the ≥ t cut, no LSH, no
+    // truncation), exact verify, drop the larger doc of every pair at
+    // jaccard ≥ 0.9. Oracle-checked against DuckDB's quadratic pair
+    // join — the hash-checked exactness probe for the dedup family's
+    // shared verify kernel (token-hash-set array_intersect ≡ string
+    // token-set intersection), which the probabilistic l2/l2b2 entries
+    // could never pin (VERDICT r8 #6).
+    "l2e_jaccard_dedup" -> ((s, d) => {
+      jaccardDedup(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
+
     // L2d: asymmetric CONTAINMENT dedup — C(a→b) = |kept(a)∩kept(b)| /
     // |kept(a)|: "how much of a is inside b". Catches what symmetric
     // jaccard (l2c) structurally misses: a short document wrapped in
@@ -808,6 +852,67 @@ object Dedup {
       .limit(k)
   }
 
+  /** Survivors of EXACT jaccard-threshold dedup over distinct unigram
+    * token sets: doc b is removed iff some a < b has
+    * |toks(a)∩toks(b)| / |toks(a)∪toks(b)| ≥ t. Same candidate
+    * machinery as [[shingleJaccardTopK]] (df-rarest-first global order,
+    * per-side prefix of n−⌈t·n⌉+1 elements, length + positional
+    * prunes, exact array_intersect verify) applied to TOKEN hashes with
+    * no df cut — the prefix theorem needs a consistent total order, and
+    * rarest-first keeps the prefix join selective; every stage is the
+    * skew-safe partial-agg/join shape l2c uses. Unlike l2's LSH path
+    * this is deterministic and complete at the threshold, so it carries
+    * the dedup family's DuckDB oracle.
+    */
+  def jaccardDedup(s: SparkSession, d: String, t: Double = 0.9): DataFrame = {
+    val smallCorpus = Tables.documents(s, d)
+      .queryExecution.optimizedPlan.stats.sizeInBytes <= (32L << 20)
+    def hint(df: DataFrame): DataFrame = if (smallCorpus) broadcast(df) else df
+    val arrs0 = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
+      .select(col("doc_id"),
+        graft.functions.TokenHashKernels.tokenHashes(split(col("text"), " ")).as("arr"))
+    val arrs = (if (smallCorpus) arrs0.coalesce(8) else arrs0).cache()
+    arrs.count()
+    val tk = arrs.select(col("doc_id"), explode(col("arr")).as("tok"))
+    val dfTab = tk.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val docSets0 = tk.join(hint(dfTab), "tok")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord"))
+      .select(col("doc_id"),
+        transform(col("ord"), x => x.getField("tok")).as("kept"))
+      .select(col("doc_id"), col("kept"), size(col("kept")).as("nk"),
+        slice(col("kept"), lit(1),
+          (size(col("kept")) - ceil(size(col("kept")) * t - lit(1e-9)) + 1)
+            .cast(IntegerType)).as("pfx"))
+    val docSets = (if (smallCorpus) docSets0.coalesce(8) else docSets0).cache()
+    docSets.count()
+    arrs.unpersist()
+    val pfx = docSets.select(col("doc_id"), col("nk"),
+      posexplode(col("pfx")).as(Seq("pos0", "tok")))
+    val tt = t / (1 + t)
+    val cand = pfx.select(col("tok"), col("doc_id").as("d1"),
+        col("nk").as("nk1"), (col("pos0") + 1).as("p1"))
+      .join(hint(pfx.select(col("tok"), col("doc_id").as("d2"),
+        col("nk").as("nk2"), (col("pos0") + 1).as("p2"))), "tok")
+      .filter(col("d1") < col("d2"))
+      .filter(col("nk1") >= lit(t) * col("nk2") - lit(1e-9) &&
+              col("nk2") >= lit(t) * col("nk1") - lit(1e-9))
+      .filter(lit(1) + least(col("nk1") - col("p1"), col("nk2") - col("p2"))
+        >= lit(tt) * (col("nk1") + col("nk2")) - lit(1e-9))
+      .select(col("d1"), col("d2")).distinct()
+    val dim = hint(docSets.select(col("doc_id"), col("nk"), col("kept")))
+    val removed = cand
+      .join(dim, col("d1") === dim("doc_id"))
+      .select(col("d1"), col("d2"), col("nk").as("n1"), col("kept").as("k1"))
+      .join(dim, col("d2") === dim("doc_id"))
+      .select(col("d2"),
+        size(array_intersect(col("k1"), col("kept"))).cast(DoubleType).as("inter"),
+        col("n1"), col("nk").as("n2"))
+      .filter(col("inter") / (col("n1") + col("n2") - col("inter")) >= t)
+      .select(col("d2").as("doc_id")).distinct()
+    Tables.documents(s, d).join(removed, Seq("doc_id"), "left_anti")
+  }
+
   val oracles: Map[String, String] = Map(
     // l2d: the quadratic co-occurrence CTE is the blow-up the engine's
     // prefix filter avoids — fine as an oracle at gate scale, never the
@@ -857,6 +962,27 @@ object Dedup {
       """SELECT min(doc_id) AS doc_id, md5(text) AS text_md5,
         |  COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    // l2e: the quadratic pair join is the oracle-side blow-up the
+    // engine's prefix filter refuses at scale (same stance as l2c/l2d's
+    // oracles). Both sides compute inter/(n1+n2-inter) in IEEE double
+    // against the same 0.9 literal, so the threshold cut is identical.
+    "l2e_jaccard_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |    len(list_intersect(a.tk, b.tk)) AS inter,
+        |    len(a.tk) AS n1, len(b.tk) AS n2
+        |  FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+        |), removed AS (
+        |  SELECT DISTINCT d2 FROM pairs
+        |  WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.9
+        |)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d LEFT JOIN removed r ON d.doc_id = r.d2
+        |WHERE r.d2 IS NULL""".stripMargin,
 
     "l2c_shingle_jaccard" ->
       """WITH toks AS (

@@ -196,8 +196,10 @@ object TextAnalysis {
     }),
 
     // L10 (extension): document fingerprint via the native RollingHash
-    // Catalyst expression (order-sensitive; codegen'd). Not expressible
-    // in DuckDB → rows-only + known-vector spec.
+    // Catalyst expression (order-sensitive; codegen'd). Oracle-checked
+    // since r9: the polynomial fold is expressible in DuckDB via nested
+    // list_reduce over per-char codepoints (≡ utf-8 bytes on the
+    // all-ASCII fixture corpus) — plus the known-vector spec.
     "l10_fingerprint" -> ((s, d) => {
       Tables.documents(s, d).select(
         col("doc_id"),
@@ -276,6 +278,22 @@ object TextAnalysis {
   private val stopSql = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    // l10: RollingHash's nested polynomial fold, re-expressed with
+    // DuckDB list_reduce. ascii(c) = codepoint = the utf-8 byte on this
+    // all-ASCII corpus (engine hashes bytes); list_prepend supplies the
+    // fold's zero since list_reduce has no init form.
+    "l10_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ' '),
+        |        t -> list_reduce(
+        |               list_prepend(CAST(0 AS BIGINT),
+        |                 list_transform(string_split(t, ''),
+        |                   c -> CAST(ascii(c) AS BIGINT))),
+        |               (th, b) -> (th * 131 + b) % 1000000007))),
+        |    (h, th) -> (h * 31 + th) % 1000000007) AS fingerprint
+        |FROM documents""".stripMargin,
     // l9's marker scoring is plain per-token arithmetic, so it is
     // SQL-expressible after all (was rows-only through r7): score per
     // language = marker-token hits, winner = lexicographic max of

@@ -305,6 +305,45 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!got.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc paired")
   }
 
+  test("minhash dedup: identical-token-set docs never co-survive (set-cluster law, r9)") {
+    // r9 find: signature-keyed clustering hid true dups behind colliding
+    // reps — two docs with IDENTICAL distinct-token sets both survived.
+    // The set-keyed first layer makes this impossible by construction;
+    // assert it on the real fixture corpus (small vocab = collision-rich).
+    for (d <- Seq(sf("sf0.001"), sf("sf0.01"))) {
+      val surv = Dedup.queries("l2_minhash_dedup")(spark, d)
+      val dup = Dedup.docTokenSets(Tables.documents(spark, d))
+        .join(surv.select("doc_id"), Seq("doc_id"))
+        .select(xxhash64(col("toks")).as("k"))
+        .groupBy("k").count().filter(col("count") > 1).count()
+      assert(dup === 0, s"$d: identical-set survivors remain")
+    }
+  }
+
+  test("l2e exact-threshold dedup matches brute force (r9)") {
+    // base↔nearDup share 38 of 42 distinct tokens (j ≈ 0.905 ≥ 0.9 →
+    // larger id removed); doc 4 duplicates unrelated exactly (removed);
+    // doc 5 shares nothing (survives)
+    val rows = Seq(1L -> base, 2L -> nearDup, 3L -> unrelated,
+      4L -> unrelated, 5L -> (300 to 340).map(i => s"q$i").mkString(" "))
+    val dir = java.nio.file.Files.createTempDirectory("graft_l2e_spec").toString
+    docsDF(rows).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.jaccardDedup(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    // brute-force reference over distinct string-token sets
+    val sets = rows.map { case (id, t) => id -> t.split(" ").toSet }.toMap
+    val ids = rows.map(_._1).sorted
+    val want = ids.filter { b =>
+      !ids.exists { a =>
+        a < b && {
+          val inter = (sets(a) intersect sets(b)).size.toDouble
+          inter / (sets(a).size + sets(b).size - inter) >= 0.9
+        }
+      }
+    }
+    assert(got.toSeq === want)
+  }
+
   test("lang-id picks the marker language on real text") {
     import spark.implicits._
     val samples = Seq(
