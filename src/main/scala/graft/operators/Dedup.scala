@@ -52,66 +52,71 @@ object Dedup {
 
   /** LSH candidate pairs (d1 < d2) from band-signature collisions, over
     * mh_0..mh_{NumPerm-1} signature columns. Spec-facing wrapper around
-    * [[lshCandidatesFromSig]]; the internal cache it builds stays
-    * session-lived here (bounded: ≤ Bands rows per doc) — the bench path
-    * goes through [[minhashDedup]], which releases it.
+    * [[lshCandidatesFromSig]].
     */
   def lshCandidates(sig: DataFrame, maxBucket: Int = 50): DataFrame =
     lshCandidatesFromSig(
       sig.select(col("doc_id"),
         array((0 until NumPerm).map(i => col(s"mh_$i")): _*).as("sig")),
-      maxBucket)._1
+      maxBucket)
 
-  /** Candidate pairs from an (doc_id, sig ARRAY<BIGINT>) relation, plus
-    * the internal bucket cache for the caller to unpersist once the pairs
-    * are materialized.
+  /** Candidate pairs from an (doc_id, sig ARRAY<BIGINT>) relation.
     *
-    * Buckets wider than `maxBucket` are dropped whole (deterministic, no
-    * sampling): a band signature shared by hundreds of documents carries
-    * no discriminative information but contributes O(width²) candidate
-    * pairs — the classic hot-bucket blow-up on near-duplicate-heavy or
-    * low-entropy corpora. True near-dup pairs still collide in their
-    * other, rarer bands; exact-duplicate clusters never reach this join
-    * at all (see [[minhashDedup]]'s signature-cluster step).
+    * Within a (band, band-signature) bucket, pairing is the SORTED
+    * SLIDING WINDOW kernel (the [[simhashBandPairs]] machinery): rows
+    * hash-partition by bucket, sort (band, sig, doc_id), and a linear
+    * per-partition pass pairs each row with its `maxBucket` bucket
+    * predecessors. Buckets of width ≤ maxBucket+1 — every bucket on a
+    * healthy corpus — get exactly the all-pairs result; hot buckets
+    * (near-duplicate-heavy or low-entropy corpora) degrade gracefully
+    * to banded pairing, where the r8 form dropped them WHOLE and lost
+    * every pair they contained (and sized them with a count window on
+    * the skew-prone bucket key — the same shape the l2c/l2d df stage
+    * shed this round; here the window, its cache, and the O(width²)
+    * bucket self-join all collapse into one sort + linear scan).
     */
   def lshCandidatesFromSig(sig: DataFrame, maxBucket: Int = 50,
-      pinPartitions: Option[Int] = None): (DataFrame, DataFrame) = {
+      pinPartitions: Option[Int] = None): DataFrame = {
+    val spark = sig.sparkSession
+    import spark.implicits._
     val perBand = NumPerm / Bands
     val bandCols = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(slice(col("sig"), b * perBand + 1, perBand)).as("sig_h"))
     }
-    val buckets0 = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig_h").as("sig"))
-    // Small-input callers pin the window's shuffle width (the cache below
-    // freezes its partitioning — AQE can't re-coalesce cached-plan output,
-    // so without the pin every downstream stage over the cache schedules
-    // a full session-width task wave; same rewrite as shingleJaccardTopK's
-    // shP). At scale the window plans its own exchange as usual.
-    val buckets = pinPartitions match {
-      case Some(n) => buckets0.repartition(n, col("band"), col("sig"))
-      case None    => buckets0
+    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.sig_h").as("sig"), col("doc_id"))
+    // Small-input callers pin the shuffle width (REPARTITION_BY_NUM is
+    // exempt from AQE coalescing, which would serialize the scan behind
+    // 1-2 tasks); at scale the hash repartition plans its own width.
+    val parted = pinPartitions match {
+      case Some(n) => buckets.repartition(n, col("band"), col("sig"))
+      case None    => buckets.repartition(col("band"), col("sig"))
     }
-    // Bucket width as a count window over the explode — one shuffle on
-    // the same (band, sig) key the self-join needs, replacing the
-    // round-3 groupBy + join-back (an extra aggregation shuffle and a
-    // second pass over a cached explode; the same rewrite l2c's corpus-DF
-    // filter got). The cache + forced materialization cover the
-    // self-join's two concurrently-launched map stages.
-    val kept = buckets
-      .withColumn("w", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("sig"))))
-      .filter(col("w") <= maxBucket).drop("w")
-      .cache()
-    kept.count()
-    val b2 = kept.select(col("band"), col("sig"), col("doc_id").as("doc_id2"))
-    val pairs = kept.join(b2,
-        Seq("band", "sig")) // same band, same signature
-      .filter(col("doc_id") < col("doc_id2"))
-      .select(col("doc_id").as("d1"), col("doc_id2").as("d2"))
-      .distinct()
-    (pairs, kept)
+    val w = maxBucket
+    parted.sortWithinPartitions(col("band"), col("sig"), col("doc_id"))
+      .as[(Int, Long, Long)]
+      .mapPartitions { it =>
+        val buf = new Array[Long](w)
+        var n = 0; var pos = 0; var curB = -1; var curSig = 0L
+        it.flatMap { case (b, sg, id) =>
+          if (b != curB || sg != curSig) { curB = b; curSig = sg; n = 0; pos = 0 }
+          var out: List[(Long, Long)] = Nil
+          var i = 0
+          while (i < n) {
+            var j = pos - 1 - i
+            if (j < 0) j += w
+            val a = buf(j)
+            out = (math.min(a, id), math.max(a, id)) :: out
+            i += 1
+          }
+          buf(pos) = id
+          pos = (pos + 1) % w
+          if (n < w) n += 1
+          out
+        }
+      }
+      .toDF("d1", "d2").distinct()
   }
 
   /** Exact token-set jaccard for the given (d1, d2) pairs. */
@@ -228,7 +233,7 @@ object Dedup {
     // members.
     val repSigs = sigKeyed.join(
       sigReps.select(col("rep_id").as("doc_id")).unionByName(collided), "doc_id")
-    val (repPairs, bucketCache) = lshCandidatesFromSig(
+    val repPairs = lshCandidatesFromSig(
       repSigs.select(col("doc_id"), col("sig")),
       pinPartitions = if (small) Some(8) else None)
     val verified = verifyPairs(setPairs).filter(col("jaccard") >= threshold)
@@ -242,7 +247,6 @@ object Dedup {
     val removed = verified.select(col("d2").as("doc_id")).distinct()
       .localCheckpoint()
     base.unpersist()
-    bucketCache.unpersist()
     docs.join(removed, Seq("doc_id"), "left_anti")
   }
 
