@@ -305,6 +305,42 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!got.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc paired")
   }
 
+  test("lshCandidatesFromSig: exact below the window; hot buckets keep pairing (r9)") {
+    import spark.implicits._
+    // (a) random 16-long signatures in small planted groups: every pair
+    // sharing at least one 4-slice band must be emitted — the kernel is
+    // the all-pairs band-collision definition while buckets fit the ring
+    val rnd = new scala.util.Random(11)
+    val sigs = (0 until 30).flatMap { g =>
+      val bse = Array.fill(16)(rnd.nextLong())
+      (0 until 4).map { j =>
+        val s = bse.clone()
+        // perturb one band so in-group pairs share only SOME bands
+        s(rnd.nextInt(16)) = rnd.nextLong()
+        (g * 4L + j) -> s.toSeq
+      }
+    }
+    val df = sigs.toDF("doc_id", "sig")
+    val got = Dedup.lshCandidatesFromSig(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def bands(s: Seq[Long]) = (0 until 4).map(b => (b, s.slice(b * 4, b * 4 + 4)))
+    val want = (for {
+      (d1, s1) <- sigs; (d2, s2) <- sigs
+      if d1 < d2 && bands(s1).intersect(bands(s2)).nonEmpty
+    } yield (d1, d2)).toSet
+    assert(got === want)
+    // (b) hot bucket: 300 identical signatures blow past the ring — the
+    // pair set is banded (bounded), but every doc except the min still
+    // pairs with a smaller neighbor, so dedup removal survives (the r8
+    // form dropped the bucket whole and emitted NOTHING)
+    val hot = (0L until 300L).map(i => i -> Seq.fill(16)(7L))
+    val pairs = Dedup.lshCandidatesFromSig(hot.toDF("doc_id", "sig")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length < 300 * 299 / 2, "hot bucket must not emit all pairs")
+    assert(pairs.map(_._2).distinct.sorted === (1L until 300L).toArray,
+      "every non-min doc must still pair with a smaller neighbor")
+  }
+
   test("minhash dedup: identical-token-set docs never co-survive (set-cluster law, r9)") {
     // r9 find: signature-keyed clustering hid true dups behind colliding
     // reps — two docs with IDENTICAL distinct-token sets both survived.
