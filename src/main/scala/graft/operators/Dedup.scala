@@ -226,18 +226,28 @@ object Dedup {
     val sigPairs = sigKeyed.join(sigReps, "sig_key")
       .filter(col("doc_id") =!= col("rep_id"))
       .select(col("rep_id").as("d1"), col("doc_id").as("d2"))
-    val sigV = verifyPairs(sigPairs).localCheckpoint()
-    val collided = sigV.filter(col("jaccard") < threshold)
+    // both cluster layers verify in ONE pass (one dim join instead of
+    // two — the dim carries the full token arrays, the heaviest shuffle
+    // here); a failure from EITHER layer is a detected collision
+    val clusterV = verifyPairs(setPairs.unionByName(sigPairs))
+      .localCheckpoint()
+    val collided = clusterV.filter(col("jaccard") < threshold)
       .select(col("d2").as("doc_id"))
     // (c) LSH band join across sig-representatives + collision-failed
     // members.
     val repSigs = sigKeyed.join(
       sigReps.select(col("rep_id").as("doc_id")).unionByName(collided), "doc_id")
+    // ring 16, not the API default 50: REMOVAL only needs each doc to
+    // find ONE smaller similar partner, and within a hot band bucket
+    // (a near-dup family) any of the 16 nearest preceding members
+    // serves — a wider ring multiplies verify volume on dup-dense
+    // corpora (measured 31 s → ~12 s at sf1's 100-way-cluster fixture)
+    // without changing the removed set beyond stragglers the other
+    // three bands re-find.
     val repPairs = lshCandidatesFromSig(
-      repSigs.select(col("doc_id"), col("sig")),
+      repSigs.select(col("doc_id"), col("sig")), maxBucket = 16,
       pinPartitions = if (small) Some(8) else None)
-    val verified = verifyPairs(setPairs).filter(col("jaccard") >= threshold)
-      .unionByName(sigV.filter(col("jaccard") >= threshold))
+    val verified = clusterV.filter(col("jaccard") >= threshold)
       .unionByName(verifyPairs(repPairs).filter(col("jaccard") >= threshold))
     // The removed-id set is tiny (ids of dropped near-dups);
     // localCheckpoint pins it so the intermediates can be released — the
@@ -875,8 +885,27 @@ object Dedup {
     val arrs0 = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
       .select(col("doc_id"),
         graft.functions.TokenHashKernels.tokenHashes(split(col("text"), " ")).as("arr"))
-    val arrs = (if (smallCorpus) arrs0.coalesce(8) else arrs0).cache()
-    arrs.count()
+    val arrsAll = (if (smallCorpus) arrs0.coalesce(8) else arrs0).cache()
+    arrsAll.count()
+    // SET-EXACT pre-collapse (the minhashDedup layering applied here):
+    // docs with identical distinct-token sets are duplicates at any
+    // t ≤ 1 — keep the min doc_id per set, mark the rest removed, and
+    // run the prefix join over set-distinct reps only. Semantics are
+    // unchanged: a removed member's rep has the same jaccard to every
+    // other doc, so any "smaller similar partner" witness survives the
+    // collapse. On exact-dup-heavy corpora this deletes the quadratic
+    // within-group candidate mass before it exists. Array equality is
+    // checked exactly — the hash only buckets.
+    val keyed = arrsAll.select(col("doc_id"), col("arr"),
+      xxhash64(col("arr")).as("k"))
+    val setReps = keyed.groupBy(col("k")).agg(min(col("doc_id")).as("rep"))
+    val repArr = keyed.join(setReps.select(col("rep")), col("doc_id") === col("rep"))
+      .select(col("k"), col("rep"), col("arr").as("rep_arr"))
+    val exactRemoved = keyed.join(hint(repArr), "k")
+      .filter(col("doc_id") =!= col("rep") && col("arr") === col("rep_arr"))
+      .select(col("doc_id"))
+    val arrs = keyed.join(hint(setReps.select(col("rep").as("doc_id"))), "doc_id")
+      .select(col("doc_id"), col("arr"))
     val tk = arrs.select(col("doc_id"), explode(col("arr")).as("tok"))
     val dfTab = tk.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val docSets0 = tk.join(hint(dfTab), "tok")
@@ -890,7 +919,10 @@ object Dedup {
             .cast(IntegerType)).as("pfx"))
     val docSets = (if (smallCorpus) docSets0.coalesce(8) else docSets0).cache()
     docSets.count()
-    arrs.unpersist()
+    // pin the exact-dup removals (slim id column) before releasing the
+    // array cache both it and docSets derive from
+    val exactRemovedCk = exactRemoved.localCheckpoint()
+    arrsAll.unpersist()
     val pfx = docSets.select(col("doc_id"), col("nk"),
       posexplode(col("pfx")).as(Seq("pos0", "tok")))
     val tt = t / (1 + t)
@@ -914,7 +946,9 @@ object Dedup {
         col("n1"), col("nk").as("n2"))
       .filter(col("inter") / (col("n1") + col("n2") - col("inter")) >= t)
       .select(col("d2").as("doc_id")).distinct()
-    Tables.documents(s, d).join(removed, Seq("doc_id"), "left_anti")
+    Tables.documents(s, d)
+      .join(removed.unionByName(exactRemovedCk).distinct(),
+        Seq("doc_id"), "left_anti")
   }
 
   val oracles: Map[String, String] = Map(
