@@ -58,9 +58,74 @@ case class ShingleHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native Catalyst expression: ALL k-token n-gram chain hashes of a token
+  * array, in document order, as ARRAY<BIGINT> — the per-position passage
+  * fingerprint behind duplicate-passage detection (`l14_dup_passage`).
+  *
+  * Differs from [[ShingleHash]] on exactly the two axes that operator
+  * needs: the window length is a parameter (not fixed at 3), and every
+  * OCCURRENCE is kept in order (no sort, no dedup) so downstream stages
+  * can count repeated positions — a gram repeated inside one document is
+  * still a duplicated passage. Same seed-chained XXH64 kernel, same
+  * injectivity argument (tokens are separator-free), same codegen shape.
+  */
+case class NGramHash(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckFailure(
+      s"ngram_hashes expects n >= 1, got $n")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ngram_hashes expects ARRAY<STRING>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHash.computeNGrams(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleHash.computeNGrams($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): NGramHash =
+    copy(child = newChild)
+}
+
 object ShingleHash {
 
   private final val Seed = 42L
+
+  /** All k-gram chain hashes, one per window position, document order. */
+  def computeNGrams(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      th(i) =
+        if (toks.isNullAt(i)) XXH64.hashLong(0L, Seed)
+        else {
+          val s: UTF8String = toks.getUTF8String(i)
+          XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), Seed)
+        }
+      i += 1
+    }
+    val hs = new Array[Long](n - k + 1)
+    i = 0
+    while (i <= n - k) {
+      var acc = Seed
+      var j = i + k - 1
+      while (j >= i) { acc = XXH64.hashLong(th(j), acc); j -= 1 }
+      hs(i) = acc
+      i += 1
+    }
+    new GenericArrayData(hs)
+  }
+
+  /** Column form: all k-gram hashes (every occurrence, document order). */
+  def ngramHashes(tokens: Column, k: Int): Column =
+    ColumnBridge.column(NGramHash(ColumnBridge.expression(tokens), k))
 
   /** Distinct chained-XXH64 hashes of all 3-token windows, ascending. */
   def compute(toks: ArrayData): ArrayData = {

@@ -399,6 +399,25 @@ object PipelineOps {
         .localCheckpoint()
       sh.unpersist(); reps.unpersist()
       out
+    }),
+
+    // M13: deterministic TRAIN/VAL/TEST split — the dataset-versioning
+    // step every training run needs: assignment is a pure function of
+    // (salt, doc_id) (m3/m11's content-addressed family), so it is
+    // stable under repartitioning, replay, cluster size, and future
+    // appends (a new doc never moves an old doc between splits — the
+    // property a random() or row_number split lacks). The salted draw
+    // keeps the split independent of m3's sampling draw on the same
+    // ids. Hex-prefix thresholds give train≈80% / val≈10% / test≈10%
+    // ("cccc"/65536 = 0.79999, "e666" = 0.89999). Per-row in the scan
+    // projection — zero shuffle at any corpus size.
+    "m13_split" -> ((s, d) => {
+      val draw = substring(md5(concat(lit("split:"),
+        col("doc_id").cast(StringType)).cast(BinaryType)), 1, 4)
+      Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        when(draw < "cccc", "train")
+          .when(draw < "e666", "val")
+          .otherwise("test").as("split"))
     })
   )
 
@@ -436,6 +455,15 @@ object PipelineOps {
       """SELECT doc_id, lang, source FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
         |      < CASE WHEN lang = 'en' THEN '6666' ELSE '3333' END""".stripMargin,
+
+    "m13_split" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+        |            < 'cccc' THEN 'train'
+        |       WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+        |            < 'e666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
 
     "m8_profile" ->
       """SELECT COUNT(*) AS n_rows,

@@ -272,8 +272,49 @@ object TextAnalysis {
         .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
         .select(col("doc_id"), col("lang").as("labeled_lang"),
           langIdOfTokens(col("t")).as("predicted_lang"))
-    })
+    }),
+
+    // L14: DUPLICATE-PASSAGE analysis (the repeated-substring signal of
+    // Lee et al. 2022, "Deduplicating Training Data Makes Language
+    // Models Better" — word-k-gram granularity): for every document, the
+    // fraction of its k-token windows whose gram also occurs elsewhere
+    // in the corpus (another doc OR another position of the same doc).
+    // Plan is the fixed skew-safe shape the df stages standardized on in
+    // r9: per-row native NGramHash in the scan projection (no string
+    // materialization), explode, then a two-level aggregation —
+    // (doc, gram) occurrence counts first (map-side partials collapse
+    // within-doc repeats), corpus totals second (partials collapse hot
+    // boilerplate grams to one row per partition before the shuffle) —
+    // and a join back on gram. No window keyed on the gram, no driver
+    // materialization; a hot passage ("click here to subscribe" in 40%
+    // of a web corpus) moves through every stage as one partial row per
+    // partition. Oracle groups the gram STRINGS — identical up to 64-bit
+    // chain collisions (~1e-16/doc), the l2c/l11 precedent.
+    "l14_dup_passage" -> ((s, d) =>
+      dupPassage(Tables.fanOut(Tables.documents(s, d), col("doc_id")), 5))
   )
+
+  /** L14 kernel on any (doc_id, text) frame — see the inventory entry
+    * above for the plan rationale; exposed so PropertySpec can drive it
+    * over planted corpora.
+    */
+  def dupPassage(docs: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val grams = docs.select(col("doc_id"),
+        graft.functions.ShingleHash.ngramHashes(split(col("text"), " "), k).as("g"))
+      .filter(size(col("g")) > 0)
+    val occ = grams.select(col("doc_id"), explode(col("g")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val tot = occ.groupBy(col("g")).agg(sum(col("c")).as("cnt"))
+    val dupPerDoc = occ.join(tot.filter(col("cnt") >= 2).select(col("g")), "g")
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("dup_grams"))
+    grams.select(col("doc_id"), size(col("g")).cast(LongType).as("n_grams"))
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
+        round(coalesce(col("dup_grams"), lit(0L)).cast(DoubleType) /
+          col("n_grams"), 6).as("dup_frac"))
+  }
 
   private val stopSql = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -313,6 +354,28 @@ object TextAnalysis {
         |    {'score': len(list_filter(tk, x -> x IN ('的','是','在','了','我','不'))), 'lang': 'zh'}
         |  ])[-1].lang AS predicted_lang
         |FROM t""".stripMargin,
+
+    // l14: gram strings stand in for the engine's chain hashes (the
+    // l2c/l11 hashed-shingle precedent); occurrences are NOT dedup'd —
+    // a within-doc repeat is a duplicated passage too.
+    "l14_dup_passage" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(t) - 3, 1)),
+        |    i -> array_to_string(t[i:i+4], ' '))) AS g
+        |  FROM toks WHERE len(t) >= 5
+        |), cnt AS (
+        |  SELECT g, COUNT(*) AS c FROM g GROUP BY g
+        |), pd AS (
+        |  SELECT doc_id, COUNT(*) AS n_grams,
+        |    COUNT(*) FILTER (WHERE c >= 2) AS dup_grams
+        |  FROM g JOIN cnt USING (g) GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_grams, dup_grams,
+        |  ROUND(CAST(dup_grams AS DOUBLE) / n_grams, 6) AS dup_frac
+        |FROM pd""".stripMargin,
 
     // same 3-gram semantics as l2c's oracle (whole-token windows,
     // docs with < 3 tokens have no shingles and always survive)

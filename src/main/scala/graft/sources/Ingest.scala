@@ -164,6 +164,46 @@ object Ingest {
         .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("total"))
     }),
 
+    // S12: corrupt-record-TOLERANT NDJSON ingestion — web-scale raw data
+    // always contains malformed lines, and a 100 TB job must quarantine
+    // them, not die (FAILFAST) or silently drop them (DROPMALFORMED).
+    // The fixture dirties its own NDJSON deterministically (docs with
+    // doc_id % 7 == 0 are written as truncated JSON), then reads it
+    // back in PERMISSIVE mode with a corrupt-record column and audits
+    // the partition: every line accounted for, corrupt lines counted,
+    // valid-row aggregates unpolluted. Corrupt rows come in two shapes
+    // (PropertySpec pins both): structurally broken lines parse to
+    // all-null data fields, while well-formed lines with a type
+    // mismatch keep PARTIAL results (the other fields survive) — so
+    // validity is judged on `_corrupt_record IS NULL`, never on a data
+    // field being non-null. Per-line work only — corrupt handling adds
+    // no shuffle and scales with the scan.
+    "s12_corrupt_ndjson" -> ((s, d) => {
+      val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
+      val out = tmp(s"graft_s12_dirty_json_$tag")
+      Tables.documents(s, d)
+        .select(when(col("doc_id") % 7 === 0,
+            concat(lit("{\"doc_id\": "), col("doc_id").cast(StringType),
+              lit(", \"lang\": \"")))
+          .otherwise(to_json(struct(col("doc_id"), col("lang"), col("n_chars"))))
+          .as("value"))
+        .write.mode("overwrite").text(out)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("n_chars", LongType),
+        StructField("_corrupt_record", StringType)))
+      val ok = col("_corrupt_record").isNull
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+        .agg(count(lit(1)).as("n_lines"),
+          count(col("_corrupt_record")).as("n_corrupt"),
+          count(when(ok, 1)).as("n_valid"),
+          sum(when(ok, col("n_chars"))).as("valid_chars"),
+          countDistinct(when(ok, col("lang"))).as("n_langs"))
+    }),
+
     // S7: PGN text sink on the sample (golden-file spec owns the exact
     // bytes; here the written dir is re-read and game blocks counted).
     "s7_pgn_sink" -> ((s, _) => {
@@ -286,6 +326,18 @@ object Ingest {
          |  ${sqlDsum("l_extendedprice")} AS total
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          |GROUP BY o_orderpriority""".stripMargin,
+
+    // s12: the oracle recomputes the audit from the CLEAN table — the
+    // dirty-line set is deterministic (doc_id % 7), so agreement means
+    // the PERMISSIVE reader quarantined exactly the corrupted lines.
+    "s12_corrupt_ndjson" ->
+      """SELECT COUNT(*) AS n_lines,
+        |  COUNT(*) FILTER (WHERE doc_id % 7 = 0) AS n_corrupt,
+        |  COUNT(*) FILTER (WHERE doc_id % 7 <> 0) AS n_valid,
+        |  CAST(SUM(n_chars) FILTER (WHERE doc_id % 7 <> 0) AS BIGINT)
+        |    AS valid_chars,
+        |  COUNT(DISTINCT lang) FILTER (WHERE doc_id % 7 <> 0) AS n_langs
+        |FROM documents""".stripMargin,
 
     "s7b_pgn_roundtrip" ->
       """SELECT * FROM (VALUES

@@ -80,6 +80,51 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("NGramHash: every occurrence kept in order; sort∘dedup at k=3 == ShingleHash") {
+    import spark.implicits._
+    import graft.functions.ShingleHash
+    val cases = Seq(
+      Seq("a", "b", "c", "d", "e"),
+      Seq("a", "b", "a", "b", "a", "b"),   // repeated windows must ALL appear
+      Seq("x", "y"),                        // under k -> empty
+      Seq("w", "w", "w", "w"),
+      Seq("t1", "t2", "t3", "t1", "t2", "t3", "t1"))
+    for (c <- cases; k <- Seq(1, 3, 5)) {
+      val got = Seq(c).toDF("toks")
+        .select(ShingleHash.ngramHashes(col("toks"), k).as("hs"))
+        .head().getSeq[Long](0)
+      val expectN = math.max(c.length - k + 1, 0)
+      assert(got.length === expectN, s"case $c k=$k")
+      // equal windows hash equal; distinct windows hash distinct (no
+      // collision on these tiny vocabularies)
+      val wins = if (c.length < k) Seq.empty[String]
+                 else c.sliding(k).map(_.mkString(" ")).toSeq
+      assert(wins.zip(got).groupBy(_._1).values
+        .forall(g => g.map(_._2).distinct.size == 1), s"case $c k=$k: not a function")
+      assert(got.distinct.length === wins.distinct.length, s"case $c k=$k: collision")
+      if (k == 3) {
+        val shingle = Seq(c).toDF("toks")
+          .select(ShingleHash.shingleHashes(col("toks")).as("hs"))
+          .head().getSeq[Long](0)
+        assert(got.distinct.sorted === shingle, s"case $c: k=3 chain differs")
+      }
+    }
+  }
+
+  test("NGramHash: interpreted eval matches codegen path") {
+    import spark.implicits._
+    import graft.functions.ShingleHash
+    val toks = Seq("alpha", "beta", "gamma", "beta", "alpha")
+    val codegen = Seq(toks).toDF("toks")
+      .select(ShingleHash.ngramHashes(col("toks"), 2)).head().getSeq[Long](0)
+    val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      toks.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray)
+    val evaled = graft.functions.NGramHash(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(lit(1)), 2)
+      .nullSafeEval(arr).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(codegen === evaled.toLongArray().toSeq)
+  }
+
   test("ShingleHash: interpreted eval matches codegen path") {
     import spark.implicits._
     import graft.functions.ShingleHash

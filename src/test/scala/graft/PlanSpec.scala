@@ -239,6 +239,20 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("partial_count"), p.take(3000))
   }
 
+  test("l14 dup-passage: two-level partial aggregation, no Window on the gram key") {
+    // same skew law as the l2c/l2d df stage: a hot passage must collapse
+    // map-side (partial_count / partial_sum), never fan into a Window —
+    // one viral boilerplate gram would otherwise pin one task
+    val df = graft.operators.TextAnalysis
+      .queries("l14_dup_passage")(spark, sf("sf0.001"))
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      p.take(3000))
+    assert(p.contains("partial_sum") || p.contains("partial sum"), p.take(3000))
+  }
+
   test("l6 top-k per source plans the partial TopKTerms aggregate, no window") {
     // vocab grows with corpus (Heaps' law): the rank-filter window form
     // sorted each source's full vocabulary on one task; the k-bounded

@@ -184,6 +184,83 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("l14 dup-passage counts ≡ brute force on random corpora (incl. hot passage)") {
+    import spark.implicits._
+    for (seed <- 1L to 3L) {
+      // small vocab + a planted passage shared by many docs + a doc that
+      // repeats its own passage — the within-doc duplication case
+      val hot = "p q r s t"
+      val base = sample(Gen.listOfN(30, docGen), seed)
+      val texts = base.zipWithIndex.map {
+        case (t, i) if i % 3 == 0 => s"$t $hot"      // hot passage in ~1/3 of docs
+        case (t, _) => t
+      } :+ s"$hot $hot $hot"                          // self-repeating doc
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val k = 5
+      val got = graft.operators.TextAnalysis.dupPassage(docs, k)
+        .orderBy("doc_id")
+        .select($"doc_id", $"n_grams", $"dup_grams")
+        .as[(Long, Long, Long)].collect().toSeq
+      // brute force over gram strings
+      val grams = texts.zipWithIndex.flatMap { case (t, i) =>
+        val tk = t.split(" ")
+        if (tk.length < k) Seq.empty
+        else tk.sliding(k).map(w => (i.toLong, w.mkString(" "))).toSeq
+      }
+      val total = grams.groupBy(_._2).view.mapValues(_.size).toMap
+      val want = grams.groupBy(_._1).map { case (id, gs) =>
+        (id, gs.size.toLong, gs.count(g => total(g._2) >= 2).toLong)
+      }.toSeq.sortBy(_._1)
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
+  test("m13 split is deterministic, exhaustive, and ~80/10/10") {
+    val q = graft.operators.PipelineOps.queries("m13_split")
+    val a = q(spark, sf("sf0.001")).collect()
+    val b = q(spark, sf("sf0.001")).collect()
+    assert(a.map(_.toString).sorted.toSeq === b.map(_.toString).sorted.toSeq)
+    val bydoc = a.groupBy(_.getLong(0))
+    assert(bydoc.forall(_._2.length == 1), "a doc in two splits")
+    val counts = a.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(counts.keySet === Set("train", "val", "test"), counts.toString)
+    val n = a.length.toDouble
+    assert(counts("train") / n > 0.7 && counts("train") / n < 0.9, counts.toString)
+    assert(counts("val") / n < 0.2 && counts("test") / n < 0.2, counts.toString)
+  }
+
+  test("s12 pin: PERMISSIVE corrupt-row shapes (why ok = corrupt-is-null)") {
+    // Two distinct corrupt shapes exist and BOTH must set the corrupt
+    // column: a structurally broken line (unterminated string — nothing
+    // parseable, all data fields null) and a well-formed line with a
+    // type mismatch (Spark keeps PARTIAL results: lang survives while
+    // doc_id is null). The second shape is why s12 judges validity on
+    // `_corrupt_record IS NULL`, never on a data field being non-null.
+    val dir = java.nio.file.Files.createTempDirectory("prop_s12").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "part.json"),
+      """{"doc_id": 1, "lang": "en"}
+        |{"doc_id": 2, "lang": "
+        |{"doc_id": "notanumber", "lang": "fr"}
+        |""".stripMargin)
+    val got = spark.read
+      .schema("doc_id BIGINT, lang STRING, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+    val rows = got.collect().map(r =>
+      (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)))).toSeq
+    assert(rows.length === 3)
+    assert(rows.contains((Some(1L), Some("en"), None)))
+    val corrupt = rows.filter(_._3.nonEmpty)
+    assert(corrupt.length === 2, rows.toString)
+    // truncated line: no data fields survive
+    assert(corrupt.exists(r => r._1.isEmpty && r._2.isEmpty), rows.toString)
+    // type-mismatch line: PARTIAL result — lang parsed, row still corrupt
+    assert(corrupt.exists(r => r._2 === Some("fr")), rows.toString)
+  }
+
   test("NDJSON round-trip law (S5): write∘read = id on flat rows") {
     import spark.implicits._
     for (seed <- 1L to 3L) {
