@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -98,9 +98,72 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Exact set-intersection SIZE of two ARRAY<BIGINT> hash sets — the
+  * dedup family's verify primitive. Replaces `size(array_intersect(a,b))`
+  * on the hot pair-verify path: `ArrayIntersect` allocates a hash set
+  * per ROW (boxed for the generic path) and, because the comparison is
+  * written into a join condition as `inter / (n1+n2-inter) >= t`, the
+  * whole intersect is evaluated TWICE per candidate pair (Catalyst does
+  * not CSE inside join conditions). This kernel copies both sides to
+  * primitive long arrays, sorts only if not already ascending (the
+  * [[TokenHashes]]/[[ShingleHash]] outputs are pre-sorted; df-ordered
+  * `kept` arrays pay one ~128-element sort), and two-pointer-merges —
+  * zero boxing, zero hash set, one evaluation producing the count that
+  * both sides of the threshold inequality reuse.
+  *
+  * Set semantics: inputs are DISTINCT by construction everywhere this is
+  * used (they are set encodings); on multiset inputs this counts
+  * min-multiplicity matches where `array_intersect` would count distinct.
+  */
+case class IntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"intersect_count expects two ARRAY<BIGINT>, got $other")
+    }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    TokenHashKernels.intersectCount(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.TokenHashKernels.intersectCount($a, $b);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object TokenHashKernels {
 
   private final val Seed = 42L // Spark's xxhash64 default seed
+
+  /** |a ∩ b| of two long-array sets; see [[IntersectCount]]. */
+  def intersectCount(a: ArrayData, b: ArrayData): Int = {
+    val x = a.toLongArray(); val y = b.toLongArray()
+    sortIfNeeded(x); sortIfNeeded(y)
+    var i = 0; var j = 0; var c = 0
+    while (i < x.length && j < y.length) {
+      val xi = x(i); val yj = y(j)
+      if (xi < yj) i += 1
+      else if (xi > yj) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
+  private def sortIfNeeded(x: Array[Long]): Unit = {
+    var i = 1
+    while (i < x.length && x(i - 1) <= x(i)) i += 1
+    if (i < x.length) java.util.Arrays.sort(x)
+  }
+
+  /** Column form of [[IntersectCount]]. */
+  def intersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      IntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Sorted distinct XXH64(seed 42) hashes of the tokens. */
   def distinctHashes(toks: ArrayData): Array[Long] = {

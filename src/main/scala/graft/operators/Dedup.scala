@@ -192,7 +192,8 @@ object Dedup {
       .select(col("d1"), col("d2"), col("toks").as("k1"))
       .join(dim, col("d2") === dim("doc_id"))
       .select(col("d1"), col("d2"),
-        size(array_intersect(col("k1"), col("toks"))).cast(DoubleType).as("inter"),
+        graft.functions.TokenHashKernels.intersectCount(col("k1"), col("toks"))
+          .cast(DoubleType).as("inter"),
         size(col("k1")).as("n1"), size(col("toks")).as("n2"))
       .withColumn("jaccard", col("inter") / (col("n1") + col("n2") - col("inter")))
     // (a) SET-exact clustering: key = hash of the full sorted token-hash
@@ -760,7 +761,8 @@ object Dedup {
       .select(col("d1"), col("d2"), col("n_sh").as("n1"), col("kept").as("k1"))
       .join(dim, col("d2") === dim("doc_id"))
       .select(col("d1"), col("d2"),
-        size(array_intersect(col("k1"), col("kept"))).as("inter"),
+        graft.functions.TokenHashKernels.intersectCount(col("k1"), col("kept"))
+          .as("inter"),
         col("n1"), col("n_sh").as("n2"))
       .select(col("d1"), col("d2"),
         (col("inter").cast(DoubleType) / (col("n1") + col("n2") - col("inter")))
@@ -858,7 +860,8 @@ object Dedup {
       .join(dim, col("d2") === dim("doc_id"))
       .filter(col("nk") >= col("nk1") * t - lit(1e-9))
       .select(col("d1"), col("d2"), col("nk1"),
-        size(array_intersect(col("k1"), col("kept"))).as("inter"))
+        graft.functions.TokenHashKernels.intersectCount(col("k1"), col("kept"))
+          .as("inter"))
       .filter(col("inter") >= col("nk1") * t - lit(1e-9))
       .select(col("d1"), col("d2"),
         round(col("inter").cast(DoubleType) / col("nk1"), 6).as("containment"))
@@ -926,7 +929,7 @@ object Dedup {
     val pfx = docSets.select(col("doc_id"), col("nk"),
       posexplode(col("pfx")).as(Seq("pos0", "tok")))
     val tt = t / (1 + t)
-    val cand = pfx.select(col("tok"), col("doc_id").as("d1"),
+    val candPairs = pfx.select(col("tok"), col("doc_id").as("d1"),
         col("nk").as("nk1"), (col("pos0") + 1).as("p1"))
       .join(hint(pfx.select(col("tok"), col("doc_id").as("d2"),
         col("nk").as("nk2"), (col("pos0") + 1).as("p2"))), "tok")
@@ -935,14 +938,30 @@ object Dedup {
               col("nk2") >= lit(t) * col("nk1") - lit(1e-9))
       .filter(lit(1) + least(col("nk1") - col("p1"), col("nk2") - col("p2"))
         >= lit(tt) * (col("nk1") + col("nk2")) - lit(1e-9))
-      .select(col("d1"), col("d2")).distinct()
+      .select(col("d1"), col("d2"))
+    // Verify width pin: on the broadcast path the exact-intersect stage
+    // runs in the SAME stage as the candidate-distinct final aggregate,
+    // so it inherits that exchange's AQE-coalesced width — and AQE
+    // coalesces by BYTES while verify cost is CPU per pair (sf0.1: the
+    // ~4 MB id-pair shuffle coalesced to 3 tasks burning 13-26 s of
+    // CPU). Pinning must happen ON the distinct's exchange itself — a
+    // repartition AFTER the distinct has the identical partitioning and
+    // EnsureRequirements elides it. REPARTITION_BY_NUM is exempt from
+    // coalescing (the l3b bucket-join pattern); the distinct reuses it
+    // with no extra exchange. On the large-corpus path the dim joins
+    // shuffle by key themselves, so nothing is pinned there.
+    val candD = candPairs.distinct()
+    val cand = if (smallCorpus)
+        candD.repartition(s.sparkContext.defaultParallelism, col("d1"))
+      else candD
     val dim = hint(docSets.select(col("doc_id"), col("nk"), col("kept")))
     val removed = cand
       .join(dim, col("d1") === dim("doc_id"))
       .select(col("d1"), col("d2"), col("nk").as("n1"), col("kept").as("k1"))
       .join(dim, col("d2") === dim("doc_id"))
       .select(col("d2"),
-        size(array_intersect(col("k1"), col("kept"))).cast(DoubleType).as("inter"),
+        graft.functions.TokenHashKernels.intersectCount(col("k1"), col("kept"))
+          .cast(DoubleType).as("inter"),
         col("n1"), col("nk").as("n2"))
       .filter(col("inter") / (col("n1") + col("n2") - col("inter")) >= t)
       .select(col("d2").as("doc_id")).distinct()

@@ -139,6 +139,23 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(codegen === evaled.toLongArray().toSeq)
   }
 
+  test("IntersectCount ≡ size(array_intersect) on distinct sets, any input order") {
+    import spark.implicits._
+    import graft.functions.TokenHashKernels
+    val rnd = new scala.util.Random(7)
+    val cases = (1 to 20).map { _ =>
+      val universe = (1 to 40).map(_ => rnd.nextLong() % 50).distinct
+      val a = rnd.shuffle(universe).take(rnd.nextInt(universe.size + 1))
+      val b = rnd.shuffle(universe).take(rnd.nextInt(universe.size + 1))
+      (a, b)
+    } :+ ((Seq.empty[Long], Seq(1L, 2L))) :+ ((Seq(3L), Seq.empty[Long]))
+    val df = cases.toDF("a", "b")
+    val got = df.select(
+      TokenHashKernels.intersectCount(col("a"), col("b")).as("k"),
+      size(array_intersect(col("a"), col("b"))).as("ref")).collect()
+    got.foreach(r => assert(r.getInt(0) === r.getInt(1), r.toString))
+  }
+
   test("crc32/hash built-ins: known vectors (F9 non-oracle part)") {
     import spark.implicits._
     val r = Seq("hello").toDF("s").select(
