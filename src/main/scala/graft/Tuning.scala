@@ -15,6 +15,14 @@ object Tuning {
     // size estimates; coalescing keeps reducer counts matched to data.
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    // Coalescing floor: AQE merges reduce partitions by BYTES, but the
+    // engine's expensive reduce stages are CPU-dense and byte-light
+    // (TopK buffer merges, pair verifies over broadcast dims: ~100 KB of
+    // ids standing for seconds of CPU). The 1 MB default floor collapsed
+    // those to 2-3 tasks (measured: l3b's final top-k merge, l2e's
+    // verify). 64 KB keeps parallelismFirst's total/parallelism target
+    // effective for them; genuinely tiny exchanges still coalesce.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "65536",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
     // A skewed partition is split when 5× the median and > 256 MB —
     // tighter than default so a hot minhash bucket or hot user_id splits
