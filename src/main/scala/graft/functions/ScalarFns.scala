@@ -139,6 +139,26 @@ object ScalarFns {
         col("o_orderkey").cast(DoubleType).as("key_dbl"),
         concat(lit("19"), lit("95")).cast(IntegerType).as("str_int"),
         lit("1995-06-17 12:30:00").cast(TimestampType).cast(StringType).as("ts_roundtrip"))
+    }),
+
+    // F11: URL functions — the web-corpus provenance family (host for
+    // per-domain caps and dedup scoping, path/query-param extraction for
+    // filtering). URLs are synthesized deterministically from customer
+    // rows so both engines parse identical strings; the engine side is
+    // Spark's codegen'd parse_url, the oracle re-derives the parts with
+    // anchored regexps. Per-row in the scan projection — zero shuffle.
+    "f11_url_fns" -> ((s, d) => {
+      val url = concat(lit("https://"),
+        regexp_replace(lower(col("c_mktsegment")), " ", ""),
+        lit(".example.com/u/"),
+        regexp_replace(lower(col("c_name")), "[^a-z0-9]+", "-"),
+        lit("?key="), col("c_custkey"), lit("&page=2"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), url.as("url"))
+        .select(col("c_custkey"), col("url"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY', 'key')").as("qkey"))
     })
   )
 
@@ -240,6 +260,21 @@ object ScalarFns {
         |  CAST(o_orderkey AS DOUBLE) AS key_dbl,
         |  CAST('19' || '95' AS INT) AS str_int,
         |  CAST(CAST('1995-06-17 12:30:00' AS TIMESTAMP) AS VARCHAR) AS ts_roundtrip
-        |FROM orders""".stripMargin
+        |FROM orders""".stripMargin,
+
+    "f11_url_fns" ->
+      """WITH u AS (
+        |  SELECT c_custkey,
+        |    'https://' || regexp_replace(lower(c_mktsegment), ' ', '', 'g')
+        |      || '.example.com/u/'
+        |      || regexp_replace(lower(c_name), '[^a-z0-9]+', '-', 'g')
+        |      || '?key=' || c_custkey || '&page=2' AS url
+        |  FROM customer
+        |)
+        |SELECT c_custkey, url,
+        |  regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+        |  regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+        |  regexp_extract(url, '[?&]key=([^&#]*)', 1) AS qkey
+        |FROM u""".stripMargin
   )
 }
