@@ -106,7 +106,46 @@ object Multimodal {
     // L8b: stub decode features through the typed mapPartitions path.
     // The byte-derived features are mirrored exactly in the oracle SQL,
     // so even the stub is correctness-checked end to end.
-    "l8b_multimodal_decode" -> ((s, d) => decodeFeatures(s, d).toDF())
+    "l8b_multimodal_decode" -> ((s, d) => decodeFeatures(s, d).toDF()),
+
+    // L8c: RESIZE through the typed partition-batched path — the stub
+    // scales every payload to a fixed 16×8 "thumbnail" (128 bytes,
+    // cyclically sampled); schema, batch iteration, and output size
+    // accounting are the real pipeline, and the oracle reconstructs the
+    // exact resized bytes so even the stub kernel is hash-checked.
+    "l8c_multimodal_resize" -> ((s, d) => {
+      import s.implicits._
+      mediaTable(s, d)
+        .select(col("doc_id"), col("payload"), col("meta.format").as("format"),
+          col("meta.width").as("width"), col("meta.height").as("height"))
+        .as[MediaRow]
+        .mapPartitions(rows => rows.map(r => (r.doc_id, resizeStub(r.payload, 16, 8))))
+        .toDF("doc_id", "resized")
+        .select(col("doc_id"),
+          length(col("resized")).as("out_len"),
+          md5(col("resized")).as("out_md5"))
+    }),
+
+    // L8d: FRAME SAMPLING — the video-shaped op: split the payload into
+    // fixed 32-byte pseudo-frames, keep every 3rd, account for kept
+    // frames/bytes and hash the kept stream. Same typed mapPartitions
+    // plumbing; oracle rebuilds the kept byte ranges with substring
+    // arithmetic (ASCII corpus ⇒ chars ≡ bytes, the l10 precedent).
+    "l8d_multimodal_framesample" -> ((s, d) => {
+      import s.implicits._
+      mediaTable(s, d)
+        .select(col("doc_id"), col("payload"), col("meta.format").as("format"),
+          col("meta.width").as("width"), col("meta.height").as("height"))
+        .as[MediaRow]
+        .mapPartitions(rows => rows.map { r =>
+          val frames = frameSampleStub(r.payload, 32, 3)
+          (r.doc_id, frames.length, frames.toArray.flatten)
+        })
+        .toDF("doc_id", "n_frames", "kept")
+        .select(col("doc_id"), col("n_frames"),
+          length(col("kept")).as("bytes_kept"),
+          md5(col("kept")).as("kept_md5"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -128,6 +167,31 @@ object Multimodal {
         |      list_transform(range(1, strlen(text) + 1),
         |        i -> CAST(ascii(substring(text, CAST(i AS INT), 1)) AS HUGEINT))),
         |    (a, b) -> (a * 131 + b) % 1000000007) AS BIGINT) AS checksum
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "l8c_multimodal_resize" ->
+      """SELECT doc_id,
+        |  CAST(128 AS INT) AS out_len,
+        |  md5(array_to_string(
+        |    list_transform(range(0, 128),
+        |      i -> substring(text, CAST(i % strlen(text) AS INT) + 1, 1)),
+        |    '')) AS out_md5
+        |FROM documents""".stripMargin,
+
+    "l8d_multimodal_framesample" ->
+      """WITH m AS (
+        |  SELECT doc_id, text, strlen(text) AS n FROM documents
+        |), k AS (
+        |  SELECT doc_id, CAST(ceil(ceil(n / 32.0) / 3.0) AS INT) AS n_frames,
+        |    array_to_string(
+        |      list_transform(range(0, CAST(ceil(ceil(n / 32.0) / 3.0) AS BIGINT)),
+        |        f -> substring(text, CAST(f * 96 AS INT) + 1, 32)),
+        |      '') AS kept
+        |  FROM m
+        |)
+        |SELECT doc_id, n_frames,
+        |  CAST(strlen(kept) AS INT) AS bytes_kept,
+        |  md5(kept) AS kept_md5
+        |FROM k""".stripMargin
   )
 }
