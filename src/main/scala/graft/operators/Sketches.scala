@@ -42,6 +42,24 @@ object Sketches {
       Seq("click", "view", "purchase", "signup", "error")
         .map(t => (t, cms.estimateCount(t)))
         .toDF("event_type", "est_count")
+    }),
+
+    // K3: MERGEABLE distinct-count sketches (DataSketches HLL via
+    // Spark's hll_sketch_agg/hll_union_agg) — the property that makes
+    // sketches a 100 TB primitive: per-partition/per-day sketches are
+    // small persistable BINARY values, and ANY date-range distinct-user
+    // question is answered later by merging them, never rescanning the
+    // fact data. The query materializes per-(event_type, day) sketches,
+    // then answers the per-type question by UNION — exactly the rollup
+    // a warehouse would persist. SketchSpec pins the algebra: merged
+    // estimate ≡ whole-data estimate, and within HLL error of exact.
+    "k3_hll_merge" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      daily.groupBy(col("event_type"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")
+          .as("est_users"))
     })
   )
 

@@ -35,6 +35,29 @@ class SketchSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("k3 HLL merge algebra: union of daily sketches ≡ whole-data sketch, near exact") {
+    val d = sf("sf0.001")
+    val merged = graft.operators.Sketches.queries("k3_hll_merge")(spark, d)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val whole = Tables.events(spark, d)
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged.keySet === exact.keySet)
+    for ((k, m) <- merged) {
+      // mergeability: building daily and unioning sees the same values
+      // as one whole-data sketch — identical estimate
+      assert(m === whole(k), s"$k merged=$m whole=${whole(k)}")
+      // accuracy: within HLL(lgK=12) error of the exact distinct
+      assert(math.abs(m - exact(k)) <= 0.05 * exact(k) + 1,
+        s"$k est=$m exact=${exact(k)}")
+    }
+  }
+
   test("Tuning.recommended applies cleanly to a session builder") {
     // shared session exists; just validate every key/value is accepted
     // by the conf machinery (no typos / removed confs)
