@@ -251,6 +251,44 @@ object StreamCheck {
       }
     }
 
+    scenario("t12_corrupt_quarantine") {
+      // s12's streaming twin: a 24/7 NDJSON ingest must quarantine
+      // malformed lines, not die and not silently drop them. PERMISSIVE
+      // file-stream parse with a corrupt column; a running aggregate
+      // splits valid vs quarantined counts; a second feed adds more of
+      // both and the totals must track exactly.
+      val dir = java.nio.file.Files.createTempDirectory("sc_t12_in")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_corrupt_record",
+          org.apache.spark.sql.types.StringType)))
+      def write(name: String, lines: Seq[String]): Unit =
+        java.nio.file.Files.write(dir.resolve(name), lines.mkString("\n").getBytes)
+      val parsed = spark.readStream.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(dir.toString)
+      // the aggregate must touch a data column too: Spark disallows
+      // queries whose referenced columns are ONLY the corrupt column
+      val audit = parsed
+        .groupBy(col("_corrupt_record").isNotNull.as("quarantined"))
+        .agg(count(lit(1)).as("n"), count(col("doc_id")).as("n_with_id"))
+      val (rows, batches) = run(audit, "sc_t12", "complete", Seq(
+        () => write("a.ndjson", Seq(
+          """{"doc_id": 1, "lang": "en"}""",
+          """{"doc_id": 2, "lang": "fr""",       // truncated → quarantined
+          """{"doc_id": 3, "lang": "de"}""")),
+        () => write("b.ndjson", Seq(
+          """not json at all""",                  // → quarantined
+          """{"doc_id": 4, "lang": "es"}"""))))
+      val got = spark.table("sc_t12").collect()
+        .map(r => (r.getBoolean(0), (r.getLong(1), r.getLong(2)))).toMap
+      Res(got == Map(false -> (3L, 3L), true -> (2L, 0L)), rows, batches)
+    }
+
     scenario("t10_stream_static_enrich") {
       val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
       val in = MemoryStream[Ev](spark)
