@@ -75,7 +75,7 @@ object SkewCheck {
     // range join, and the sharded prefix sums (hot source)
     val names = Seq("m1_sessionize", "w2_lag_lead", "w3_running_sum",
       "w4_range_frame", "l2c_shingle_jaccard", "l2d_containment",
-      "l2_minhash_dedup", "l2e_jaccard_dedup",
+      "l2_minhash_dedup", "l2e_jaccard_dedup", "l14_dup_passage",
       "j7_range_join", "m4_token_budget", "m9_sequence_pack",
       "m10_mixture_sample", "m11_global_shuffle")
 
