@@ -54,6 +54,42 @@ object PipelineOps {
     k
   }
 
+  /** 32-bit Z-value: bit-interleave of two dims already normalized to
+    * [0, 65535]. Pure bit-arithmetic Column tree — codegen'd, no UDF.
+    * Locality property: rows close in z are close in BOTH dims, so a
+    * z-sorted layout gives every parquet row group a tight min/max box
+    * in both (the m14 layout + the PlanSpec bytes-read proof).
+    */
+  def zValue16(x: Column, y: Column): Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Z-order layout write: normalize both LONG dims by min/max (one tiny
+    * agg job — the plan-stats-gate class), interleave to a z-value,
+    * range-partition + locally sort by it, drop it, write parquet.
+    * Exactly one shuffle at any scale; `partitions` follows the same
+    * story as s11Buckets (fixture 16; at 100 TB derive from bytes /
+    * target-row-group size).
+    */
+  def zOrderWrite(df: DataFrame, dimX: String, dimY: String, path: String,
+      partitions: Int = 16): Unit = {
+    val b = df.agg(min(col(dimX)), max(col(dimX)),
+      min(col(dimY)), max(col(dimY))).head()
+    val (x0, x1, y0, y1) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    def norm(c: Column, lo: Long, hi: Long): Column =
+      ((c - lit(lo)).cast(DoubleType) * 65535.0 /
+        math.max(hi - lo, 1L).toDouble).cast(LongType)
+    df.withColumn("__z",
+        zValue16(norm(col(dimX), x0, x1), norm(col(dimY), y0, y1)))
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** First level, generic orderings (m4's length-desc, m9's doc order):
     * range-repartition on (part, ord) and stamp the physical partition
     * id as the shard — contiguous under the ordering by construction.
@@ -401,6 +437,43 @@ object PipelineOps {
       out
     }),
 
+    // M14: Z-ORDER layout — multi-dimensional clustering for scan
+    // pruning, the lakehouse technique for fact tables queried by MORE
+    // THAN ONE dimension (events by user AND by time): a sort by one
+    // column prunes row groups only for predicates on that column, while
+    // interleaving the bits of both normalized dims into one z-value and
+    // range-partitioning + sorting by it gives every row group a TIGHT
+    // min/max box in BOTH dims — so parquet row-group stats skip most of
+    // the table for any 2-d box predicate. The z-value is a pure
+    // bit-arithmetic Column expression (codegen'd, no UDF), normalization
+    // bounds come from one tiny min/max agg job (the plan-stats-gate
+    // class), and the layout write is repartitionByRange + local sort —
+    // exactly 1 shuffle at any scale. The query writes the layout, then
+    // answers a quarter×quarter box predicate from the re-read; the
+    // oracle recomputes the same box from the source table, so the
+    // round-trip is hash-checked. PlanSpec additionally measures the
+    // POINT of the exercise: the same box scan reads a fraction of the
+    // bytes a linear layout reads.
+    "m14_zorder_layout" -> ((s, d) => {
+      val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
+      val out = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_m14_zorder_$tag").toString
+      zOrderWrite(
+        Tables.events(s, d).select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value")),
+        "user_id", "ts_us", out)
+      val b = Tables.events(s, d)
+        .agg(min(col("user_id")), max(col("user_id")),
+          min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      val (u0, u1, t0, t1) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      s.read.parquet(out)
+        .filter(col("user_id").between(u0, u0 + (u1 - u0) / 4) &&
+                col("ts_us").between(t0, t0 + (t1 - t0) / 4))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          graft.Exprs.dsum(col("value")).as("sum_value"))
+    }),
+
     // M13: deterministic TRAIN/VAL/TEST split — the dataset-versioning
     // step every training run needs: assignment is a pure function of
     // (salt, doc_id) (m3/m11's content-addressed family), so it is
@@ -455,6 +528,18 @@ object PipelineOps {
       """SELECT doc_id, lang, source FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
         |      < CASE WHEN lang = 'en' THEN '6666' ELSE '3333' END""".stripMargin,
+
+    "m14_zorder_layout" ->
+      s"""WITH b AS (
+        |  SELECT min(user_id) AS u0, max(user_id) AS u1,
+        |         min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+        |  FROM events
+        |)
+        |SELECT COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+        |  ${graft.Exprs.sqlDsum("value")} AS sum_value
+        |FROM events, b
+        |WHERE user_id BETWEEN u0 AND u0 + (u1 - u0) // 4
+        |  AND epoch_us(ts) BETWEEN t0 AND t0 + (t1 - t0) // 4""".stripMargin,
 
     "m13_split" ->
       """SELECT doc_id, lang,

@@ -253,6 +253,46 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("partial_sum") || p.contains("partial sum"), p.take(3000))
   }
 
+  test("m14 z-order layout: 2-d box scan reads a fraction of a linear layout's rows") {
+    // the POINT of z-ordering: row-group min/max stats are tight in BOTH
+    // dims, so a 2-d box predicate skips most groups — a linear layout's
+    // groups each span the full value range and nothing skips. Scan-node
+    // numOutputRows counts rows emitted from SURVIVING row groups.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.functions._
+    val d = sf("sf0.01")
+    val ev = Tables.events(spark, d).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("value"))
+    val zdir = java.nio.file.Files.createTempDirectory("plan_m14_z").toString
+    val ldir = java.nio.file.Files.createTempDirectory("plan_m14_lin").toString
+    graft.operators.PipelineOps.zOrderWrite(ev, "user_id", "ts_us", zdir)
+    ev.repartition(16).write.mode("overwrite").parquet(ldir)
+    val b = ev.agg(min(col("user_id")), max(col("user_id")),
+      min(col("ts_us")), max(col("ts_us"))).head()
+    val (u0, u1, t0, t1) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    def scanRows(dir: String): Long = {
+      val df = spark.read.parquet(dir)
+        .filter(col("user_id").between(u0, u0 + (u1 - u0) / 4) &&
+                col("ts_us").between(t0, t0 + (t1 - t0) / 4))
+        .agg(count(lit(1)))
+      df.collect()
+      scans(df.queryExecution.executedPlan)
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    val (zRows, linRows) = (scanRows(zdir), scanRows(ldir))
+    assert(zRows > 0, "box matched nothing — bounds wrong")
+    assert(zRows * 3 <= linRows,
+      s"z-order read $zRows rows vs linear $linRows — no pruning advantage")
+  }
+
   test("l6 top-k per source plans the partial TopKTerms aggregate, no window") {
     // vocab grows with corpus (Heaps' law): the rank-filter window form
     // sorted each source's full vocabulary on one task; the k-bounded
