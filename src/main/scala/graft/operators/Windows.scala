@@ -89,6 +89,25 @@ object Windows {
         last(col("o_orderkey")).over(wRun).as("last_key"))
     }),
 
+    // W7: native batch SESSION_WINDOW — the same 30-min-gap
+    // sessionization m1 builds from lag+cumsum, expressed with Spark's
+    // session_window aggregate key (one hash aggregate whose key merges
+    // overlapping [event, event+gap) intervals — no window function, no
+    // per-user task serialization at scale). Semantics note pinned by
+    // the oracle: the window is half-open, so a gap of EXACTLY 30 min
+    // starts a new session (>=), where m1's lag-form breaks only on
+    // strictly-greater — both conventions are valid; each query's
+    // oracle carries its own.
+    "w7_session_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("session_start_us"),
+          col("n_events"))
+    }),
+
     // W5: top-k per group via rank filter (the distributed top-k idiom).
     "w5_topk_per_group" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -131,6 +150,26 @@ object Windows {
         |        CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
         |             RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // w7: lag+cumsum reference formulation; break on gap >= 30 min (the
+    // half-open session_window convention — see the query's note)
+    "w7_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us FROM events
+        |), f AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN LAG(us) OVER w IS NULL
+        |         OR us - LAG(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us)
+        |), g AS (
+        |  SELECT user_id, us,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM f
+        |)
+        |SELECT user_id, MIN(us) AS session_start_us, COUNT(*) AS n_events
+        |FROM g GROUP BY user_id, sid""".stripMargin,
 
     "w6_analytic_extras" ->
       """SELECT o_custkey, o_orderkey,
