@@ -141,6 +141,42 @@ object TextAnalysis {
           count(lit(1)).as("n_toks"))
     }),
 
+    // L15: interpolated BIGRAM-LM mean log-prob — the next fluency rung
+    // above l5c's unigram score (catches scrambled-word gibberish that
+    // unigram statistics cannot: every token common, every transition
+    // impossible). P(c|p) = λ·bf(p,c)/cf(p) + (1−λ)·uf(c)/N, λ=0.7;
+    // per-doc mean over bigram positions. Bigrams materialize INSIDE the
+    // scan projection (zip_with over two slices — no self-join, no
+    // per-position shuffle); counts are two partial-agg hash aggregates.
+    // Unlike l5c, the count-table joins carry NO compile-time broadcast
+    // hint: the bigram vocabulary grows faster than Heaps' law and a
+    // static hint would eventually ship an over-size relation — AQE's
+    // runtime threshold promotes them from MEASURED shuffle sizes
+    // instead (fixture scale: all three promote).
+    "l15_bigram_logprob" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+      val words = t.select(col("doc_id"), explode(col("t")).as("tok"))
+      val uf = words.groupBy(col("tok")).agg(count(lit(1)).as("uf"))
+      val total = uf.agg(sum(col("uf")).as("n"))
+      val big = t.filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("p"), b.as("c")))).as("bg"))
+        .select(col("doc_id"), col("bg.p").as("p"), col("bg.c").as("c"))
+      val bf = big.groupBy(col("p"), col("c")).agg(count(lit(1)).as("bf"))
+      val cf = bf.groupBy(col("p")).agg(sum(col("bf")).as("cf"))
+      big.join(bf, Seq("p", "c")).join(cf, Seq("p"))
+        .join(uf.withColumnRenamed("tok", "c"), Seq("c"))
+        .crossJoin(broadcast(total))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(log(lit(0.7) * col("bf") / col("cf") +
+            lit(0.3) * col("uf") / col("n"))) / count(lit(1)), 6)
+            .as("mean_bigram_logprob"),
+          count(lit(1)).as("n_bigrams"))
+    }),
+
     // L7c: PII redaction — scrub emails and phone-shaped tokens before
     // text enters a training set. The fixture corpus carries no PII, so
     // a deterministic PII-laced suffix is synthesized from doc_id first;
@@ -471,6 +507,32 @@ object TextAnalysis {
         |  round(SUM(ln(CAST(tf AS DOUBLE) / n)) / COUNT(*), 6) AS mean_logprob,
         |  COUNT(*) AS n_toks
         |FROM words JOIN freq USING (tok) CROSS JOIN total
+        |GROUP BY doc_id""".stripMargin,
+
+    "l15_bigram_logprob" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), words AS (
+        |  SELECT doc_id, unnest(t) AS tok FROM t
+        |), uf AS (
+        |  SELECT tok, COUNT(*) AS uf FROM words GROUP BY tok
+        |), total AS (SELECT SUM(uf) AS n FROM uf),
+        |big AS (
+        |  SELECT doc_id, bg.p AS p, bg.c AS c FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |      i -> {'p': t[i], 'c': t[i+1]})) AS bg
+        |    FROM t WHERE len(t) >= 2)
+        |), bf AS (
+        |  SELECT p, c, COUNT(*) AS bf FROM big GROUP BY p, c
+        |), cf AS (
+        |  SELECT p, SUM(bf) AS cf FROM bf GROUP BY p
+        |)
+        |SELECT doc_id,
+        |  round(SUM(ln(0.7 * bf / cf + 0.3 * uf / n)) / COUNT(*), 6)
+        |    AS mean_bigram_logprob,
+        |  COUNT(*) AS n_bigrams
+        |FROM big JOIN bf USING (p, c) JOIN cf USING (p)
+        |  JOIN uf ON uf.tok = big.c CROSS JOIN total
         |GROUP BY doc_id""".stripMargin,
 
     "l7c_pii_redact" ->
