@@ -166,6 +166,22 @@ object Aggregates {
         .groupBy(col("o_orderpriority"))
         .agg(round(graft.functions.GeoMean.column(col("o_totalprice")), 4)
           .as("geo_mean_price"))
+    }),
+
+    // A12: statistical aggregate family — sample stddev/variance and the
+    // two-column moments (correlation, covariance) over the price/
+    // quantity pair. All single-pass partial+final aggregates (Spark's
+    // moment buffers merge associatively), rounded to 4dp before the
+    // cross-engine compare like every floating aggregate.
+    "a12_stats_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+          round(var_samp(col("l_extendedprice")), 4).as("var_price"),
+          round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("corr_pq"),
+          round(covar_samp(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("covar_pq"))
     })
   )
 
@@ -230,6 +246,14 @@ object Aggregates {
       """SELECT event_type,
         |  ROUND(quantile_cont(value, 0.5), 4) AS p50,
         |  ROUND(quantile_cont(value, 0.95), 4) AS p95
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "a12_stats_agg" ->
+      """SELECT l_returnflag,
+        |  ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
+        |  ROUND(var_samp(l_extendedprice), 4) AS var_price,
+        |  ROUND(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+        |  ROUND(covar_samp(l_extendedprice, l_quantity), 4) AS covar_pq
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
   )
 }
