@@ -76,6 +76,7 @@ object SkewCheck {
     val names = Seq("m1_sessionize", "w2_lag_lead", "w3_running_sum",
       "w4_range_frame", "l2c_shingle_jaccard", "l2d_containment",
       "l2_minhash_dedup", "l2e_jaccard_dedup", "l14_dup_passage",
+      "l15_bigram_logprob", "m14_zorder_layout",
       "j7_range_join", "m4_token_budget", "m9_sequence_pack",
       "m10_mixture_sample", "m11_global_shuffle")
 
