@@ -162,6 +162,30 @@ object Joins {
         .select(col("p_id"), col("user_id"), col("c_id"))
     }),
 
+    // J10: as-of join WITH TOLERANCE — the pandas merge_asof(tolerance=)
+    // shape: latest click at-or-before the purchase AND within 1 hour,
+    // else NULL (a stale match is as useless as none for attribution).
+    // Same window-rank formulation as j9 with the band predicate in the
+    // join condition, so the bounded-interval RangeJoinRewrite machinery
+    // applies to the pair generation at scale; the left join keeps
+    // purchases with no in-window click.
+    "j10_asof_tolerance" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+      val w = Window.partitionBy(col("p_id"))
+        .orderBy(col("c_ts").desc_nulls_last, col("c_id").desc_nulls_last)
+      p.join(c,
+          p("user_id") === c("c_user") && c("c_ts") <= p("p_ts") &&
+            c("c_ts") >= p("p_ts") - expr("INTERVAL 1 HOUR"), "left")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("p_id"), col("user_id"), col("c_id"))
+    }),
+
     // J9b: the same as-of join through the native operator stack
     // (LogicalPlan + SparkStrategy + sorted-merge SparkPlan,
     // graft.plans.AsOfJoin) — one exchange per side, no pair blow-up,
@@ -257,6 +281,17 @@ object Joins {
         |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |    ON p.user_id = c.user_id AND c.ts <= p.ts
+        |) WHERE rn = 1""".stripMargin,
+
+    "j10_asof_tolerance" ->
+      """SELECT p_id, user_id, c_id FROM (
+        |  SELECT p.event_id AS p_id, p.user_id, c.event_id AS c_id,
+        |    ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |                       ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id AND c.ts <= p.ts
+        |   AND c.ts >= p.ts - INTERVAL 1 HOUR
         |) WHERE rn = 1""".stripMargin,
 
     "j9_asof_join" ->

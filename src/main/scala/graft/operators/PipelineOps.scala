@@ -474,6 +474,34 @@ object PipelineOps {
           graft.Exprs.dsum(col("value")).as("sum_value"))
     }),
 
+    // M15: SNAPSHOT DIFF — the dataset-versioning audit: given two
+    // versions of a table, emit every added/removed/changed row (the
+    // reproducibility check run before promoting a new training-data
+    // snapshot). The "new" snapshot is synthesized deterministically
+    // from the base (keys %13 removed, %10 price-bumped, %17 re-added
+    // under offset keys) so both engines diff identical inputs. One
+    // full-outer sort-merge join on the key — the exact shape this takes
+    // at any scale; status derives from null-sides and value compare,
+    // and only non-unchanged rows are emitted (diff output stays
+    // proportional to the CHANGE volume, not the table).
+    "m15_snapshot_diff" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+      val snap = base.filter(col("k") % 13 =!= 0)
+        .withColumn("v", when(col("k") % 10 === 0,
+          round(col("v") + 1, 2)).otherwise(col("v")))
+        .unionByName(base.filter(col("k") % 17 === 0)
+          .select((col("k") + lit(1000000000L)).as("k"), col("v")))
+      base.join(snap.select(col("k").as("k2"), col("v").as("v2")),
+          col("k") === col("k2"), "full")
+        .select(coalesce(col("k"), col("k2")).as("o_orderkey"),
+          when(col("k").isNull, "added")
+            .when(col("k2").isNull, "removed")
+            .when(col("v") =!= col("v2"), "changed")
+            .otherwise("unchanged").as("status"))
+        .filter(col("status") =!= "unchanged")
+    }),
+
     // M13: deterministic TRAIN/VAL/TEST split — the dataset-versioning
     // step every training run needs: assignment is a pure function of
     // (salt, doc_id) (m3/m11's content-addressed family), so it is
@@ -540,6 +568,24 @@ object PipelineOps {
         |FROM events, b
         |WHERE user_id BETWEEN u0 AND u0 + (u1 - u0) // 4
         |  AND epoch_us(ts) BETWEEN t0 AND t0 + (t1 - t0) // 4""".stripMargin,
+
+    "m15_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS v FROM orders
+        |), snap AS (
+        |  SELECT k, CASE WHEN k % 10 = 0 THEN ROUND(v + 1, 2) ELSE v END AS v
+        |  FROM base WHERE k % 13 <> 0
+        |  UNION ALL
+        |  SELECT k + 1000000000, v FROM base WHERE k % 17 = 0
+        |)
+        |SELECT * FROM (
+        |  SELECT COALESCE(b.k, s.k) AS o_orderkey,
+        |    CASE WHEN b.k IS NULL THEN 'added'
+        |         WHEN s.k IS NULL THEN 'removed'
+        |         WHEN b.v <> s.v THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM base b FULL JOIN snap s ON b.k = s.k
+        |) WHERE status <> 'unchanged'""".stripMargin,
 
     "m13_split" ->
       """SELECT doc_id, lang,

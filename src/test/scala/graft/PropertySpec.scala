@@ -261,6 +261,31 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     assert(corrupt.exists(r => r._2 === Some("fr")), rows.toString)
   }
 
+  test("zValue16 ≡ reference bit interleave; z-locality bounds both dims") {
+    import spark.implicits._
+    def ref(x: Long, y: Long): Long =
+      (0 until 16).map(i => (((x >> i) & 1L) << (2 * i)) |
+                            (((y >> i) & 1L) << (2 * i + 1))).reduce(_ | _)
+    val rnd = new scala.util.Random(11)
+    val pts = (1 to 200).map(_ => (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = pts.toDF("x", "y")
+      .select(graft.operators.PipelineOps.zValue16(col("x"), col("y")).as("z"))
+      .as[Long].collect()
+    assert(got.toSeq === pts.map { case (x, y) => ref(x, y) })
+    // locality law: within a z-interval of length 4^k aligned at its own
+    // size, both dims vary by < 2^k — the row-group-boundedness property
+    // m14's pruning relies on
+    for (k <- Seq(4, 8)) {
+      val grouped = pts.map { case (x, y) => (ref(x, y) >> (2 * k), (x, y)) }
+        .groupBy(_._1).values
+      for (g <- grouped if g.size > 1) {
+        val xs = g.map(_._2._1); val ys = g.map(_._2._2)
+        assert(xs.max - xs.min < (1L << k), s"k=$k x-spread")
+        assert(ys.max - ys.min < (1L << k), s"k=$k y-spread")
+      }
+    }
+  }
+
   test("NDJSON round-trip law (S5): write∘read = id on flat rows") {
     import spark.implicits._
     for (seed <- 1L to 3L) {
