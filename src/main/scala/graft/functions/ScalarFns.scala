@@ -141,6 +141,27 @@ object ScalarFns {
         lit("1995-06-17 12:30:00").cast(TimestampType).cast(StringType).as("ts_roundtrip"))
     }),
 
+    // F12: BITWISE family — scalar shifts/AND/OR/XOR/popcount plus the
+    // bit_and/bit_or/bit_xor aggregates (the flag-mask and
+    // feature-bitmap operations id-heavy pipelines lean on). Scalars
+    // evaluate in the scan projection; the aggregates are one
+    // partial+final hash aggregate.
+    "f12_bitwise" -> ((s, d) => {
+      val k = col("c_custkey")
+      Tables.customer(s, d)
+        .select((k % 16).as("g"),
+          expr("bit_count(c_custkey)").as("bc"),
+          shiftleft(k, 3).bitwiseAND(lit(255L)).as("sl_and"),
+          shiftright(k, 2).bitwiseOR(lit(4096L)).as("sr_or"),
+          k.bitwiseXOR(lit(90L)).as("xored"))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("bc")).as("sum_bc"),
+          expr("bit_and(sl_and)").as("band"),
+          expr("bit_or(sr_or)").as("bor"),
+          expr("bit_xor(xored)").as("bxor"))
+    }),
+
     // F11: URL functions — the web-corpus provenance family (host for
     // per-domain caps and dedup scoping, path/query-param extraction for
     // filtering). URLs are synthesized deterministically from customer
@@ -261,6 +282,20 @@ object ScalarFns {
         |  CAST('19' || '95' AS INT) AS str_int,
         |  CAST(CAST('1995-06-17 12:30:00' AS TIMESTAMP) AS VARCHAR) AS ts_roundtrip
         |FROM orders""".stripMargin,
+
+    "f12_bitwise" ->
+      """WITH t AS (
+        |  SELECT c_custkey % 16 AS g,
+        |    bit_count(c_custkey) AS bc,
+        |    (c_custkey << 3) & 255 AS sl_and,
+        |    (c_custkey >> 2) | 4096 AS sr_or,
+        |    xor(c_custkey, 90) AS xored
+        |  FROM customer
+        |)
+        |SELECT g, COUNT(*) AS n, CAST(SUM(bc) AS BIGINT) AS sum_bc,
+        |  bit_and(sl_and) AS band, bit_or(sr_or) AS bor,
+        |  bit_xor(xored) AS bxor
+        |FROM t GROUP BY g""".stripMargin,
 
     "f11_url_fns" ->
       """WITH u AS (

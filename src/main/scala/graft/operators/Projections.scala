@@ -91,6 +91,28 @@ object Projections {
         when(col("o_totalprice") < 50000, "low")
           .when(col("o_totalprice") < 150000, "mid")
           .otherwise("high").as("bucket"))
+    }),
+
+    // P10: THREE-VALUED-LOGIC probe — the SQL null semantics that
+    // silently corrupt pipelines when an engine gets them subtly wrong:
+    // `NOT IN` against a set containing NULL matches NOTHING (x <> NULL
+    // is UNKNOWN, so the conjunction never reaches TRUE), null-safe
+    // equality (<=>, IS NOT DISTINCT FROM) treats two NULLs as equal
+    // where `=` yields UNKNOWN, and UNKNOWN-under-NOT stays UNKNOWN.
+    // Nulls are synthesized with nullif so both branches populate; every
+    // column is a BOOLEAN verdict, hash-compared against DuckDB's
+    // standard-conformant answers.
+    "p10_null_semantics" -> ((s, d) => {
+      val seg = nullif(col("c_mktsegment"), lit("MACHINERY"))
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        seg.isin("BUILDING", "AUTOMOBILE").as("in_set"),
+        // NOT IN (..., NULL): never TRUE, FALSE only for members, else NULL
+        (!seg.isin(null, "BUILDING")).as("not_in_with_null"),
+        (seg <=> nullif(col("c_mktsegment"), lit("MACHINERY")))
+          .as("nullsafe_self"),
+        (seg === lit("BUILDING")).as("eq_building"),
+        coalesce(seg, lit("∅")).as("seg_or_empty"))
     })
   )
 
@@ -123,6 +145,19 @@ object Projections {
     "p7_filter_like" ->
       """SELECT p_partkey, p_name FROM part
         |WHERE p_name LIKE '%green%' OR regexp_matches(p_name, '^bl(ue|ack)')""".stripMargin,
+
+    "p10_null_semantics" ->
+      """SELECT c_custkey,
+        |  NULLIF(c_mktsegment, 'MACHINERY') IN ('BUILDING','AUTOMOBILE')
+        |    AS in_set,
+        |  NULLIF(c_mktsegment, 'MACHINERY') NOT IN (NULL, 'BUILDING')
+        |    AS not_in_with_null,
+        |  NULLIF(c_mktsegment, 'MACHINERY')
+        |    IS NOT DISTINCT FROM NULLIF(c_mktsegment, 'MACHINERY')
+        |    AS nullsafe_self,
+        |  NULLIF(c_mktsegment, 'MACHINERY') = 'BUILDING' AS eq_building,
+        |  COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), '∅') AS seg_or_empty
+        |FROM customer""".stripMargin,
 
     "p8_computed" ->
       """SELECT l_orderkey, l_linenumber,
