@@ -73,12 +73,20 @@ object PipelineOps {
     * story as s11Buckets (fixture 16; at 100 TB derive from bytes /
     * target-row-group size).
     */
-  def zOrderWrite(df: DataFrame, dimX: String, dimY: String, path: String,
-      partitions: Int = 16): Unit = {
+  /** One tiny min/max agg job over both dims — callers that also need
+    * the bounds (e.g. to build a box predicate) compute them once and
+    * pass them to [[zOrderWrite]]. */
+  def dimBounds(df: DataFrame, dimX: String, dimY: String)
+      : (Long, Long, Long, Long) = {
     val b = df.agg(min(col(dimX)), max(col(dimX)),
       min(col(dimY)), max(col(dimY))).head()
-    val (x0, x1, y0, y1) =
-      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+  }
+
+  def zOrderWrite(df: DataFrame, dimX: String, dimY: String, path: String,
+      partitions: Int = 16,
+      bounds: Option[(Long, Long, Long, Long)] = None): Unit = {
+    val (x0, x1, y0, y1) = bounds.getOrElse(dimBounds(df, dimX, dimY))
     def norm(c: Column, lo: Long, hi: Long): Column =
       ((c - lit(lo)).cast(DoubleType) * 65535.0 /
         math.max(hi - lo, 1L).toDouble).cast(LongType)
@@ -458,14 +466,11 @@ object PipelineOps {
       val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
       val out = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"), s"graft_m14_zorder_$tag").toString
-      zOrderWrite(
-        Tables.events(s, d).select(col("event_id"), col("user_id"),
-          unix_micros(col("ts")).as("ts_us"), col("value")),
-        "user_id", "ts_us", out)
-      val b = Tables.events(s, d)
-        .agg(min(col("user_id")), max(col("user_id")),
-          min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
-      val (u0, u1, t0, t1) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      val (u0, u1, t0, t1) = dimBounds(ev, "user_id", "ts_us")
+      zOrderWrite(ev, "user_id", "ts_us", out,
+        bounds = Some((u0, u1, t0, t1)))
       s.read.parquet(out)
         .filter(col("user_id").between(u0, u0 + (u1 - u0) / 4) &&
                 col("ts_us").between(t0, t0 + (t1 - t0) / 4))
