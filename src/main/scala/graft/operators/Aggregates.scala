@@ -168,6 +168,21 @@ object Aggregates {
           .as("geo_mean_price"))
     }),
 
+    // A13: ARGMAX/ARGMIN aggregates — max_by/min_by, the "row that won"
+    // pattern (most expensive order's key per segment, first order's
+    // date) that otherwise costs a window + rank filter. One hash
+    // aggregate; the ordering value is strictly unique per group on
+    // this fixture (continuous totalprice), so the result is
+    // deterministic and hash-comparable.
+    "a13_minmax_by" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          max_by(col("o_orderkey"), col("o_totalprice")).as("top_order"),
+          min_by(col("o_orderkey"), col("o_totalprice")).as("cheapest_order"),
+          max(col("o_totalprice")).as("top_price"))
+    }),
+
     // A12: statistical aggregate family — sample stddev/variance and the
     // two-column moments (correlation, covariance) over the price/
     // quantity pair. All single-pass partial+final aggregates (Spark's
@@ -247,6 +262,13 @@ object Aggregates {
         |  ROUND(quantile_cont(value, 0.5), 4) AS p50,
         |  ROUND(quantile_cont(value, 0.95), 4) AS p95
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "a13_minmax_by" ->
+      """SELECT o_orderpriority,
+        |  arg_max(o_orderkey, o_totalprice) AS top_order,
+        |  arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+        |  MAX(o_totalprice) AS top_price
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     "a12_stats_agg" ->
       """SELECT l_returnflag,
