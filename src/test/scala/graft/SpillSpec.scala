@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Spill-awareness proof (builder-prompt "spill-aware" requirement): at
+  * 100 TB, partitions WILL exceed execution memory sometimes, and the
+  * engine's answer must be "spill and finish correctly", never OOM or
+  * wrong results. Local heaps are too big to hit genuine memory
+  * pressure at fixture scale, so the spec forces the spill path through
+  * Spark's own operator knob (`spark.sql.windowExec.buffer.spill
+  * .threshold` — rows buffered per window partition before spilling to
+  * disk) and asserts BOTH that real disk spill happened (task metrics)
+  * and that the spilled run is row-identical to the in-memory run.
+  */
+class SpillSpec extends AnyFunSuite with SparkTestBase {
+
+  private def withConf[A](key: String, value: String)(body: => A): A = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def spilledBytes(body: => Unit): Long = {
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val l = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          bytes.addAndGet(te.taskMetrics.diskBytesSpilled)
+    }
+    spark.sparkContext.addSparkListener(l)
+    try { body; Thread.sleep(300) } // let the listener bus drain
+    finally spark.sparkContext.removeSparkListener(l)
+    bytes.get()
+  }
+
+  test("w3 running sum: forced window spill is row-identical and really spills") {
+    // rows buffer in a plain array until in.memory.threshold, move to
+    // the spillable sorter after it, and hit disk at spill.threshold —
+    // both knobs must drop for fixture-sized partitions to spill
+    val q = operators.Windows.queries("w3_running_sum")
+    val inMemory = q(spark, sf("sf0.001")).collect().map(_.toString).sorted.toSeq
+    var spilledRows: Seq[String] = Seq.empty
+    val spilled = spilledBytes {
+      withConf("spark.sql.windowExec.buffer.in.memory.threshold", "16") {
+        withConf("spark.sql.windowExec.buffer.spill.threshold", "16") {
+          spilledRows = q(spark, sf("sf0.001")).collect().map(_.toString).sorted.toSeq
+        }
+      }
+    }
+    assert(spilled > 0L, "window operator never spilled — threshold knob ineffective")
+    assert(spilledRows === inMemory, "spilled run diverged from in-memory run")
+  }
+
+  test("j8 cross join: forced build-buffer spill is row-identical and really spills") {
+    // the cartesian operator buffers the right side in the same
+    // spillable array; its thresholds are session-settable
+    val q = operators.Joins.queries("j8_cross_join")
+    val inMemory = q(spark, sf("sf0.001")).collect().map(_.toString).sorted.toSeq
+    var spilledRows: Seq[String] = Seq.empty
+    val spilled = spilledBytes {
+      // without the broadcast ban the tiny dimension side broadcasts and
+      // the plan is a BroadcastNestedLoopJoin — no cartesian buffer at all
+      withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+        withConf("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1") {
+          withConf("spark.sql.cartesianProductExec.buffer.in.memory.threshold", "4") {
+            withConf("spark.sql.cartesianProductExec.buffer.spill.threshold", "4") {
+              spilledRows = q(spark, sf("sf0.001")).collect().map(_.toString).sorted.toSeq
+            }
+          }
+        }
+      }
+    }
+    assert(spilled > 0L, "cartesian buffer never spilled — threshold knob ineffective")
+    assert(spilledRows === inMemory, "spilled run diverged from in-memory run")
+  }
+}
