@@ -75,8 +75,15 @@ object StreamCheck {
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id",
           org.apache.spark.sql.types.StringType)))
-      def write(name: String, lines: Seq[String]): Unit =
-        java.nio.file.Files.write(dir.resolve(name), lines.mkString("\n").getBytes)
+      // write-then-ATOMIC_MOVE: the file stream source lists the dir
+      // between micro-batches, and a non-atomic in-place write can be
+      // listed half-written — flaking the scenario counts (ADVICE r9)
+      def write(name: String, lines: Seq[String]): Unit = {
+        val tmp = java.nio.file.Files.createTempFile("sc_stage", ".ndjson")
+        java.nio.file.Files.write(tmp, lines.mkString("\n").getBytes)
+        java.nio.file.Files.move(tmp, dir.resolve(name),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
       def runOnce(): Long = {
         val q = Streams.fileStream(spark, dir.toString, schema)
           .writeStream.format("json").option("path", outDir)
@@ -265,8 +272,15 @@ object StreamCheck {
           org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("_corrupt_record",
           org.apache.spark.sql.types.StringType)))
-      def write(name: String, lines: Seq[String]): Unit =
-        java.nio.file.Files.write(dir.resolve(name), lines.mkString("\n").getBytes)
+      // write-then-ATOMIC_MOVE: the file stream source lists the dir
+      // between micro-batches, and a non-atomic in-place write can be
+      // listed half-written — flaking the scenario counts (ADVICE r9)
+      def write(name: String, lines: Seq[String]): Unit = {
+        val tmp = java.nio.file.Files.createTempFile("sc_stage", ".ndjson")
+        java.nio.file.Files.write(tmp, lines.mkString("\n").getBytes)
+        java.nio.file.Files.move(tmp, dir.resolve(name),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
       val parsed = spark.readStream.schema(schema)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")

@@ -171,15 +171,22 @@ object Aggregates {
     // A13: ARGMAX/ARGMIN aggregates — max_by/min_by, the "row that won"
     // pattern (most expensive order's key per segment, first order's
     // date) that otherwise costs a window + rank filter. One hash
-    // aggregate; the ordering value is strictly unique per group on
-    // this fixture (continuous totalprice), so the result is
-    // deterministic and hash-comparable.
+    // aggregate. The ordering value is a (price, key) STRUCT, not the
+    // bare price: a price tie at the group extreme would otherwise make
+    // the winning key nondeterministic (partial-agg merge order), and
+    // determinism must come from the QUERY, not from hoping the fixture
+    // stays tie-free at every scale factor (ADVICE r9). The struct
+    // compares lexicographically and the key is unique, so ties cannot
+    // exist; the oracle mirrors it with DuckDB's struct-ordered
+    // max/min + field extract.
     "a13_minmax_by" -> ((s, d) => {
       Tables.orders(s, d)
         .groupBy(col("o_orderpriority"))
         .agg(
-          max_by(col("o_orderkey"), col("o_totalprice")).as("top_order"),
-          min_by(col("o_orderkey"), col("o_totalprice")).as("cheapest_order"),
+          max_by(col("o_orderkey"),
+            struct(col("o_totalprice"), col("o_orderkey"))).as("top_order"),
+          min_by(col("o_orderkey"),
+            struct(col("o_totalprice"), col("o_orderkey"))).as("cheapest_order"),
           max(col("o_totalprice")).as("top_price"))
     }),
 
@@ -265,8 +272,8 @@ object Aggregates {
 
     "a13_minmax_by" ->
       """SELECT o_orderpriority,
-        |  arg_max(o_orderkey, o_totalprice) AS top_order,
-        |  arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+        |  (max({'p': o_totalprice, 'k': o_orderkey})).k AS top_order,
+        |  (min({'p': o_totalprice, 'k': o_orderkey})).k AS cheapest_order,
         |  MAX(o_totalprice) AS top_price
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
 

@@ -66,13 +66,6 @@ object PipelineOps {
         .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }.reduce(_ bitwiseOR _)
 
-  /** Z-order layout write: normalize both LONG dims by min/max (one tiny
-    * agg job — the plan-stats-gate class), interleave to a z-value,
-    * range-partition + locally sort by it, drop it, write parquet.
-    * Exactly one shuffle at any scale; `partitions` follows the same
-    * story as s11Buckets (fixture 16; at 100 TB derive from bytes /
-    * target-row-group size).
-    */
   /** One tiny min/max agg job over both dims — callers that also need
     * the bounds (e.g. to build a box predicate) compute them once and
     * pass them to [[zOrderWrite]]. */
@@ -83,16 +76,37 @@ object PipelineOps {
     (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
   }
 
+  /** Layout width law (VERDICT r9 next #3): the z-order write's
+    * partition count is DERIVED from the input's plan-stats bytes with
+    * the same doubling law the bucketed-table DDL uses
+    * (`Ingest.s11Buckets`: floor 16 — the fixture/oracle shape — grow
+    * until ~256 MB/partition, cap 2^20), instead of a fixture-shaped
+    * constant. A fixed 16 would mean 16 multi-TB files at 100 TB; the
+    * law gives ~2^19 partitions of ~190 MB there and leaves every
+    * small-fixture layout (and its oracle hash) unchanged.
+    */
+  private[graft] def zOrderPartitions(bytes: BigInt): Int =
+    graft.sources.Ingest.s11Buckets(bytes)
+
+  /** Z-order layout write: normalize both LONG dims by min/max (one tiny
+    * agg job — the plan-stats-gate class), interleave to a z-value,
+    * range-partition + locally sort by it, drop it, write parquet.
+    * Exactly one shuffle at any scale; `partitions` ≤ 0 means "derive
+    * from plan stats" via [[zOrderPartitions]].
+    */
   def zOrderWrite(df: DataFrame, dimX: String, dimY: String, path: String,
-      partitions: Int = 16,
+      partitions: Int = 0,
       bounds: Option[(Long, Long, Long, Long)] = None): Unit = {
+    val parts =
+      if (partitions > 0) partitions
+      else zOrderPartitions(df.queryExecution.optimizedPlan.stats.sizeInBytes)
     val (x0, x1, y0, y1) = bounds.getOrElse(dimBounds(df, dimX, dimY))
     def norm(c: Column, lo: Long, hi: Long): Column =
       ((c - lit(lo)).cast(DoubleType) * 65535.0 /
         math.max(hi - lo, 1L).toDouble).cast(LongType)
     df.withColumn("__z",
         zValue16(norm(col(dimX), x0, x1), norm(col(dimY), y0, y1)))
-      .repartitionByRange(partitions, col("__z"))
+      .repartitionByRange(parts, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)

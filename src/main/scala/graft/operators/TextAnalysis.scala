@@ -176,7 +176,7 @@ object TextAnalysis {
         .select(col("doc_id"), col("bg.p").as("p"), col("bg.c").as("c"))
       val bf = pin(big.groupBy(col("p"), col("c")).agg(count(lit(1)).as("bf")))
       val cf = bf.groupBy(col("p")).agg(sum(col("bf")).as("cf"))
-      big.join(bf, Seq("p", "c")).join(cf, Seq("p"))
+      val result = big.join(bf, Seq("p", "c")).join(cf, Seq("p"))
         .join(uf.withColumnRenamed("tok", "c"), Seq("c"))
         .crossJoin(broadcast(total))
         .groupBy(col("doc_id"))
@@ -184,6 +184,16 @@ object TextAnalysis {
             lit(0.3) * col("uf") / col("n"))) / count(lit(1)), 6)
             .as("mean_bigram_logprob"),
           count(lit(1)).as("n_bigrams"))
+      // Release the gate caches once the per-doc result is pinned
+      // (ADVICE r9: cached vocab relations otherwise accumulate in
+      // executor storage across a bench session). localCheckpoint'd
+      // blocks are ContextCleaner-released on GC; bare .cache() entries
+      // are not — same discipline as Dedup.minhashDedup.
+      if (small) {
+        val out = result.localCheckpoint()
+        uf.unpersist(); bf.unpersist()
+        out
+      } else result
     }),
 
     // L7c: PII redaction — scrub emails and phone-shaped tokens before
@@ -344,7 +354,13 @@ object TextAnalysis {
     * over planted corpora.
     */
   def dupPassage(docs: org.apache.spark.sql.DataFrame, k: Int)
-      : org.apache.spark.sql.DataFrame = {
+      : org.apache.spark.sql.DataFrame = dupPassage(docs, k, gate = true)
+
+  /** `gate = false` skips the small-corpus cache/checkpoint — the bare
+    * 100 TB plan shape, which is what PlanSpec pins (the checkpoint
+    * would hide the aggregates behind a Scan ExistingRDD). */
+  private[graft] def dupPassage(docs: org.apache.spark.sql.DataFrame,
+      k: Int, gate: Boolean): org.apache.spark.sql.DataFrame = {
     val grams = docs.select(col("doc_id"),
         graft.functions.ShingleHash.ngramHashes(split(col("text"), " "), k).as("g"))
       .filter(size(col("g")) > 0)
@@ -356,7 +372,7 @@ object TextAnalysis {
     // small-corpus gate caches it at fixture scale, and a 100 TB run
     // that is scan-bound persists/checkpoints the aggregate instead —
     // either way the skew-safe two-level shape below is unchanged.
-    val smallCorpus =
+    val smallCorpus = gate &&
       docs.queryExecution.optimizedPlan.stats.sizeInBytes <= (32L << 20)
     val occ0 = grams.select(col("doc_id"), explode(col("g")).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
@@ -366,12 +382,21 @@ object TextAnalysis {
     val tot = occ.groupBy(col("g")).agg(sum(col("c")).as("cnt"))
     val dupPerDoc = occ.join(tot.filter(col("cnt") >= 2).select(col("g")), "g")
       .groupBy(col("doc_id")).agg(sum(col("c")).as("dup_grams"))
-    grams.select(col("doc_id"), size(col("g")).cast(LongType).as("n_grams"))
+    val result = grams
+      .select(col("doc_id"), size(col("g")).cast(LongType).as("n_grams"))
       .join(dupPerDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),
         coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
         round(coalesce(col("dup_grams"), lit(0L)).cast(DoubleType) /
           col("n_grams"), 6).as("dup_frac"))
+    // Release the gate cache once the per-doc result is pinned (ADVICE
+    // r9) — localCheckpoint'd blocks are ContextCleaner-released on GC,
+    // bare .cache() entries accumulate across a bench session.
+    if (smallCorpus) {
+      val out = result.localCheckpoint()
+      occ.unpersist()
+      out
+    } else result
   }
 
   private val stopSql = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")

@@ -243,8 +243,14 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     // same skew law as the l2c/l2d df stage: a hot passage must collapse
     // map-side (partial_count / partial_sum), never fan into a Window —
     // one viral boilerplate gram would otherwise pin one task
-    val df = graft.operators.TextAnalysis
-      .queries("l14_dup_passage")(spark, sf("sf0.001"))
+    // gate=false: the entry's small-corpus checkpoint would hide the
+    // aggregates behind a Scan ExistingRDD; the bare kernel IS the
+    // 100 TB plan shape this test pins
+    val df = graft.operators.TextAnalysis.dupPassage(
+      graft.Tables.fanOut(
+        graft.Tables.documents(spark, sf("sf0.001")),
+        org.apache.spark.sql.functions.col("doc_id")),
+      5, gate = false)
     df.collect()
     val p = plan(df)
     assert(!p.contains("Window"), p.take(3000))
@@ -312,6 +318,17 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(s11Buckets(BigInt(10).pow(30)) === (1 << 20)) // capped
     val widths = (0 to 60).map(e => s11Buckets(BigInt(1) << e))
     assert(widths.sliding(2).forall(p => p.head <= p.last), widths.toString)
+  }
+
+  test("m14 z-order width law: fixture floor 16, 100 TB growth, capped") {
+    // zOrderWrite's partition count is stats-derived via the same
+    // doubling law as s11Buckets (VERDICT r9 next #3) — a fixed 16
+    // would be 16 multi-TB layout files at 100 TB
+    import graft.operators.PipelineOps.zOrderPartitions
+    val gb = BigInt(1) << 30
+    assert(zOrderPartitions(gb) === 16)                    // fixture scale
+    assert(zOrderPartitions(gb * 100 * 1024) === (1 << 19)) // 100 TB
+    assert(zOrderPartitions(BigInt(10).pow(30)) === (1 << 20)) // capped
   }
 
   test("fanOutWidth: ~256KB/task, floor 8, capped at core count") {

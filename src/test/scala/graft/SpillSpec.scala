@@ -32,7 +32,10 @@ class SpillSpec extends AnyFunSuite with SparkTestBase {
           bytes.addAndGet(te.taskMetrics.diskBytesSpilled)
     }
     spark.sparkContext.addSparkListener(l)
-    try { body; Thread.sleep(300) } // let the listener bus drain
+    // bounded drain, not a fixed sleep — late onTaskEnd events on a
+    // loaded host would read diskBytesSpilled=0 and flake (ADVICE r9)
+    try { body; org.apache.spark.GraftSparkInternals.drainListenerBus(
+      spark.sparkContext, 10000) }
     finally spark.sparkContext.removeSparkListener(l)
     bytes.get()
   }

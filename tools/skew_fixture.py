@@ -51,7 +51,13 @@ def events(rng):
         "value": pa.array(value),
         "props": pa.array(props),
     })
-    pq.write_table(tbl, os.path.join(OUT, "events.parquet"))
+    # Many row groups, like real data (~1 row group / 128 MB at scale).
+    # A single-row-group file caps EVERY scan stage at one productive
+    # task (byte-range splits without a row-group start read 0 rows) —
+    # r9's j7 "ratio 202" reading was exactly this file-layout artifact,
+    # not a plan problem (VERDICT r9 next #1, settled r10).
+    pq.write_table(tbl, os.path.join(OUT, "events.parquet"),
+                   row_group_size=N_EVENTS // 16)
     return {"rows": N_EVENTS, "hot_user_share": float(np.mean(user == 0))}
 
 def documents(rng):
@@ -75,7 +81,8 @@ def documents(rng):
         "source": pa.array(srcs),
         "n_chars": pa.array(np.array([len(t) for t in texts], dtype=np.int64)),
     })
-    pq.write_table(tbl, os.path.join(OUT, "documents.parquet"))
+    pq.write_table(tbl, os.path.join(OUT, "documents.parquet"),
+                   row_group_size=N_DOCS // 16)
     hot_share = float(np.mean([hot_sh in t for t in texts]))
     src0 = float(np.mean([s == "src0" for s in srcs]))
     return {"rows": N_DOCS, "hot_shingle_share": hot_share, "src0_share": src0}
