@@ -103,17 +103,18 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq
       .filter(n => all || !SparkEntry.benchOptIn(n)).sorted
 
-    // Load gate, RECORD runs only (VERDICT r8 missing #3): a committed
-    // record captured at load_avg 5 confounds the round-over-round trend
-    // (r8: 55.7 s contended vs 47.9 s quiet, same code). Before warmup
-    // and before each timed pass, wait until the 1-min load average
-    // drops under SPARK_GRAFT_BENCH_LOAD_MAX (default 2.0), bounded per
-    // gate and by the global deadline; every gate event is recorded in
-    // bench_full.json so a still-contended artifact is self-describing.
-    val recordMode = sys.env.contains("SPARK_GRAFT_BENCH_RECORD")
+    // Load gate, ALL runs (VERDICT r8 missing #3; widened r10 next #6 —
+    // BENCH_r09 was captured at load 8.46 because the driver's run path
+    // bypassed the record-only gate, and its sql1/m5/m7 readings were
+    // contention noise the driver can't tell from regressions). Before
+    // warmup and before each timed pass, wait until the 1-min load
+    // average drops under SPARK_GRAFT_BENCH_LOAD_MAX (default 2.0),
+    // bounded per gate and by the global deadline; every gate event is
+    // recorded in bench_full.json AND the stdout tail JSON, so a
+    // still-contended artifact is self-describing.
     val loadMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_MAX", "2.0").toDouble
     val gateEvents = scala.collection.mutable.ArrayBuffer.empty[String]
-    def loadGate(tag: String): Unit = if (recordMode) {
+    def loadGate(tag: String): Unit = {
       var waited = 0
       while (loadAvg > loadMax && waited < 120 && remaining > 60) {
         Thread.sleep(5000); waited += 5
@@ -138,7 +139,9 @@ object Bench {
         .mkString("{", ",", "}")
       lastLine =
         s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":$runs,""" +
-        s""""load_avg":[${f3(loadBefore)},${f3(loadAvg)}],"queries":$qs,"sf":"$sfDir"}"""
+        s""""load_avg":[${f3(loadBefore)},${f3(loadAvg)}],""" +
+        s""""load_gate":${gateEvents.mkString("[", ",", "]")},""" +
+        s""""queries":$qs,"sf":"$sfDir"}"""
       println(lastLine)
       System.out.flush()
       val passJson = perPass.map(p =>

@@ -159,6 +159,19 @@ object Dedup {
     * unreachable by any candidate path and silently survived.
     */
   def minhashDedup(docs: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val removed = minhashVerifiedPairs(docs, threshold)
+      .select(col("d2").as("doc_id")).distinct()
+    docs.join(removed, Seq("doc_id"), "left_anti")
+  }
+
+  /** The verified near-dup pair set (d1 < d2, exact jaccard ≥
+    * threshold) that [[minhashDedup]] derives its removals from —
+    * exposed separately so the REMOVAL POLICY can be hash-checked
+    * cross-engine from a dump of these pairs (l2g, VERDICT r9 next #4)
+    * while candidate generation stays spec/RECALL-owned. Eager
+    * (localCheckpoints the tiny pair set and releases the caches).
+    */
+  def minhashVerifiedPairs(docs: DataFrame, threshold: Double = 0.9): DataFrame = {
     // One native-kernel pass over the scan computes the distinct
     // token-hash set AND the full minhash signature per row — no token
     // explode, no signature shuffle (see TokenHashKernels). The cached
@@ -250,15 +263,15 @@ object Dedup {
       pinPartitions = if (small) Some(8) else None)
     val verified = clusterV.filter(col("jaccard") >= threshold)
       .unionByName(verifyPairs(repPairs).filter(col("jaccard") >= threshold))
-    // The removed-id set is tiny (ids of dropped near-dups);
+    // The verified pair set is tiny (near-dup pairs only);
     // localCheckpoint pins it so the intermediates can be released — the
     // round-4 caches leaked into executor storage for the session
     // (ADVICE r4). NOTE: this makes the query constructor EAGER (it runs
     // jobs); plan-only tooling should prefer the stateless operators.
-    val removed = verified.select(col("d2").as("doc_id")).distinct()
+    val pairs = verified.select(col("d1"), col("d2")).distinct()
       .localCheckpoint()
     base.unpersist()
-    docs.join(removed, Seq("doc_id"), "left_anti")
+    pairs
   }
 
   /** Verified hamming-neighbor pairs (src < dst, distinct) over a
@@ -621,8 +634,50 @@ object Dedup {
     // boilerplate, a quoted passage, a subset page — jaccard divides by
     // the UNION, so a 100-shingle doc fully contained in a 10k-shingle
     // doc scores 0.01 jaccard but 1.0 containment.
-    "l2d_containment" -> ((s, d) => containmentTopK(s, d, 20))
+    "l2d_containment" -> ((s, d) => containmentTopK(s, d, 20)),
+
+    // L2G: survivor-POLICY oracle for the MinHash family (VERDICT r9
+    // next #4). The probabilistic candidate generation stays spec-owned
+    // (RECALL_r{N} covers its quality); what hash-checks here is the
+    // REMOVAL layer — the layer where r9 found l2's real bug. The
+    // engine dumps its verified pairs to a parquet side table, then
+    // recomputes the survivor set FROM THAT DUMP; the DuckDB oracle
+    // recomputes the same survivors from the same dump, so any drift in
+    // the drop-the-larger-id policy (or in the dump itself) breaks the
+    // hash. DedupSpec additionally pins l2g's survivors ≡ l2's.
+    "l2g_minhash_policy" -> ((s, d) => {
+      val path = policyDumpPath("l2g_pairs")
+      minhashVerifiedPairs(Tables.documents(s, d))
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      val removed = s.read.parquet(path)
+        .select(col("d2").as("doc_id")).distinct()
+      Tables.documents(s, d).join(removed, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
+    // L2H: the same policy oracle for the SimHash family — verified
+    // hamming≤3 pairs dumped, survivors recomputed from the dump by
+    // both engines. DedupSpec pins l2h ≡ l2b2.
+    "l2h_simhash_policy" -> ((s, d) => {
+      val path = policyDumpPath("l2h_pairs")
+      val sh = queries("l2b_simhash")(s, d).coalesce(8)
+      simhashBandPairs(sh, pinPartitions = Some(8))
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      val removed = s.read.parquet(path)
+        .select(col("dst").as("doc_id")).distinct()
+      Tables.documents(s, d).join(removed, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("n_chars"))
+    })
   )
+
+  /** Deterministic tmp location for a policy-oracle pair dump — shared
+    * by the engine entry (writer) and its DuckDB oracle SQL (reader);
+    * both always run within one Verify/check pass at one SF, so the
+    * fixed path is race-free by construction.
+    */
+  private[graft] def policyDumpPath(name: String): String =
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_$name.parquet").toString
 
   /** Exact top-k doc pairs by word-3-gram jaccard, via PREFIX FILTERING
     * (Chaudhuri et al., "A Primitive Operator for Similarity Joins",
@@ -971,6 +1026,21 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    // l2g/l2h: the oracle consumes the ENGINE's verified-pair dump (see
+    // policyDumpPath — written by the same query earlier in the same
+    // Verify pass) and independently recomputes the survivor set, so
+    // the removal policy is hash-checked while candidate generation
+    // stays spec-owned.
+    "l2g_minhash_policy" ->
+      s"""SELECT doc_id, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT d2 FROM
+         |  read_parquet('${policyDumpPath("l2g_pairs")}/*.parquet'))""".stripMargin,
+
+    "l2h_simhash_policy" ->
+      s"""SELECT doc_id, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT dst FROM
+         |  read_parquet('${policyDumpPath("l2h_pairs")}/*.parquet'))""".stripMargin,
+
     // l2d: the quadratic co-occurrence CTE is the blow-up the engine's
     // prefix filter avoids — fine as an oracle at gate scale, never the
     // engine plan (same stance as l2c's oracle note).

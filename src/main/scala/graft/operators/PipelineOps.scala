@@ -459,6 +459,42 @@ object PipelineOps {
       out
     }),
 
+    // M5b: clustering-POLICY oracle for m5 (VERDICT r9 next #4, same
+    // pattern as l2g/l2h): the engine dumps the DOC-LEVEL edge set m5
+    // clusters — member→rep edges from identical-simhash collapse plus
+    // the verified rep↔rep band edges — then recomputes the cluster
+    // table FROM THAT DUMP; the DuckDB oracle recomputes it from the
+    // same dump with a recursive-CTE transitive closure. Connected-
+    // component labeling (min-id per component) and the per-cluster
+    // aggregate are thereby hash-checked cross-engine; candidate/edge
+    // generation stays spec-owned. Doc-level CC ≡ m5's rep-level CC +
+    // member inheritance: members sort above their rep by construction
+    // (rep = min doc_id of its simhash group), so the min id of a
+    // doc-level component IS the min rep label. DedupSpec pins
+    // m5b ≡ m5.
+    "m5b_cluster_policy" -> ((s, d) => {
+      val path = Dedup.policyDumpPath("m5b_edges")
+      val sh = Dedup.queries("l2b_simhash")(s, d).coalesce(8).cache()
+      sh.count()
+      val reps = sh.groupBy(col("simhash")).agg(min(col("doc_id")).as("rep"))
+      val memberEdges = sh.join(reps, "simhash")
+        .filter(col("doc_id") =!= col("rep"))
+        .select(col("rep").as("src"), col("doc_id").as("dst"))
+      val repEdges = Dedup.simhashBandPairs(
+        reps.select(col("rep").as("doc_id"), col("simhash")),
+        pinPartitions = Some(8))
+      memberEdges.unionByName(repEdges)
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      sh.unpersist()
+      val comps = Dedup.connectedComponents(s.read.parquet(path))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(comps.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("cluster_size"), min(col("doc_id")).as("rep_id"))
+    }),
+
     // M14: Z-ORDER layout — multi-dimensional clustering for scan
     // pruning, the lakehouse technique for fact tables queried by MORE
     // THAN ONE dimension (events by user AND by time): a sort by one
@@ -542,6 +578,33 @@ object PipelineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // m5b: transitive closure over the engine's dumped doc-level edge
+    // set (written earlier in the same Verify pass — see l2g's note in
+    // Dedup.oracles), min-id component labels, per-cluster aggregate.
+    // Quadratic in cluster size, fine at oracle scale, never the engine
+    // plan (the engine contracts the graph instead).
+    "m5b_cluster_policy" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT src, dst FROM
+         |    read_parquet('${Dedup.policyDumpPath("m5b_edges")}/*.parquet')
+         |), und AS (
+         |  SELECT src AS a, dst AS b FROM e
+         |  UNION
+         |  SELECT dst, src FROM e
+         |), reach(a, b) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+         |), lab AS (
+         |  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster
+         |  FROM reach GROUP BY a
+         |), alln AS (
+         |  SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster
+         |  FROM documents d LEFT JOIN lab l USING (doc_id)
+         |)
+         |SELECT cluster, COUNT(*) AS cluster_size, MIN(doc_id) AS rep_id
+         |FROM alln GROUP BY cluster""".stripMargin,
+
     "m1_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events

@@ -120,4 +120,55 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
     // exactly one exchange per side — the whole point vs join+window
     assert("Exchange".r.findAllIn(plan).size === 2, plan)
   }
+
+  test("merge stage allocates zero execution memory at any input size (O(1) posture)") {
+    // The streamed merge buffers only a one-row lookahead plus the
+    // current best match and registers no task-memory consumer (see
+    // AsOfJoinExec.doExecute scaladoc). Proven mechanically on the
+    // pathological shape — ALL right rows one key, every ts at-or-
+    // before every left ts, i.e. the "buffer the whole partition" worst
+    // case for a naive implementation: peakExecutionMemory of the bare
+    // merge stage (LocalTableScan children, no sorts, no shuffles) is
+    // EXACTLY 0 at two sizes 16× apart. A buffering implementation
+    // could pass only by allocating its buffer off the task memory
+    // manager, which is what the spill gates exist to forbid.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.execution.{CoalesceExec, LocalTableScanExec}
+    import org.apache.spark.sql.types.LongType
+
+    def peakMemOfMerge(nRight: Int): (Long, Long) = {
+      val lk = AttributeReference("k", LongType, nullable = false)()
+      val lt = AttributeReference("t", LongType, nullable = false)()
+      val rk = AttributeReference("rk", LongType, nullable = false)()
+      val rt = AttributeReference("rt", LongType, nullable = false)()
+      // left: 8 probes, all ts AFTER every right row; right: one hot key
+      val lRows = (1 to 8).map(i => InternalRow(7L, 1000000L + i))
+      val rRows = (1 to nRight).map(i => InternalRow(7L, i.toLong))
+      val exec = graft.plans.AsOfJoinExec(
+        CoalesceExec(1, LocalTableScanExec(Seq(lk, lt), lRows, None)),
+        CoalesceExec(1, LocalTableScanExec(Seq(rk, rt), rRows, None)),
+        Seq(lk), Seq(rk), lt, rt, rt)
+      val peak = new java.util.concurrent.atomic.AtomicLong(0)
+      val l = new SparkListener {
+        override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null)
+            peak.getAndUpdate(m => math.max(m, te.taskMetrics.peakExecutionMemory))
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        val n = exec.execute().count()
+        org.apache.spark.GraftSparkInternals.drainListenerBus(
+          spark.sparkContext, 10000)
+        (n, peak.get())
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+
+    val (n1, peak1) = peakMemOfMerge(16 * 1024)
+    val (n2, peak2) = peakMemOfMerge(256 * 1024)
+    assert(n1 === 8L && n2 === 8L)
+    assert(peak1 === 0L, s"merge registered execution memory at 16k rows: $peak1")
+    assert(peak2 === 0L, s"merge registered execution memory at 256k rows: $peak2")
+  }
 }

@@ -393,4 +393,22 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(_.getString(0)).toSeq
     assert(got === samples.map(_._2))
   }
+
+  test("policy-oracle twins match their real entries (l2g≡l2, l2h≡l2b2, m5b≡m5)") {
+    // l2g/l2h/m5b hash-check the REMOVAL/CLUSTERING policy cross-engine
+    // from a dumped pair set (VERDICT r9 next #4); this ties them back:
+    // the twin must reproduce the real entry's survivors/clusters
+    // exactly, so a drift between the dump and the production path
+    // can't pass unnoticed either.
+    val d = sf("sf0.001")
+    def ids(name: String) =
+      graft.SparkEntry.queries(name)(spark, d)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(ids("l2g_minhash_policy") === ids("l2_minhash_dedup"))
+    assert(ids("l2h_simhash_policy") === ids("l2b2_simhash_dedup"))
+    def clusters(name: String) =
+      graft.SparkEntry.queries(name)(spark, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(clusters("m5b_cluster_policy") === clusters("m5_dedup_clusters"))
+  }
 }

@@ -33,4 +33,67 @@ class OracleParitySpec extends AnyFunSuite with SparkTestBase {
       (fails :+ log.toString.linesIterator.toList.lastOption.getOrElse(""))
         .mkString("\n"))
   }
+
+  /** Run one SQL statement in DuckDB over the sf0.001 parquet tables and
+    * return (group, value) rows. Harness-side tooling, like check.py. */
+  private def duckdb(sql: String): Map[String, Double] = {
+    val dir = sf("sf0.001")
+    val py =
+      s"""import duckdb
+         |con = duckdb.connect()
+         |con.sql("CREATE VIEW events AS SELECT * FROM read_parquet('$dir/events.parquet')")
+         |for g, v in con.sql(${"\"\"\""}$sql${"\"\"\""}).fetchall():
+         |    print(f"{g}\\t{v}")
+         |""".stripMargin
+    val out = new StringBuilder
+    val rc = scala.sys.process.Process(Seq("python3", "-c", py),
+      new java.io.File(".")).!(
+        scala.sys.process.ProcessLogger(l => out.append(l).append('\n'), _ => ()))
+    assert(rc == 0, s"duckdb oracle failed:\n$out")
+    out.toString.linesIterator.filter(_.nonEmpty).map { l =>
+      val Array(g, v) = l.split('\t'); g -> v.toDouble
+    }.toMap
+  }
+
+  test("a4 approx distinct: within the declared HLL error band of DuckDB's exact count") {
+    // a4 is rows-only in the driver gate (a sketch estimate can't hash-
+    // match an exact count); this pins the QUANTIFIED contract instead
+    // (VERDICT r9 next #7): approx_count_distinct(rsd=0.02) must land
+    // within 3·rsd = 6% of the exact per-group distinct count.
+    assume(oracleToolingPresent, "python3 + duckdb not available")
+    val exact = duckdb(
+      "SELECT event_type, COUNT(DISTINCT user_id) FROM events GROUP BY 1")
+    val approx = operators.Aggregates.queries("a4_approx_distinct")(
+        spark, sf("sf0.001")).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (g, a) =>
+      val e = exact(g)
+      val relErr = math.abs(a - e) / math.max(e, 1.0)
+      assert(relErr <= 0.06,
+        s"group $g: approx $a vs exact $e — rel err $relErr > 6% band")
+    }
+  }
+
+  test("a8b approx percentile: within the declared GK rank band of DuckDB's exact median") {
+    // percentile_approx(.., accuracy=10000) guarantees a value whose
+    // RANK is within n/10000 of the true median's; on this corpus that
+    // is a handful of neighboring samples, bounded here by a 2% value
+    // band around DuckDB's interpolated quantile_cont (the engine
+    // returns a member of the input, so exact equality is impossible
+    // by design — hence rows-only in the driver gate).
+    assume(oracleToolingPresent, "python3 + duckdb not available")
+    val exact = duckdb(
+      "SELECT event_type, quantile_cont(value, 0.5) FROM events GROUP BY 1")
+    val approx = operators.Aggregates.queries("a8b_approx_percentile")(
+        spark, sf("sf0.001")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (g, a) =>
+      val e = exact(g)
+      val relErr = math.abs(a - e) / math.max(math.abs(e), 1.0)
+      assert(relErr <= 0.02,
+        s"group $g: approx median $a vs exact $e — rel err $relErr > 2% band")
+    }
+  }
 }

@@ -80,4 +80,73 @@ class SpillSpec extends AnyFunSuite with SparkTestBase {
     assert(spilled > 0L, "cartesian buffer never spilled — threshold knob ineffective")
     assert(spilledRows === inMemory, "spilled run diverged from in-memory run")
   }
+
+  test("a2 hash aggregate: forced sort-based fallback spills and is row-identical") {
+    // the third buffer family (VERDICT r9 next #5): HashAggregateExec
+    // falls back to sort-based aggregation when the hash map can't grow
+    // — Spark's own test hook (testFallbackStartsAt) forces exactly that
+    // path, and the map's dump into UnsafeKVExternalSorter writes real
+    // spill files (diskBytesSpilled > 0 verified).
+    val q = operators.Aggregates.queries("a2_group_agg")
+    val inMemory = q(spark, sf("sf0.001")).collect().map(_.toString).sorted.toSeq
+    var spilledRows: Seq[String] = Seq.empty
+    val spilled = spilledBytes {
+      withConf("spark.sql.TungstenAggregate.testFallbackStartsAt", "1,2") {
+        spilledRows = q(spark, sf("sf0.001")).collect().map(_.toString).sorted.toSeq
+      }
+    }
+    assert(spilled > 0L, "hash-agg fallback never spilled — test hook ineffective")
+    assert(spilledRows === inMemory, "spilled run diverged from in-memory run")
+  }
+
+  test("a7 collect_list: object-hash sort-based fallback is row-identical") {
+    // ObjectHashAggregate's fallback (per-group OBJECT buffers, e.g.
+    // collect_list) is forced by its session-settable row-count
+    // threshold; its sorter only touches disk via the core force-spill
+    // conf or genuine memory pressure, neither reachable per-session on
+    // a shared local context — so this pins the fallback path's
+    // CORRECTNESS, while the disk-write machinery itself (the same
+    // UnsafeKVExternalSorter) is proven by the a2 test above.
+    val q = operators.Aggregates.queries("a7_collect_list")
+    val inMemory = q(spark, sf("sf0.001")).collect().map(_.toString).sorted.toSeq
+    val viaFallback =
+      withConf("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2") {
+        q(spark, sf("sf0.001")).collect().map(_.toString).sorted.toSeq
+      }
+    assert(viaFallback === inMemory, "sort-based fallback diverged from hash path")
+  }
+
+  test("j1 sort-merge join: forced external-sort spill is row-identical and really spills") {
+    // the fourth buffer family: the SortExecs feeding a sort-merge join
+    // run on UnsafeExternalSorter — the sorter that spills under real
+    // memory pressure at 100 TB. Its force-spill element threshold is a
+    // CORE conf (fixed at context creation), so the spill is forced the
+    // way Spark's own SortSuite does it: rewrite the executed plan with
+    // SortExec.testSpillFrequency, which makes the sorter hit disk
+    // every N input rows. Broadcast is banned so the equi-join actually
+    // plans as SMJ with a sort on each side; AQE is off so the physical
+    // tree is inspectable/rewritable directly.
+    val q = operators.Joins.queries("j1_inner_join")
+    val inMemory = q(spark, sf("sf0.001")).collect().map(_.toString).sorted.toSeq
+    var spilledRows: Seq[String] = Seq.empty
+    var sortCount = 0
+    val spilled = spilledBytes {
+      withConf("spark.sql.adaptive.enabled", "false") {
+        withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+          withConf("spark.sql.join.preferSortMergeJoin", "true") {
+            val plan = q(spark, sf("sf0.001")).queryExecution.executedPlan
+            val forced = plan.transform {
+              case s: org.apache.spark.sql.execution.SortExec =>
+                sortCount += 1
+                s.copy(testSpillFrequency = 4)
+            }
+            spilledRows = forced.executeCollectPublic().map(_.toString).sorted.toSeq
+          }
+        }
+      }
+    }
+    assert(sortCount >= 2, s"expected an SMJ with a sort per side, saw $sortCount sorts")
+    assert(spilled > 0L, "external sort never spilled — testSpillFrequency ineffective")
+    assert(spilledRows === inMemory, "spilled run diverged from in-memory run")
+  }
 }
