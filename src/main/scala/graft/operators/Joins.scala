@@ -137,6 +137,39 @@ object Joins {
         .agg(count(lit(1)).as("n_pairs"))
     }),
 
+    // J11: INTERVAL OVERLAP JOIN — both sides are interval sets and a
+    // pair qualifies when the intervals intersect: the two-sided
+    // generalization j7's point-in-window rewrite cannot express (no
+    // equi key exists, and Spark would plan the raw predicate as a
+    // nested-loop cartesian). overlapJoin buckets BOTH sides to
+    // fixed-width time cells and joins on cell equality with a
+    // canonical-ownership conjunct, so the plan is an equi hash join at
+    // any scale (PlanSpec asserts no cartesian/BNLJ). Here: user
+    // sessions (m1's sessionization) against 64 synthetic incident
+    // windows derived deterministically from the event span — "which
+    // sessions were active during each incident", aggregated per
+    // incident. At 100 TB both sides may be fact-sized; the bucketed
+    // join shuffles on the cell key instead of building any broadcast.
+    "j11_overlap_join" -> ((s, d) => {
+      val sess = graft.operators.PipelineOps.queries("m1_sessionize")(s, d)
+      // incident grid from the EVENT span (cheap scan agg — identical
+      // to min(session_start)/max(session_end) by construction, without
+      // consuming the session subtree twice)
+      val b = Tables.events(s, d)
+        .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      val (t0, t1) = (b.getLong(0), b.getLong(1))
+      val step = (t1 - t0) / 64
+      val incidents = s.range(64).select(
+        col("id").as("incident_id"),
+        (lit(t0) + col("id") * lit(step)).as("inc_start"),
+        (lit(t0) + col("id") * lit(step) + lit(TwoHoursUs)).as("inc_end"))
+      overlapJoin(sess, incidents, "session_start", "session_end",
+          "inc_start", "inc_end", TwoHoursUs)
+        .groupBy(col("incident_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // J8: cross join (tiny × tiny only — anything else is a design bug).
     "j8_cross_join" -> ((s, d) => {
       val r = Tables.region(s, d).select(col("r_name"))
@@ -220,7 +253,72 @@ object Joins {
     })
   )
 
+  private val TwoHoursUs = 7200000000L
+
+  /** Generic two-sided interval overlap join. Each side explodes its
+    * interval into the width-`widthUs` time cells it covers
+    * (`sequence(start DIV w, end DIV w)` — integer arithmetic, no
+    * float boundary risk) and the join key is CELL EQUALITY, so
+    * candidates only arise between intervals co-resident in a cell —
+    * never a cartesian. The exact overlap predicate
+    * (aS ≤ bE ∧ bS ≤ aE) is the residual, and the CANONICAL-OWNERSHIP
+    * conjunct — the cell must be the one containing max(aS, bS), which
+    * every overlapping pair covers on both sides — emits each pair
+    * exactly once with no downstream distinct. Explode factor is
+    * span/width per interval; width should be chosen near the typical
+    * interval length (a cost model could derive it from the span
+    * distribution the same way s11Buckets derives widths from bytes).
+    */
+  def overlapJoin(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame,
+      aS: String, aE: String, bS: String, bE: String,
+      widthUs: Long): org.apache.spark.sql.DataFrame = {
+    val ab = a.withColumn("__cell",
+      explode(sequence(expr(s"$aS DIV $widthUs"), expr(s"$aE DIV $widthUs"))))
+    val bb = b.withColumn("__cell2",
+      explode(sequence(expr(s"$bS DIV $widthUs"), expr(s"$bE DIV $widthUs"))))
+    ab.join(bb,
+        col("__cell") === col("__cell2") &&
+        col(aS) <= col(bE) && col(bS) <= col(aE) &&
+        col("__cell") === expr(s"GREATEST($aS, $bS) DIV $widthUs"))
+      .drop("__cell", "__cell2")
+  }
+
   val oracles: Map[String, String] = Map(
+    // j11: sessions (m1's exact CTE chain) × the same deterministic
+    // incident grid, quadratic overlap predicate — fine at oracle
+    // scale, never the engine plan (the engine joins on time cells).
+    "j11_overlap_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        |), f AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |           OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), s0 AS (
+        |  SELECT user_id, us,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM f
+        |), sess AS (
+        |  SELECT user_id, session_id,
+        |    MIN(us) AS session_start, MAX(us) AS session_end
+        |  FROM s0 GROUP BY user_id, session_id
+        |), bounds AS (
+        |  SELECT MIN(us) AS t0, MAX(us) AS t1 FROM e
+        |), inc AS (
+        |  SELECT i AS incident_id,
+        |    t0 + i * ((t1 - t0) // 64) AS inc_start,
+        |    t0 + i * ((t1 - t0) // 64) + 7200000000 AS inc_end
+        |  FROM range(64) r(i), bounds
+        |)
+        |SELECT incident_id, COUNT(*) AS n_sessions,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM sess JOIN inc
+        |  ON session_start <= inc_end AND inc_start <= session_end
+        |GROUP BY incident_id""".stripMargin,
+
     "j1_inner_join" ->
       """SELECT o_orderkey, c_custkey, c_mktsegment, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,

@@ -495,6 +495,67 @@ object PipelineOps {
         .agg(count(lit(1)).as("cluster_size"), min(col("doc_id")).as("rep_id"))
     }),
 
+    // M16: TEMPERATURE-scaled mixture sampling — the multilingual-
+    // training standard (pᵢ ∝ nᵢ^α, α=0.7): low-resource sources are
+    // upsampled relative to their share, high-resource sources
+    // downsampled, with per-source token budgets DERIVED FROM THE DATA
+    // instead of m10's fixture-shaped constants. Per-source totals are
+    // one partial-agg pass (|sources| rows at any scale → the weight
+    // table broadcasts); the take is the same md5-priority sharded
+    // prefix sum as m10 — parallelism scales with shards, not sources.
+    // The 1e-6 nudge inside floor() keeps the budget integer stable
+    // across engines (libm pow may differ in the last ulp; the nudge
+    // dwarfs it without ever spanning a real boundary).
+    "m16_temperature_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val k = hexShardChars(
+        docs.queryExecution.optimizedPlan.stats.sizeInBytes, 1, 64L << 20)
+      val t = docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("n_toks"),
+        md5(concat(lit("tmix:"), col("doc_id").cast(StringType))
+          .cast(BinaryType)).as("pri"))
+      val totals = t.groupBy(col("source")).agg(sum(col("n_toks")).as("src_toks"))
+      val wsum = totals.agg(
+        sum(pow(col("src_toks"), 0.7)).as("wsum"),
+        sum(col("src_toks")).as("all_toks"))
+      val budgets = totals.crossJoin(broadcast(wsum))
+        .select(col("source"),
+          floor(lit(0.3) * col("all_toks") * pow(col("src_toks"), 0.7)
+            / col("wsum") + lit(1e-6)).cast(LongType).as("budget"))
+      val t2 = t.join(broadcast(budgets), "source")
+        .withColumn("__shard", substring(col("pri"), 1, k))
+      shardedRunningSum(t2, "source", "__shard",
+          Seq(col("pri"), col("doc_id")), "n_toks", "cum_toks",
+          BigInt(16).pow(k).toLong)
+        .filter(col("cum_toks") <= col("budget"))
+        .select(col("doc_id"), col("source"), col("n_toks"),
+          col("cum_toks"), col("budget"))
+    }),
+
+    // M17: PEAK CONCURRENCY — the sweep-line classic (how many sessions
+    // are active at once, per day): each session contributes a +1/-1
+    // boundary pair, the GLOBAL time-ordered running sum of deltas is
+    // the concurrency curve, and the per-day max samples its peaks.
+    // The global ordered prefix sum is exactly the m4-family sharded
+    // machinery (range-shard by time, local window, offset join-back) —
+    // a single-task global Window would serialize the whole corpus.
+    // Ties order (us, delta DESC): sessions starting at an instant
+    // count as overlapping sessions ending there; the per-day MAX is
+    // invariant to order within an equal (us, delta) run, so the result
+    // is deterministic even though tie rows may split across shards.
+    "m17_peak_concurrency" -> ((s, d) => {
+      val sess = queries("m1_sessionize")(s, d)
+      val b = sess.select(col("session_start").as("us"), lit(1L).as("delta"))
+        .unionByName(
+          sess.select(col("session_end").as("us"), lit(-1L).as("delta")))
+        .withColumn("__all", lit(0))
+      val ord = Seq(col("us"), col("delta").desc)
+      shardedRunningSum(rangeSharded(b, col("__all"), ord),
+          "__all", "__shard", ord, "delta", "conc", prefixWidth(b))
+        .select(expr("us DIV 86400000000").as("day"), col("conc"))
+        .groupBy(col("day")).agg(max(col("conc")).as("peak"))
+    }),
+
     // M14: Z-ORDER layout — multi-dimensional clustering for scan
     // pruning, the lakehouse technique for fact tables queried by MORE
     // THAN ONE dimension (events by user AND by time): a sort by one
@@ -752,6 +813,62 @@ object PipelineOps {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_toks
         |  FROM t)
         |WHERE cum_toks <= budget""".stripMargin,
+
+    "m16_temperature_mix" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |    md5('tmix:' || CAST(doc_id AS VARCHAR)) AS pri
+        |  FROM documents
+        |), tot AS (
+        |  SELECT source, SUM(n_toks) AS src_toks FROM t GROUP BY source
+        |), s AS (
+        |  SELECT SUM(POW(src_toks, 0.7)) AS wsum, SUM(src_toks) AS all_toks
+        |  FROM tot
+        |), b AS (
+        |  SELECT source,
+        |    CAST(FLOOR(0.3 * all_toks * POW(src_toks, 0.7) / wsum + 1e-6)
+        |         AS BIGINT) AS budget
+        |  FROM tot, s
+        |)
+        |SELECT doc_id, source, n_toks, cum_toks, budget FROM (
+        |  SELECT t.doc_id, t.source, t.n_toks, b.budget,
+        |    CAST(SUM(t.n_toks) OVER (PARTITION BY t.source
+        |      ORDER BY t.pri, t.doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_toks
+        |  FROM t JOIN b USING (source))
+        |WHERE cum_toks <= budget""".stripMargin,
+
+    "m17_peak_concurrency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        |), f AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |           OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), s0 AS (
+        |  SELECT user_id, us,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM f
+        |), sess AS (
+        |  SELECT user_id, session_id,
+        |    MIN(us) AS session_start, MAX(us) AS session_end
+        |  FROM s0 GROUP BY user_id, session_id
+        |), bnd AS (
+        |  SELECT session_start AS us, 1 AS delta FROM sess
+        |  UNION ALL
+        |  SELECT session_end, -1 FROM sess
+        |), c AS (
+        |  SELECT us,
+        |    CAST(SUM(delta) OVER (ORDER BY us, delta DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+        |  FROM bnd
+        |)
+        |SELECT us // 86400000000 AS day, MAX(conc) AS peak
+        |FROM c GROUP BY day""".stripMargin,
 
     "m11_global_shuffle" ->
       """WITH t AS (

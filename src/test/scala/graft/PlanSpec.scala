@@ -320,6 +320,19 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(widths.sliding(2).forall(p => p.head <= p.last), widths.toString)
   }
 
+  test("j11 overlap join plans as an equi join on time cells, no cartesian") {
+    // the raw two-sided overlap predicate has no equi key — unbucketed
+    // it would plan as BroadcastNestedLoop/Cartesian and blow up at
+    // fact×fact scale; the cell-equality rewrite must carry the join
+    val df = graft.operators.Joins
+      .queries("j11_overlap_join")(spark, sf("sf0.001"))
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoop"), p.take(3000))
+    assert(p.contains("Join"), p.take(3000))
+  }
+
   test("m14 z-order width law: fixture floor 16, 100 TB growth, capped") {
     // zOrderWrite's partition count is stats-derived via the same
     // doubling law as s11Buckets (VERDICT r9 next #3) — a fixed 16
