@@ -180,6 +180,24 @@ object ScalarFns {
           expr("parse_url(url, 'HOST')").as("host"),
           expr("parse_url(url, 'PATH')").as("path"),
           expr("parse_url(url, 'QUERY', 'key')").as("qkey"))
+    }),
+
+    // F13: EDIT DISTANCE — levenshtein over adjacent-id document
+    // prefixes (the "how different are consecutive crawl records" QA
+    // probe). Bounded to 32-char prefixes because levenshtein is
+    // O(len²) per pair — unbounded document distance is a design bug,
+    // not a missing feature. The adjacent pairing is an equi self-join
+    // on doc_id+1: one key-clustered shuffle at any scale, never a
+    // cartesian.
+    "f13_edit_distance" -> ((s, d) => {
+      val a = Tables.documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 32).as("p1"))
+      val b = Tables.documents(s, d)
+        .select((col("doc_id") - 1).as("doc_id"),
+          substring(col("text"), 1, 32).as("p2"))
+      a.join(b, "doc_id")
+        .select(col("doc_id"),
+          levenshtein(col("p1"), col("p2")).cast(LongType).as("edit_dist"))
     })
   )
 
@@ -310,6 +328,12 @@ object ScalarFns {
         |  regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
         |  regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
         |  regexp_extract(url, '[?&]key=([^&#]*)', 1) AS qkey
-        |FROM u""".stripMargin
+        |FROM u""".stripMargin,
+
+    "f13_edit_distance" ->
+      """SELECT a.doc_id,
+        |  CAST(levenshtein(substr(a.text, 1, 32), substr(b.text, 1, 32))
+        |       AS BIGINT) AS edit_dist
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1""".stripMargin
   )
 }

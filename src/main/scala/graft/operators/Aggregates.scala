@@ -190,6 +190,24 @@ object Aggregates {
           max(col("o_totalprice")).as("top_price"))
     }),
 
+    // A14: MODE — per-group most-frequent value, with the tie broken
+    // DETERMINISTICALLY toward the smallest value (the built-in mode()
+    // returns an arbitrary tied winner, which can't hash-compare):
+    // count per (group, value), then min_by over the (-count, value)
+    // struct = max count, then min value. Two hash aggregates, both
+    // partial-agg map-side; the DuckDB twin uses the same struct-ordered
+    // min + field extract as a13.
+    "a14_mode" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("user_id"))
+        .agg(
+          min_by(col("event_type"),
+            struct((-col("cnt")).as("nc"), col("event_type"))).as("mode_type"),
+          max(col("cnt")).as("mode_cnt"))
+    }),
+
     // A12: statistical aggregate family — sample stddev/variance and the
     // two-column moments (correlation, covariance) over the price/
     // quantity pair. All single-pass partial+final aggregates (Spark's
@@ -276,6 +294,14 @@ object Aggregates {
         |  (min({'p': o_totalprice, 'k': o_orderkey})).k AS cheapest_order,
         |  MAX(o_totalprice) AS top_price
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "a14_mode" ->
+      """SELECT user_id,
+        |  (min({'nc': -cnt, 'v': event_type})).v AS mode_type,
+        |  MAX(cnt) AS mode_cnt
+        |FROM (SELECT user_id, event_type, COUNT(*) AS cnt
+        |      FROM events GROUP BY 1, 2)
+        |GROUP BY user_id""".stripMargin,
 
     "a12_stats_agg" ->
       """SELECT l_returnflag,

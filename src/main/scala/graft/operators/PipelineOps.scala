@@ -556,6 +556,29 @@ object PipelineOps {
         .groupBy(col("day")).agg(max(col("conc")).as("peak"))
     }),
 
+    // M18: SCD TYPE-2 HISTORY — the effective-dated dimension build:
+    // fold a change log into (key, value, valid_from, valid_to,
+    // is_current) rows, the lakehouse answer to "what was this row's
+    // value AT version v". Change log synthesized deterministically
+    // from the fixture (every key gets v1; %10 keys a v2; %100 keys a
+    // v3 — m2's convention); the fold is one key-clustered shuffle +
+    // lead() window, exactly the shape at any scale. The +10/+20 value
+    // bumps (not ×1.1) keep the doubles identical cross-engine without
+    // betting on rounding-rule agreement.
+    "m18_scd2_history" -> ((s, d) => {
+      val base = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_totalprice").as("v"), lit(1L).as("eff"))
+      val log = base
+        .unionByName(base.filter(col("k") % 10 === 0).select(col("k"),
+          round(col("v") + 10, 2).as("v"), lit(2L).as("eff")))
+        .unionByName(base.filter(col("k") % 100 === 0).select(col("k"),
+          round(col("v") + 20, 2).as("v"), lit(3L).as("eff")))
+      val w = Window.partitionBy(col("k")).orderBy(col("eff"))
+      log.select(col("k"), col("v"), col("eff").as("valid_from"),
+        (lead(col("eff"), 1).over(w) - 1).as("valid_to"),
+        lead(col("eff"), 1).over(w).isNull.as("is_current"))
+    }),
+
     // M14: Z-ORDER layout — multi-dimensional clustering for scan
     // pruning, the lakehouse technique for fact tables queried by MORE
     // THAN ONE dimension (events by user AND by time): a sort by one
@@ -813,6 +836,22 @@ object PipelineOps {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_toks
         |  FROM t)
         |WHERE cum_toks <= budget""".stripMargin,
+
+    "m18_scd2_history" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS v, CAST(1 AS BIGINT) AS eff
+        |  FROM orders
+        |), chlog AS (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT k, ROUND(v + 10, 2), 2 FROM base WHERE k % 10 = 0
+        |  UNION ALL
+        |  SELECT k, ROUND(v + 20, 2), 3 FROM base WHERE k % 100 = 0
+        |)
+        |SELECT k, v, eff AS valid_from,
+        |  LEAD(eff) OVER w - 1 AS valid_to,
+        |  LEAD(eff) OVER w IS NULL AS is_current
+        |FROM chlog WINDOW w AS (PARTITION BY k ORDER BY eff)""".stripMargin,
 
     "m16_temperature_mix" ->
       """WITH t AS (
