@@ -303,6 +303,44 @@ object StreamCheck {
       Res(got == Map(false -> (3L, 3L), true -> (2L, 0L)), rows, batches)
     }
 
+    scenario("t13_rocksdb_state") {
+      // 24/7 large-state posture: the default HDFS-backed state store
+      // keeps every key on the executor HEAP — at 100 TB key spaces
+      // that is the OOM, and the documented answer is the RocksDB
+      // provider (state native + on-disk, incremental snapshots). Run
+      // the t2 tumbling aggregate on RocksDB across two batches (the
+      // second UPDATES existing window state, exercising read-back);
+      // counts must match the heap provider's and the query progress
+      // must PROVE RocksDB engaged (rocksdb* custom metrics).
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try {
+        val in = MemoryStream[Ev](spark)
+        val q = Streams.tumblingCounts(in.toDF(), "1 minute")
+          .writeStream.format("memory").queryName("sc_t13")
+          .outputMode("complete").start()
+        in.addData(ev(1, 0), ev(2, 0), ev(3, 1), ev(4, 2, typ = "view"))
+        q.processAllAvailable()
+        in.addData(ev(5, 1)) // second batch re-opens the 10:01 window
+        q.processAllAvailable()
+        val usedRocks = Option(q.lastProgress).exists(_.stateOperators.exists(
+          _.customMetrics.keySet().toArray
+            .exists(_.toString.toLowerCase.contains("rocksdb"))))
+        val batches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(0L)
+        q.stop()
+        val got = spark.table("sc_t13")
+          .select(date_format($"w_start", "HH:mm"), $"event_type", $"n")
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+        Res(usedRocks && got == Set(("10:00", "click", 2L),
+          ("10:01", "click", 2L), ("10:02", "view", 1L)), got.size, batches)
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+
     scenario("t10_stream_static_enrich") {
       val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
       val in = MemoryStream[Ev](spark)

@@ -109,6 +109,33 @@ object Ingest {
     // list ONE year directory, not the table (PlanSpec asserts
     // PartitionFilters; PLANS.md carries the committed plan — VERDICT r4
     // item 8). Oracle: the same 1997 slice recomputed from the source.
+    // S13: DYNAMIC partition pruning — s6b prunes on a literal; here
+    // the partition filter is only knowable AT RUNTIME (the fact joins
+    // a dim filtered on a NON-partition attribute), which is the shape
+    // partitioned fact scans actually take at 100 TB: Spark broadcasts
+    // the filtered dim, turns its partition-key values into an
+    // InSubquery partition filter on the scan, and reads one year
+    // instead of seven. PlanSpec asserts the `dynamicpruning`
+    // expression reached the scan's PartitionFilters.
+    "s13_dynamic_pruning" -> ((s, d) => {
+      val out = tmp("graft_s13_orders_by_year")
+      Tables.orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .repartition(col("o_year"))
+        .write.mode("overwrite").partitionBy("o_year").parquet(out)
+      s.sql("DROP TABLE IF EXISTS s13_orders_by_year")
+      s.sql(s"CREATE TABLE s13_orders_by_year USING parquet LOCATION '$out'")
+      s.sql("ALTER TABLE s13_orders_by_year RECOVER PARTITIONS")
+      val dim = s.range(1992, 1999)
+        .select(col("id").cast(IntegerType).as("d_year"))
+        .withColumn("label", concat(lit("Y"), col("d_year")))
+      s.table("s13_orders_by_year")
+        .join(dim.filter(col("label") === "Y1997"),
+          col("o_year") === col("d_year"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+    }),
+
     "s6b_partition_pruned_read" -> ((s, d) => {
       val out = tmp("graft_s6b_orders_by_year")
       Tables.orders(s, d)
@@ -319,6 +346,14 @@ object Ingest {
       s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
          |  ${sqlDsum("o_totalprice")} AS total
          |FROM orders WHERE year(o_orderdate) = 1997
+         |GROUP BY o_orderstatus""".stripMargin,
+
+    "s13_dynamic_pruning" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+         |  ${sqlDsum("o_totalprice")} AS total
+         |FROM orders
+         |WHERE year(o_orderdate) IN (
+         |  SELECT y FROM range(1992, 1999) r(y) WHERE 'Y' || y = 'Y1997')
          |GROUP BY o_orderstatus""".stripMargin,
 
     "s11_bucketed_join" ->

@@ -320,6 +320,18 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(widths.sliding(2).forall(p => p.head <= p.last), widths.toString)
   }
 
+  test("s13: runtime dim filter reaches the fact scan as a dynamic partition filter") {
+    // the 100 TB point: the year filter lives on a NON-partition dim
+    // attribute, so only dynamic partition pruning (broadcast dim →
+    // InSubquery partition filter) can keep the fact scan from reading
+    // all seven years
+    val df = graft.sources.Ingest
+      .queries("s13_dynamic_pruning")(spark, sf("sf0.001"))
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("dynamicpruning"), p.take(3000))
+  }
+
   test("j11 overlap join plans as an equi join on time cells, no cartesian") {
     // the raw two-sided overlap predicate has no equi key — unbucketed
     // it would plan as BroadcastNestedLoop/Cartesian and blow up at
