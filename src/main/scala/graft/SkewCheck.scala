@@ -127,7 +127,12 @@ object SkewCheck {
       Run("m4_token_budget", "m4_token_budget"),
       Run("m9_sequence_pack", "m9_sequence_pack"),
       Run("m10_mixture_sample", "m10_mixture_sample"),
-      Run("m11_global_shuffle", "m11_global_shuffle"))
+      Run("m11_global_shuffle", "m11_global_shuffle"),
+      // r10 prefix-sum-family additions: m16's budgets concentrate on
+      // the 90%-hot source, m17's boundary stream contains the hot
+      // user's one giant session
+      Run("m16_temperature_mix", "m16_temperature_mix"),
+      Run("m17_peak_concurrency", "m17_peak_concurrency"))
 
     var allPass = true
     val entries = runs.map { r =>

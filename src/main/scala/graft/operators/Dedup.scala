@@ -648,7 +648,7 @@ object Dedup {
     "l2g_minhash_policy" -> ((s, d) => {
       val path = policyDumpPath("l2g_pairs")
       minhashVerifiedPairs(Tables.documents(s, d))
-        .coalesce(1).write.mode("overwrite").parquet(path)
+        .write.mode("overwrite").parquet(path) // multi-part ok: the oracle globs *.parquet
       val removed = s.read.parquet(path)
         .select(col("d2").as("doc_id")).distinct()
       Tables.documents(s, d).join(removed, Seq("doc_id"), "left_anti")
@@ -662,7 +662,7 @@ object Dedup {
       val path = policyDumpPath("l2h_pairs")
       val sh = queries("l2b_simhash")(s, d).coalesce(8)
       simhashBandPairs(sh, pinPartitions = Some(8))
-        .coalesce(1).write.mode("overwrite").parquet(path)
+        .write.mode("overwrite").parquet(path) // multi-part ok: the oracle globs *.parquet
       val removed = s.read.parquet(path)
         .select(col("dst").as("doc_id")).distinct()
       Tables.documents(s, d).join(removed, Seq("doc_id"), "left_anti")
