@@ -300,6 +300,92 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("overlapJoin ≡ brute-force overlap, each pair exactly once (J11 law)") {
+    import spark.implicits._
+    // random closed intervals; width deliberately OFF the interval
+    // length scale so intervals span 0..many cells — the ownership
+    // conjunct must still emit every overlapping pair exactly once
+    val ivGen = for {
+      s <- Gen.choose(0L, 100000L)
+      len <- Gen.choose(0L, 30000L)
+    } yield (s, s + len)
+    for (seed <- 1L to 5L) {
+      val as = sample(Gen.listOfN(25, ivGen), seed)
+        .zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+      val bs = sample(Gen.listOfN(25, ivGen), seed + 100)
+        .zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+      val got = graft.operators.Joins.overlapJoin(
+          as.toDF("aid", "s1", "e1"), bs.toDF("bid", "s2", "e2"),
+          "s1", "e1", "s2", "e2", 7000L)
+        .select($"aid", $"bid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val want = (for {
+        (ai, s1, e1) <- as; (bi, s2, e2) <- bs
+        if s1 <= e2 && s2 <= e1
+      } yield (ai, bi)).sorted
+      // SEQUENCE equality, not set: proves exactly-once emission (a
+      // broken ownership conjunct would duplicate co-resident pairs)
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
+  test("m16 temperature mix ≡ scala brute force on random corpora") {
+    import spark.implicits._
+    val srcGen = Gen.oneOf("src0", "src1", "src2", "src3")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    for (seed <- 1L to 3L) {
+      val docs = sample(Gen.listOfN(60, Gen.zip(docGen, srcGen)), seed)
+        .zipWithIndex.map { case ((t, src), i) => (i.toLong, t, "en", src,
+          t.length.toLong) }
+      val dir = java.nio.file.Files.createTempDirectory("prop_m16").toString
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = graft.operators.PipelineOps
+        .queries("m16_temperature_mix")(spark, dir)
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      // independent mirror: α=0.7 weights over per-source token totals,
+      // budgets = floor(0.3·Σn·wᵢ/Σw + 1e-6), take each source's
+      // md5-priority prefix while the running token sum fits
+      val toks = docs.map { case (id, t, _, src, _) =>
+        (id, src, t.split(" ").length.toLong) }
+      val bySrc = toks.groupBy(_._2)
+      val allToks = toks.map(_._3).sum
+      val wsum = bySrc.values.map(g => math.pow(g.map(_._3).sum.toDouble, 0.7)).sum
+      val want = bySrc.flatMap { case (src, g) =>
+        val budget = math.floor(0.3 * allToks *
+          math.pow(g.map(_._3).sum.toDouble, 0.7) / wsum + 1e-6).toLong
+        var cum = 0L
+        g.map { case (id, _, n) => (md5hex(s"tmix:$id"), id, n) }
+          .sortBy(t => (t._1, t._2))
+          .flatMap { case (_, id, n) =>
+            cum += n; if (cum <= budget) Some(id) else None }
+      }.toSet
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
+  test("m18 SCD2 invariants: one current row per key, contiguous version ranges") {
+    val out = graft.operators.PipelineOps
+      .queries("m18_scd2_history")(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(2),
+        if (r.isNullAt(3)) Long.MaxValue else r.getLong(3),
+        r.getBoolean(4)))
+    val byKey = out.groupBy(_._1)
+    byKey.foreach { case (k, rows) =>
+      assert(rows.count(_._4) === 1, s"key $k: exactly one is_current")
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.last._3 === Long.MaxValue, s"key $k: open-ended tail")
+      sorted.sliding(2).foreach {
+        case Array((_, _, to1, _), (_, from2, _, _)) =>
+          assert(to1 + 1 === from2, s"key $k: ranges contiguous")
+        case _ => ()
+      }
+    }
+    assert(byKey.nonEmpty)
+  }
+
   test("PGN rendering is total on arbitrary games (R10 law)") {
     val optStr = Gen.option(Gen.oneOf(Gen.alphaNumStr,
       Gen.const("with \"quotes\" and\nnewlines")))
