@@ -671,13 +671,18 @@ object Dedup {
   )
 
   /** Deterministic tmp location for a policy-oracle pair dump — shared
-    * by the engine entry (writer) and its DuckDB oracle SQL (reader);
-    * both always run within one Verify/check pass at one SF, so the
-    * fixed path is race-free by construction.
+    * by the engine entry (writer) and its DuckDB oracle SQL (reader).
+    * Within one Verify/check pass the write strictly precedes the read,
+    * so the path is race-free; the working-directory hash tag keeps two
+    * CHECKOUTS on one host from clobbering each other's dumps (the s11
+    * cross-session lesson, ADVICE r8) while staying identical between
+    * the entry and its oracle string (both interpolate at class init).
     */
-  private[graft] def policyDumpPath(name: String): String =
+  private[graft] def policyDumpPath(name: String): String = {
+    val tag = Integer.toHexString(System.getProperty("user.dir").hashCode)
     java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_$name.parquet").toString
+      s"graft_${tag}_$name.parquet").toString
+  }
 
   /** Exact top-k doc pairs by word-3-gram jaccard, via PREFIX FILTERING
     * (Chaudhuri et al., "A Primitive Operator for Similarity Joins",

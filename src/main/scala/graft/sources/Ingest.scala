@@ -118,18 +118,22 @@ object Ingest {
     // instead of seven. PlanSpec asserts the `dynamicpruning`
     // expression reached the scan's PartitionFilters.
     "s13_dynamic_pruning" -> ((s, d) => {
-      val out = tmp("graft_s13_orders_by_year")
+      // table/path names derive from the data dir like s11's (ADVICE r8:
+      // fixed names let sessions over different fixtures clobber)
+      val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
+      val tbl = s"s13_orders_by_year_$tag"
+      val out = tmp(s"graft_s13_orders_by_year_$tag")
       Tables.orders(s, d)
         .withColumn("o_year", year(col("o_orderdate")))
         .repartition(col("o_year"))
         .write.mode("overwrite").partitionBy("o_year").parquet(out)
-      s.sql("DROP TABLE IF EXISTS s13_orders_by_year")
-      s.sql(s"CREATE TABLE s13_orders_by_year USING parquet LOCATION '$out'")
-      s.sql("ALTER TABLE s13_orders_by_year RECOVER PARTITIONS")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl USING parquet LOCATION '$out'")
+      s.sql(s"ALTER TABLE $tbl RECOVER PARTITIONS")
       val dim = s.range(1992, 1999)
         .select(col("id").cast(IntegerType).as("d_year"))
         .withColumn("label", concat(lit("Y"), col("d_year")))
-      s.table("s13_orders_by_year")
+      s.table(tbl)
         .join(dim.filter(col("label") === "Y1997"),
           col("o_year") === col("d_year"))
         .groupBy(col("o_orderstatus"))
