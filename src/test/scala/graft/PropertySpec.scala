@@ -386,6 +386,33 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     assert(byKey.nonEmpty)
   }
 
+  test("deletion-neighborhood blocking covers every levenshtein≤1 pair (J12 law)") {
+    // FastSS soundness for the fuzzy join's candidate generation: if
+    // lev(a,b) ≤ 1 then their {self}∪{single-char deletions} sets
+    // intersect — tested exhaustively-ish on a tiny alphabet (which
+    // maximizes near-pairs) against a reference DP levenshtein
+    def dels(s: String): Set[String] =
+      s.indices.map(i => s.take(i) + s.drop(i + 1)).toSet + s
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val strGen = for {
+      n <- Gen.choose(1, 6)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    for (seed <- 1L to 10L) {
+      val xs = sample(Gen.listOfN(40, strGen), seed).distinct
+      for (a <- xs; b <- xs if lev(a, b) <= 1)
+        assert(dels(a).intersect(dels(b)).nonEmpty,
+          s"seed=$seed: blocking missed ($a, $b)")
+    }
+  }
+
   test("PGN rendering is total on arbitrary games (R10 law)") {
     val optStr = Gen.option(Gen.oneOf(Gen.alphaNumStr,
       Gen.const("with \"quotes\" and\nnewlines")))
