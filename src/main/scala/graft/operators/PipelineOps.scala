@@ -543,22 +543,14 @@ object PipelineOps {
     // count as overlapping sessions ending there; the per-day MAX is
     // invariant to order within an equal (us, delta) run, so the result
     // is deterministic even though tie rows may split across shards.
-    "m17_peak_concurrency" -> ((s, d) => {
-      val sess = queries("m1_sessionize")(s, d)
-      // one boundary pair per session via explode — a union of two
-      // selects would plan the whole sessionize window subtree TWICE
-      // (measured: +0.4 s at sf0.1, 2× the session scan at any scale)
-      val b = sess.select(explode(array(
-          struct(col("session_start").as("us"), lit(1L).as("delta")),
-          struct(col("session_end").as("us"), lit(-1L).as("delta")))).as("b"))
-        .select(col("b.us").as("us"), col("b.delta").as("delta"))
-        .withColumn("__all", lit(0))
-      val ord = Seq(col("us"), col("delta").desc)
-      shardedRunningSum(rangeSharded(b, col("__all"), ord),
-          "__all", "__shard", ord, "delta", "conc", prefixWidth(b))
-        .select(expr("us DIV 86400000000").as("day"), col("conc"))
-        .groupBy(col("day")).agg(max(col("conc")).as("peak"))
-    }),
+    "m17_peak_concurrency" -> ((s, d) =>
+      peakConcurrency(queries("m1_sessionize")(s, d),
+        // Plan-stats gate (the l3/threshold-join pattern): the boundary
+        // stream is 2 rows/session — ~1/50th of the events that
+        // produced it — so it clears ~32 MB of boundaries only when
+        // events clear ~1.6 GB
+        forceSharded = Tables.events(s, d)
+          .queryExecution.optimizedPlan.stats.sizeInBytes > (1600L << 20))),
 
     // M18: SCD TYPE-2 HISTORY — the effective-dated dimension build:
     // fold a change log into (key, value, valid_from, valid_to,
@@ -664,6 +656,37 @@ object PipelineOps {
           .otherwise("test").as("split"))
     })
   )
+
+  /** m17's kernel on any (user_id, session_id, session_start,
+    * session_end) frame. One boundary pair per session via explode — a
+    * union of two selects would plan the whole sessionize subtree
+    * TWICE (measured: +0.4 s at sf0.1, 2× the session scan at any
+    * scale). A CONSTANT-key prefix sum over a small boundary stream is
+    * optimal on one ordered task (range-shard sampling + offset
+    * join-back are pure overhead there: 1.2 → 0.7 s at sf0.1); at
+    * scale the caller forces the sharded two-level machinery — the
+    * global Window would serialize TBs onto one task. PrefixSumSpec
+    * pins both arms value-identical on the same input.
+    */
+  private[graft] def peakConcurrency(sess: DataFrame,
+      forceSharded: Boolean): DataFrame = {
+    val b = sess.select(explode(array(
+        struct(col("session_start").as("us"), lit(1L).as("delta")),
+        struct(col("session_end").as("us"), lit(-1L).as("delta")))).as("b"))
+      .select(col("b.us").as("us"), col("b.delta").as("delta"))
+      .withColumn("__all", lit(0))
+    val ord = Seq(col("us"), col("delta").desc)
+    val conc =
+      if (forceSharded)
+        shardedRunningSum(rangeSharded(b, col("__all"), ord),
+          "__all", "__shard", ord, "delta", "conc", prefixWidth(b))
+      else
+        b.withColumn("conc", sum(col("delta")).over(
+          Window.orderBy(ord: _*)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    conc.select(expr("us DIV 86400000000").as("day"), col("conc"))
+      .groupBy(col("day")).agg(max(col("conc")).as("peak"))
+  }
 
   val oracles: Map[String, String] = Map(
     // m5b: transitive closure over the engine's dumped doc-level edge

@@ -143,6 +143,20 @@ class PrefixSumSpec extends AnyFunSuite with SparkTestBase {
     assert(PipelineOps.hexShardChars(BigInt(10).pow(30), 2, 1L) == 8)
   }
 
+  test("m17 peak concurrency: sharded arm ≡ plain-window arm (constant-key shape)") {
+    // the entry's plan-stats gate picks the plain global window at
+    // fixture scale, so this pins the SHARDED arm (the 100 TB path,
+    // constant part key + desc tiebreak ordering — a shape the m4-form
+    // equivalence tests don't cover) against it on the same sessions
+    val sess = PipelineOps.queries("m1_sessionize")(spark, sf("sf0.001"))
+    def peaks(sharded: Boolean) =
+      PipelineOps.peakConcurrency(sess, forceSharded = sharded)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = peaks(sharded = false)
+    assert(plain === peaks(sharded = true))
+    assert(plain.nonEmpty)
+  }
+
   test("m11 shard assignment is (seed, doc_id)-stable for a given width") {
     // the shard hash never depends on the width law: widening k only
     // reads MORE prefix chars, so a shard at k+1 nests inside its k
