@@ -660,8 +660,15 @@ object Dedup {
     // both engines. DedupSpec pins l2h ≡ l2b2.
     "l2h_simhash_policy" -> ((s, d) => {
       val path = policyDumpPath("l2h_pairs")
-      val sh = queries("l2b_simhash")(s, d).coalesce(8)
-      simhashBandPairs(sh, pinPartitions = Some(8))
+      // same small-input stats gate as the production twin l2b2 (ADVICE
+      // r10): unconditional coalesce(8) would serialize the band joins
+      // onto 8 partitions on a big fixture, diverging from the scale
+      // posture the twin is meant to mirror
+      val small = Tables.documents(s, d)
+        .queryExecution.optimizedPlan.stats.sizeInBytes <= (32L << 20)
+      val sh0 = queries("l2b_simhash")(s, d)
+      val sh = if (small) sh0.coalesce(8) else sh0
+      simhashBandPairs(sh, pinPartitions = if (small) Some(8) else None)
         .write.mode("overwrite").parquet(path) // multi-part ok: the oracle globs *.parquet
       val removed = s.read.parquet(path)
         .select(col("dst").as("doc_id")).distinct()
@@ -677,11 +684,41 @@ object Dedup {
     * CHECKOUTS on one host from clobbering each other's dumps (the s11
     * cross-session lesson, ADVICE r8) while staying identical between
     * the entry and its oracle string (both interpolate at class init).
+    *
+    * The per-JVM nonce (ADVICE r10) is the freshness marker: the entry
+    * and its oracle SQL interpolate the SAME nonce because they live in
+    * one JVM, but a dump left by an OLDER run (or written concurrently
+    * by a second session in the same checkout — bench alongside verify)
+    * lands at a different path, so a stale or mid-overwrite read fails
+    * loudly (no such file) instead of silently validating pairs
+    * produced by other code. Nonce'd dumps from runs >6 h old are
+    * pruned here (concurrent sessions are minutes apart; prior rounds'
+    * dumps would otherwise accumulate in tmp forever).
     */
+  private val policyRunNonce: String = java.lang.Long.toHexString(
+    ProcessHandle.current().pid() * 1000003L ^
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime)
+
   private[graft] def policyDumpPath(name: String): String = {
     val tag = Integer.toHexString(System.getProperty("user.dir").hashCode)
-    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_${tag}_$name.parquet").toString
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+    val prefix = s"graft_${tag}_"
+    try {
+      val it = java.nio.file.Files.list(tmp).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val fn = p.getFileName.toString
+        if (fn.startsWith(prefix) && fn.endsWith(s"_$name.parquet") &&
+            !fn.contains(s"_${policyRunNonce}_") &&
+            java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
+    } catch { case _: java.io.IOException => () } // pruning is best-effort
+    tmp.resolve(s"${prefix}${policyRunNonce}_$name.parquet").toString
   }
 
   /** Exact top-k doc pairs by word-3-gram jaccard, via PREFIX FILTERING

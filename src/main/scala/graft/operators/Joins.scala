@@ -151,7 +151,11 @@ object Joins {
     // incident. At 100 TB both sides may be fact-sized; the bucketed
     // join shuffles on the cell key instead of building any broadcast.
     "j11_overlap_join" -> ((s, d) => {
+      // localCheckpoint: overlapJoin's span-stats pass consumes the
+      // session frame a second time; pinning the (session-grain, small)
+      // result keeps the sessionize window from running twice
       val sess = graft.operators.PipelineOps.queries("m1_sessionize")(s, d)
+        .localCheckpoint()
       // incident grid from the EVENT span (cheap scan agg — identical
       // to min(session_start)/max(session_end) by construction, without
       // consuming the session subtree twice)
@@ -318,22 +322,39 @@ object Joins {
     * conjunct — the cell must be the one containing max(aS, bS), which
     * every overlapping pair covers on both sides — emits each pair
     * exactly once with no downstream distinct. Explode factor is
-    * span/width per interval; width should be chosen near the typical
-    * interval length (a cost model could derive it from the span
-    * distribution the same way s11Buckets derives widths from bytes).
+    * span/width per interval.
+    *
+    * Width guard (ADVICE r10): the caller's `widthUs` is a LOWER-bound
+    * hint near the typical interval length; before exploding, one
+    * narrow agg pass over both sides (the s11Buckets derive-from-data
+    * pattern) reads the max observed span and WIDENS the cell so no
+    * single row fans out past `maxCellsPerRow` cells — a lone
+    * long-lived interval (the skew fixture's giant hot-user session
+    * against 2-hour cells) would otherwise expand one input row into
+    * thousands of cell rows on one task. Widening is always safe:
+    * width shapes the plan, never the result (the exact overlap
+    * predicate is the residual). Callers with an expensive upstream
+    * subtree should materialize it first (see j11) so the stats pass
+    * doesn't recompute it.
     */
   def overlapJoin(a: org.apache.spark.sql.DataFrame,
       b: org.apache.spark.sql.DataFrame,
       aS: String, aE: String, bS: String, bE: String,
-      widthUs: Long): org.apache.spark.sql.DataFrame = {
+      widthUs: Long, maxCellsPerRow: Int = 1024): org.apache.spark.sql.DataFrame = {
+    val spanRow = a.select((col(aE) - col(aS)).as("__sp"))
+      .unionByName(b.select((col(bE) - col(bS)).as("__sp")))
+      .agg(max(col("__sp"))).head()
+    val w =
+      if (spanRow.isNullAt(0)) widthUs
+      else math.max(widthUs, spanRow.getLong(0) / maxCellsPerRow + 1)
     val ab = a.withColumn("__cell",
-      explode(sequence(expr(s"$aS DIV $widthUs"), expr(s"$aE DIV $widthUs"))))
+      explode(sequence(expr(s"$aS DIV $w"), expr(s"$aE DIV $w"))))
     val bb = b.withColumn("__cell2",
-      explode(sequence(expr(s"$bS DIV $widthUs"), expr(s"$bE DIV $widthUs"))))
+      explode(sequence(expr(s"$bS DIV $w"), expr(s"$bE DIV $w"))))
     ab.join(bb,
         col("__cell") === col("__cell2") &&
         col(aS) <= col(bE) && col(bS) <= col(aE) &&
-        col("__cell") === expr(s"GREATEST($aS, $bS) DIV $widthUs"))
+        col("__cell") === expr(s"GREATEST($aS, $bS) DIV $w"))
       .drop("__cell", "__cell2")
   }
 

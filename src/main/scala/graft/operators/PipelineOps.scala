@@ -474,7 +474,13 @@ object PipelineOps {
     // m5b ≡ m5.
     "m5b_cluster_policy" -> ((s, d) => {
       val path = Dedup.policyDumpPath("m5b_edges")
-      val sh = Dedup.queries("l2b_simhash")(s, d).coalesce(8).cache()
+      // same small-input stats gate as the production twin m5 (ADVICE
+      // r10): compact only when the corpus is small so the twin stays
+      // plan-equivalent to the entry it hash-checks
+      val small = Tables.documents(s, d)
+        .queryExecution.optimizedPlan.stats.sizeInBytes <= (32L << 20)
+      val sh0 = Dedup.queries("l2b_simhash")(s, d)
+      val sh = (if (small) sh0.coalesce(8) else sh0).cache()
       sh.count()
       val reps = sh.groupBy(col("simhash")).agg(min(col("doc_id")).as("rep"))
       val memberEdges = sh.join(reps, "simhash")
@@ -482,7 +488,7 @@ object PipelineOps {
         .select(col("rep").as("src"), col("doc_id").as("dst"))
       val repEdges = Dedup.simhashBandPairs(
         reps.select(col("rep").as("doc_id"), col("simhash")),
-        pinPartitions = Some(8))
+        pinPartitions = if (small) Some(8) else None)
       memberEdges.unionByName(repEdges)
         .write.mode("overwrite").parquet(path) // multi-part ok: the oracle globs *.parquet
       sh.unpersist()
@@ -544,13 +550,11 @@ object PipelineOps {
     // invariant to order within an equal (us, delta) run, so the result
     // is deterministic even though tie rows may split across shards.
     "m17_peak_concurrency" -> ((s, d) =>
-      peakConcurrency(queries("m1_sessionize")(s, d),
-        // Plan-stats gate (the l3/threshold-join pattern): the boundary
-        // stream is 2 rows/session — ~1/50th of the events that
-        // produced it — so it clears ~32 MB of boundaries only when
-        // events clear ~1.6 GB
-        forceSharded = Tables.events(s, d)
-          .queryExecution.optimizedPlan.stats.sizeInBytes > (1600L << 20))),
+      // arm gate derived inside peakConcurrency from the BOUNDARY
+      // stream's own plan stats (r10 VERDICT next #7 — the previous
+      // hand-derived 1.6 GB literal on the events table encoded
+      // "boundaries ≈ events/50" as a fixture-shaped constant)
+      peakConcurrency(queries("m1_sessionize")(s, d))),
 
     // M18: SCD TYPE-2 HISTORY — the effective-dated dimension build:
     // fold a change log into (key, value, valid_from, valid_to,
@@ -664,20 +668,34 @@ object PipelineOps {
     * scale). A CONSTANT-key prefix sum over a small boundary stream is
     * optimal on one ordered task (range-shard sampling + offset
     * join-back are pure overhead there: 1.2 → 0.7 s at sf0.1); at
-    * scale the caller forces the sharded two-level machinery — the
-    * global Window would serialize TBs onto one task. PrefixSumSpec
-    * pins both arms value-identical on the same input.
+    * scale the sharded two-level machinery takes over — the global
+    * Window would serialize TBs onto one task. PrefixSumSpec pins both
+    * arms value-identical on the same input.
+    *
+    * Arm gate: the BOUNDARY stream's own optimizedPlan stats (not the
+    * upstream events table — r10's 1.6 GB events literal hand-encoded
+    * the boundary/event ratio). Catalyst's size-only estimator scales
+    * the session subtree by row width and cannot see the sessionize
+    * aggregation collapse rows ~50×, so the estimate OVERSTATES the
+    * real boundary bytes ~30× — the 256 MB threshold therefore flips
+    * to the sharded arm at ~8 MB of actual boundary rows: late enough
+    * that every fixture scale keeps the cheaper single-task window
+    * (estimate at sf0.1 is ~0.6 MB), early enough that one task is
+    * never asked to sort a boundary stream of consequence. Overriding
+    * `forceSharded` pins an arm for specs.
     */
   private[graft] def peakConcurrency(sess: DataFrame,
-      forceSharded: Boolean): DataFrame = {
+      forceSharded: Option[Boolean] = None): DataFrame = {
     val b = sess.select(explode(array(
         struct(col("session_start").as("us"), lit(1L).as("delta")),
         struct(col("session_end").as("us"), lit(-1L).as("delta")))).as("b"))
       .select(col("b.us").as("us"), col("b.delta").as("delta"))
       .withColumn("__all", lit(0))
     val ord = Seq(col("us"), col("delta").desc)
+    val sharded = forceSharded.getOrElse(
+      b.queryExecution.optimizedPlan.stats.sizeInBytes > (256L << 20))
     val conc =
-      if (forceSharded)
+      if (sharded)
         shardedRunningSum(rangeSharded(b, col("__all"), ord),
           "__all", "__shard", ord, "delta", "conc", prefixWidth(b))
       else

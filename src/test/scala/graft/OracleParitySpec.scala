@@ -75,25 +75,38 @@ class OracleParitySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("a8b approx percentile: within the declared GK rank band of DuckDB's exact median") {
+  test("a8b approx percentile: returned value's exact rank is within the declared GK band") {
     // percentile_approx(.., accuracy=10000) guarantees a value whose
-    // RANK is within n/10000 of the true median's; on this corpus that
-    // is a handful of neighboring samples, bounded here by a 2% value
-    // band around DuckDB's interpolated quantile_cont (the engine
-    // returns a member of the input, so exact equality is impossible
-    // by design — hence rows-only in the driver gate).
+    // RANK is within n/10000 of the target quantile's — it says nothing
+    // about VALUE distance, so the former 2% value band was a property
+    // of this fixture's distribution, not of the operator (ADVICE r10):
+    // on a heavier-tailed corpus neighboring ranks can differ by >2% in
+    // value. Assert the actual contract instead: DuckDB computes the
+    // returned value's exact rank interval [lt+1, le] per group, which
+    // must intersect target ± (n/10000 + 2) (the +2 absorbs boundary
+    // rounding between the two engines' rank conventions).
     assume(oracleToolingPresent, "python3 + duckdb not available")
-    val exact = duckdb(
-      "SELECT event_type, quantile_cont(value, 0.5) FROM events GROUP BY 1")
     val approx = operators.Aggregates.queries("a8b_approx_percentile")(
         spark, sf("sf0.001")).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
-    assert(approx.keySet === exact.keySet)
-    approx.foreach { case (g, a) =>
-      val e = exact(g)
-      val relErr = math.abs(a - e) / math.max(math.abs(e), 1.0)
-      assert(relErr <= 0.02,
-        s"group $g: approx median $a vs exact $e — rel err $relErr > 2% band")
+    val aCase = approx.map { case (g, a) => s"WHEN '$g' THEN $a" }
+      .mkString("CASE event_type ", " ", " END")
+    val n = duckdb("SELECT event_type, COUNT(*) FROM events GROUP BY 1")
+    val lt = duckdb(
+      s"SELECT event_type, SUM(CASE WHEN value < $aCase THEN 1 ELSE 0 END) " +
+        "FROM events GROUP BY 1")
+    val le = duckdb(
+      s"SELECT event_type, SUM(CASE WHEN value <= $aCase THEN 1 ELSE 0 END) " +
+        "FROM events GROUP BY 1")
+    assert(approx.keySet === n.keySet)
+    approx.keySet.foreach { g =>
+      val target = 1.0 + 0.5 * (n(g) - 1) // median rank, 1-based
+      val tol = n(g) / 10000.0 + 2.0
+      assert(le(g) >= target - tol && lt(g) + 1 <= target + tol,
+        s"group $g: value ${approx(g)} occupies ranks [${lt(g) + 1}, ${le(g)}] " +
+          s"— outside median rank $target ± $tol of n=${n(g)}")
+      assert(lt(g) < le(g),
+        s"group $g: approx value ${approx(g)} is not a member of the group")
     }
   }
 }

@@ -150,7 +150,7 @@ class PrefixSumSpec extends AnyFunSuite with SparkTestBase {
     // equivalence tests don't cover) against it on the same sessions
     val sess = PipelineOps.queries("m1_sessionize")(spark, sf("sf0.001"))
     def peaks(sharded: Boolean) =
-      PipelineOps.peakConcurrency(sess, forceSharded = sharded)
+      PipelineOps.peakConcurrency(sess, forceSharded = Some(sharded))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val plain = peaks(sharded = false)
     assert(plain === peaks(sharded = true))
