@@ -149,6 +149,28 @@ object Similarity {
       semDedup(Tables.embeddings(s, d), 0.45)
         .join(Tables.embeddings(s, d).select(col("vec_id"), col("label")), "vec_id")),
 
+    // L12b: removal-POLICY oracle for SemDeDup (VERDICT r10 next #2 —
+    // the last dedup-family entry with no cross-engine check; same
+    // dump-and-recompute pattern as l2g/l2h/m5b). The engine dumps the
+    // full within-cluster cosine-≥τ edge graph, then recomputes the
+    // greedy min-id-first removal set FROM THAT DUMP; the DuckDB oracle
+    // recomputes the same removals from the same dump via a
+    // synchronous-fixpoint recursive CTE (the greedy kept set is the
+    // UNIQUE fixpoint of kept(v) = "no kept smaller neighbor" on the
+    // id-ordered DAG, reached in ≤ max-chain-depth rounds), so any
+    // drift in the greedy policy — or in the edge graph itself —
+    // breaks the hash. Candidate/cluster quality stays spec-owned
+    // (SimilaritySpec); the spec additionally pins l12b's survivor set
+    // ≡ l12's.
+    "l12b_semdedup_policy" -> ((s, d) => {
+      val path = Dedup.policyDumpPath("l12b_edges")
+      semClusterEdges(Tables.embeddings(s, d), 0.45)
+        .write.mode("overwrite").parquet(path) // multi-part ok: the oracle globs *.parquet
+      val removed = greedyRemovedFromEdges(s.read.parquet(path))
+      Tables.embeddings(s, d).join(removed, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("label"))
+    }),
+
     // L3b: ANN — random-hyperplane LSH buckets, then exact top-3 within
     // bucket. Not SQL-expressible (seeded hyperplanes) → rows-only +
     // recall spec against the l3 baseline.
@@ -409,30 +431,42 @@ object Similarity {
     * the same bound the IVF cogroup kernel already assumes. Seeded
     * quantizer → deterministic; keep-min-id → order-independent output.
     */
+  /** Assign every vector to its nearest coarse-quantizer cell (the
+    * cluster key semDedup and its l12b policy twin group by). None on
+    * an empty corpus.
+    */
+  private def cellAssign(v: org.apache.spark.sql.Dataset[VecRow], nlist: Int,
+      iters: Int, trainPerList: Int): Option[org.apache.spark.sql.Dataset[ListedVec]] = {
+    implicit val enc: org.apache.spark.sql.Encoder[ListedVec] =
+      org.apache.spark.sql.Encoders.product[ListedVec]
+    trainQuantizer(v, nlist, iters, trainPerList).map { t =>
+      val bcC = v.sparkSession.sparkContext.broadcast(t)
+      v.mapPartitions { it =>
+        val (cs, ns) = bcC.value
+        it.map { r =>
+          var best = 0; var bestSim = Double.NegativeInfinity
+          var c = 0
+          while (c < cs.length) {
+            val s = cosine(r.emb, r.norm, cs(c), ns(c))
+            if (s > bestSim) { bestSim = s; best = c }
+            c += 1
+          }
+          ListedVec(best, r.vec_id, r.emb, r.norm)
+        }
+      }
+    }
+  }
+
   def semDedup(embeddings: DataFrame, minSim: Double = 0.45, nlist: Int = 16,
       iters: Int = 5, trainPerList: Int = 64): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val v = vecs(embeddings)
       .select(col("vec_id"), col("emb"), col("norm")).as[VecRow]
-    val trained = trainQuantizer(v, nlist, iters, trainPerList)
-    if (trained.isEmpty) // empty corpus: nothing to keep or drop
+    val assignedOpt = cellAssign(v, nlist, iters, trainPerList)
+    if (assignedOpt.isEmpty) // empty corpus: nothing to keep or drop
       return Seq.empty[(Long, Int)].toDF("vec_id", "cell")
-    val bcC = spark.sparkContext.broadcast(trained.get)
-    val assigned = v.mapPartitions { it =>
-      val (cs, ns) = bcC.value
-      it.map { r =>
-        var best = 0; var bestSim = Double.NegativeInfinity
-        var c = 0
-        while (c < cs.length) {
-          val s = cosine(r.emb, r.norm, cs(c), ns(c))
-          if (s > bestSim) { bestSim = s; best = c }
-          c += 1
-        }
-        ListedVec(best, r.vec_id, r.emb, r.norm)
-      }
-    }
-    assigned.groupByKey(_.list).flatMapGroups { (cell, it) =>
+    assignedOpt.get.groupByKey(_.list).flatMapGroups { (cell, it) =>
       val members = it.toArray.sortBy(_.vec_id)
       val kept = scala.collection.mutable.ArrayBuffer.empty[ListedVec]
       members.foreach { m =>
@@ -446,6 +480,76 @@ object Similarity {
       }
       kept.map(k => (k.vec_id, cell))
     }.toDF("vec_id", "cell")
+  }
+
+  /** l12b support: the FULL within-cluster similarity graph at ≥
+    * `minSim` — every pair (src < dst by vec_id) in the same quantizer
+    * cell with cosine ≥ minSim, tagged with its cell. The dot/norm
+    * arithmetic runs in the same accumulation order as [[semDedup]]'s
+    * kept-prefix scan (elementwise products over the ascending dim
+    * index; IEEE multiplication commutes bit-exactly), so an edge
+    * exists exactly where semDedup's lazy scan would have compared ≥
+    * minSim. Per-cell cost is occupancy² sims — the same class as the
+    * greedy scan's worst case, bounded because SemDeDup runs k ∝ n
+    * (occupancy O(1)); this is an audit query, cost documented like
+    * l2g's.
+    */
+  def semClusterEdges(embeddings: DataFrame, minSim: Double = 0.45,
+      nlist: Int = 16, iters: Int = 5, trainPerList: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val v = vecs(embeddings)
+      .select(col("vec_id"), col("emb"), col("norm")).as[VecRow]
+    cellAssign(v, nlist, iters, trainPerList) match {
+      case None => Seq.empty[(Int, Long, Long)].toDF("cell", "src", "dst")
+      case Some(assigned) =>
+        assigned.groupByKey(_.list).flatMapGroups { (cell, it) =>
+          val members = it.toArray.sortBy(_.vec_id)
+          for {
+            j <- members.indices.iterator.drop(1)
+            i <- (0 until j).iterator
+            if {
+              val (a, b) = (members(j), members(i))
+              var dot = 0.0; var t = 0
+              val n = math.min(a.emb.length, b.emb.length)
+              while (t < n) { dot += a.emb(t) * b.emb(t); t += 1 }
+              dot / (a.norm * b.norm) >= minSim
+            }
+          } yield (cell, members(i).vec_id, members(j).vec_id)
+        }.toDF("cell", "src", "dst")
+    }
+  }
+
+  /** l12b support: replay the greedy min-id-first removal policy from a
+    * dumped edge set alone — vertex v is removed iff it has an
+    * in-neighbor (smaller id, sim ≥ τ) that was KEPT; vertices absent
+    * from the edge set are trivially kept and need not appear. Grouped
+    * by cell (edges never cross cells), so per-task state is one
+    * cluster's edges — occupancy² longs, the same O(1)-occupancy bound
+    * the semDedup kernel assumes.
+    */
+  def greedyRemovedFromEdges(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("cell").cast(IntegerType), col("src"), col("dst"))
+      .as[(Int, Long, Long)]
+      .groupByKey(_._1).flatMapGroups { (_, it) =>
+        val inAdj = scala.collection.mutable.LongMap
+          .empty[scala.collection.mutable.ArrayBuffer[Long]]
+        val ids = scala.collection.mutable.SortedSet.empty[Long]
+        it.foreach { case (_, s0, d0) =>
+          inAdj.getOrElseUpdate(d0,
+            scala.collection.mutable.ArrayBuffer.empty[Long]) += s0
+          ids += s0; ids += d0
+        }
+        val kept = scala.collection.mutable.HashSet.empty[Long]
+        val removed = scala.collection.mutable.ArrayBuffer.empty[Long]
+        ids.foreach { v =>
+          if (inAdj.get(v).exists(_.exists(kept.contains))) removed += v
+          else kept += v
+        }
+        removed
+      }.toDF("vec_id")
   }
 
   /** Exact top-k for corpora too large to broadcast: block-pair
@@ -791,6 +895,35 @@ object Similarity {
       s"""$simSql
          |SELECT vec_id, label FROM embeddings
          |WHERE vec_id NOT IN (
-         |  SELECT id_b FROM p WHERE id_a < id_b AND sim >= 0.45)""".stripMargin
+         |  SELECT id_b FROM p WHERE id_a < id_b AND sim >= 0.45)""".stripMargin,
+
+    // l12b: greedy min-id-first survivors recomputed from the engine's
+    // dumped within-cluster edge graph (written earlier in the same
+    // Verify pass — see l2g's note in Dedup.oracles). The recursive CTE
+    // runs the synchronous fixpoint of kept(v) = "no kept in-neighbor":
+    // round i settles every vertex of greedy-dependency depth ≤ i, the
+    // per-row global EXISTS guard stops the recursion at the first
+    // unchanged round, and the unique fixpoint on the id-ordered DAG is
+    // exactly the greedy keep set.
+    "l12b_semdedup_policy" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT src, dst FROM
+         |    read_parquet('${Dedup.policyDumpPath("l12b_edges")}/*.parquet')
+         |), st(iter, vec_id, kept) AS (
+         |  SELECT 0, vec_id, TRUE FROM embeddings
+         |  UNION ALL
+         |  SELECT s.iter + 1, s.vec_id,
+         |    NOT EXISTS (SELECT 1 FROM e JOIN st s2
+         |                ON s2.vec_id = e.src AND s2.kept
+         |                WHERE e.dst = s.vec_id)
+         |  FROM st s
+         |  WHERE EXISTS (
+         |    SELECT 1 FROM st x
+         |    WHERE x.kept <> (NOT EXISTS (SELECT 1 FROM e JOIN st y
+         |                                 ON y.vec_id = e.src AND y.kept
+         |                                 WHERE e.dst = x.vec_id)))
+         |)
+         |SELECT vec_id, label FROM st JOIN embeddings USING (vec_id)
+         |WHERE iter = (SELECT MAX(iter) FROM st) AND kept""".stripMargin
   )
 }

@@ -114,6 +114,39 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert((7L until 15L).forall(kept.contains))
   }
 
+  test("l12b policy twin survivors ≡ l12 semDedup survivors (fixture + planted chain)") {
+    // the dump-and-recompute twin must implement the SAME greedy
+    // min-id-first policy as the production entry — on the real fixture
+    // (both code paths end-to-end) …
+    def survivors(name: String) =
+      Similarity.queries(name)(spark, sf("sf0.001"))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    val l12 = survivors("l12_semdedup")
+    assert(l12 === survivors("l12b_semdedup_policy"))
+    assert(l12.nonEmpty)
+    // … and on a planted similarity CHAIN a—b—c (a~b, b~c, a≁c), where
+    // greedy keeps {a, c} but the naive drop-any-larger-of-a-pair
+    // policy would also drop c — the case that separates the two
+    import spark.implicits._
+    val base = Seq.fill(64)(0.0f).updated(0, 1.0f)
+    def mix(theta: Double) = base.zipWithIndex.map { case (v, i) =>
+      if (i == 0) math.cos(theta).toFloat
+      else if (i == 1) math.sin(theta).toFloat else v }
+    // cos(a,b)=cos(0.6)≈0.825, cos(b,c)=cos(0.6)≈0.825, cos(a,c)=cos(1.2)≈0.362
+    val df = Seq((0L, base), (1L, mix(0.6)), (2L, mix(1.2)))
+      .toDF("vec_id", "embedding")
+    val edges = Similarity.semClusterEdges(df, 0.8, nlist = 1, trainPerList = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(edges === Set((0L, 1L), (1L, 2L)))
+    val removed = Similarity.greedyRemovedFromEdges(
+        Similarity.semClusterEdges(df, 0.8, nlist = 1, trainPerList = 4))
+      .collect().map(_.getLong(0)).toSet
+    assert(removed === Set(1L)) // greedy: keep 0, drop 1, KEEP 2
+    val keptSem = Similarity.semDedup(df, 0.8, nlist = 1, trainPerList = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(keptSem === Set(0L, 2L))
+  }
+
   test("blockTopK equals bruteTopK and exactTopK gate picks the block path") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
