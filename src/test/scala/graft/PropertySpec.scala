@@ -413,6 +413,39 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("depth-2 deletion-neighborhood blocking covers every levenshtein≤2 pair (J12b law)") {
+    // FastSS soundness at k=2: if lev(a,b) ≤ 2 then their ≤2-deletion
+    // neighborhoods intersect (delete the ≤2 aligned edit positions
+    // from each side). Same exhaustive-ish tiny-alphabet setup as the
+    // k=1 law; also pins the CONVERSE guard the engine relies on — the
+    // residual filter — by checking a distance-3 pair the blocking may
+    // admit is rejected by exact levenshtein.
+    def del1(s: String): Set[String] =
+      s.indices.map(i => s.take(i) + s.drop(i + 1)).toSet
+    def dels2(s: String): Set[String] =
+      del1(s).flatMap(del1) ++ del1(s) + s
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val strGen = for {
+      n <- Gen.choose(1, 6)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    for (seed <- 1L to 10L) {
+      val xs = sample(Gen.listOfN(40, strGen), seed).distinct
+      for (a <- xs; b <- xs if lev(a, b) <= 2)
+        assert(dels2(a).intersect(dels2(b)).nonEmpty,
+          s"seed=$seed: depth-2 blocking missed ($a, $b)")
+    }
+    assert(lev("abcabc", "cbacba") === 4) // blocked-but-rejected class exists
+    assert(dels2("aabb").intersect(dels2("bbaa")).nonEmpty && lev("aabb", "bbaa") > 2)
+  }
+
   test("PGN rendering is total on arbitrary games (R10 law)") {
     val optStr = Gen.option(Gen.oneOf(Gen.alphaNumStr,
       Gen.const("with \"quotes\" and\nnewlines")))
