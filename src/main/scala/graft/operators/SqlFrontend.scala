@@ -67,6 +67,34 @@ object SqlFrontend {
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin
 
+  /** TPC-H Q21 shape (waiting suppliers) — the deep-correlation stress
+    * sql1–sql4 don't reach (r10 next #6): an EXISTS and a NOT EXISTS
+    * over the SAME fact table, each correlated on the outer lineitem's
+    * orderkey, and the NOT EXISTS additionally referencing a SECOND
+    * outer table's column (o_orderdate) — two outer tables in one
+    * correlated predicate. Catalyst must decorrelate both into
+    * semi/anti joins (no per-row subquery); lateness is shipdate > 60
+    * days past the order date (the fixture has no commitdate). Unique
+    * tiebreak (s_name is unique) pins the LIMIT.
+    */
+  private val q21Sql =
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier, lineitem l1, orders
+      |WHERE s_suppkey = l1.l_suppkey
+      |  AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin
+
   /** Correlated EXISTS — planned as a semi join, not a per-row subquery. */
   private val existsSql =
     """SELECT o_orderkey FROM orders
@@ -79,6 +107,7 @@ object SqlFrontend {
     "sql2_scalar_subquery" -> ((s, d) => { withViews(s, d); s.sql(scalarSubSql) }),
     "sql3_grouping_sets" -> ((s, d) => { withViews(s, d); s.sql(groupingSetsSql) }),
     "sql4_exists_subquery" -> ((s, d) => { withViews(s, d); s.sql(existsSql) }),
+    "sql5_q21_multi_exists" -> ((s, d) => { withViews(s, d); s.sql(q21Sql) }),
 
     // A10: pivot — event counts per user fanned out by type. Explicit
     // value list pins the output schema on both engines.
@@ -106,6 +135,7 @@ object SqlFrontend {
     "sql2_scalar_subquery" -> scalarSubSql,
     "sql3_grouping_sets" -> groupingSetsSql,
     "sql4_exists_subquery" -> existsSql,
+    "sql5_q21_multi_exists" -> q21Sql,
 
     "a10_pivot" ->
       """SELECT user_id,
