@@ -65,10 +65,10 @@ object SkewCheck {
     "never criteria-excluded; _wide variants disable AQE partition " +
     "coalescing so byte-light CPU-dense pair stages run at the real " +
     "shuffle width (the 100 TB shape) and are asserted with no " +
-    "exclusion; margin watch: w4_range_frame's window stage has run " +
-    "near ratio 9 vs the 10.0 threshold - a hotter fixture flips it, " +
-    "and its per-key window semantics would then join w3 on the " +
-    "allowlist"
+    "exclusion; w4_range_frame is TIME-SHARDED as of r11 (partition " +
+    "(user, 24h shard) + fringe replication) - the r10 margin watch " +
+    "(ratio 8.5 vs 10) is resolved by construction and w4 is asserted " +
+    "with no allowlist entry"
 
   private def f3(d: Double): String = String.format(Locale.ROOT, "%.3f", d)
 

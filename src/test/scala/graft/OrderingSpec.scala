@@ -34,4 +34,27 @@ class OrderingSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(j7b === j7)
   }
+
+  test("w4 time-sharded range frame ≡ plain per-user range frame") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DoubleType
+    // the production entry shards by (user, 24h) with fringe
+    // replication; this recomputes the textbook single-partition-per-
+    // user form and demands bit-identical doubles on every event
+    val sharded = graft.operators.Windows.queries("w4_range_frame")(
+        spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(1), (r.getLong(0), r.getDouble(2)))).toMap
+    val w = Window.partitionBy(col("user_id")).orderBy(col("epoch_s"))
+      .rangeBetween(-86400L, 0L)
+    val plain = Tables.events(spark, sf("sf0.001"))
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_timestamp(col("ts")).as("epoch_s"))
+      .select(col("user_id"), col("event_id"),
+        (sum(graft.Exprs.slong(col("value"), 2)).over(w).cast(DoubleType)
+          / 100.0 / count(lit(1)).over(w)).as("avg_24h"))
+      .collect().map(r => (r.getLong(1), (r.getLong(0), r.getDouble(2)))).toMap
+    assert(sharded.size === plain.size)
+    assert(sharded === plain)
+  }
 }
