@@ -15,6 +15,50 @@ import json, sys, os, time, glob
 import duckdb
 import pyarrow.parquet as pq
 
+# ---------------------------------------------------------------------------
+# Like-for-like aggregates (BASELINE §5.x). Two subsets are reported:
+#
+#  * FLOATING (the historical gate rule): oracle-covered queries where
+#    DuckDB spends >= 50 ms, excluding file-writing round-trips, the
+#    dump-and-recompute policy twins, and the deliberately quadratic-
+#    oracle similarity entries. Membership MOVES as entries are added
+#    and DuckDB timings drift around the 50 ms cut — r9->r10 the gate
+#    number moved 1.44x->1.83x almost entirely by composition.
+#
+#  * PINNED (r10 next #3): the exact 56-query membership of the r10
+#    record's like-for-like subset (BASELINE §5.9), frozen byte-for-
+#    byte. Comparing the pinned number across rounds isolates CODE
+#    drift from subset composition; new entries never join it.
+# ---------------------------------------------------------------------------
+POLICY_TWINS = {"l2g_minhash_policy", "l2h_simhash_policy",
+                "m5b_cluster_policy", "l12b_semdedup_policy"}
+QUADRATIC_ORACLE = {"l2e_jaccard_dedup", "l2c_shingle_jaccard",
+                    "l2d_containment"}
+FILE_WRITERS = {"s4_csv_roundtrip", "s5_ndjson_roundtrip",
+                "s6_partitioned_parquet", "s6b_partition_pruned_read",
+                "s7_pgn_sink", "s7b_pgn_roundtrip", "s9_orc_roundtrip",
+                "s10_schema_merge", "s11_bucketed_join",
+                "s12_corrupt_ndjson", "s13_dynamic_pruning",
+                "m7_compact", "m14_zorder_layout"}
+PINNED_SUBSET_R10 = [
+    "a13_minmax_by", "a14_mode", "a1_ungrouped_agg", "a2_group_agg",
+    "a7_collect_list", "f10_casts", "f11_url_fns", "f1_string_fns",
+    "f2_datetime_fns", "f3_math_fns", "f5_array_fns", "f6_map_fns",
+    "f7_json_fns", "f8_explode", "j11_overlap_join", "j1_inner_join",
+    "j6_multiway", "j7_range_join", "j7b_range_join_bucketed",
+    "j9_asof_join", "j9b_asof_native", "j9c_asof_multikey",
+    "l10_fingerprint", "l11_decontaminate", "l13_quality_score",
+    "l14_dup_passage", "l15_bigram_logprob", "l3_cosine_topk",
+    "l4_cosine_threshold", "l4b_embedding_dedup", "l5_text_stats",
+    "l5c_unigram_logprob", "l6_tfidf_topterms", "l7_quality_filter",
+    "l7b_token_count", "l7d_repetition_filter", "l8b_multimodal_decode",
+    "l8c_multimodal_resize", "l9_lang_id", "m17_peak_concurrency",
+    "m18_scd2_history", "m1_sessionize", "m2_upsert_merge",
+    "m6_chunk_documents", "o1_global_sort", "p1_project_rename",
+    "p8_computed", "p9_case_when", "sql1_tpch_q3", "w1_ranking",
+    "w2_lag_lead", "w3_running_sum", "w4_range_frame",
+    "w5_topk_per_group", "w6_analytic_extras", "w7_session_window"]
+
 
 def main():
     sf_dir, bench_path, verify_dir = sys.argv[1], sys.argv[2], sys.argv[3]
@@ -32,13 +76,25 @@ def main():
         oracles = json.load(f)
 
     def duck_time(sql):
-        # median of 3, matching the engine protocol
-        times = []
-        for _ in range(3):
+        # §7 denominator protocol (r10 next #8): 5 repetitions, drop the
+        # min and max, mean of the middle 3. Sub-second embedded timings
+        # are noise-dominated — the 3-rep median swung the r10 denominator
+        # 9.4–11.9 s across same-code runs, moving the gate ratio ±0.2×.
+        # A first rep ≥ 5 s stands alone (l2e's 190 s quadratic oracle:
+        # proportional noise is negligible and 4 more reps would add
+        # ~13 min for nothing).
+        t0 = time.time()
+        con.execute(sql).fetchall()
+        first = time.time() - t0
+        if first >= 5.0:
+            return first
+        times = [first]
+        for _ in range(4):
             t0 = time.time()
             con.execute(sql).fetchall()
             times.append(time.time() - t0)
-        return sorted(times)[1]
+        mid = sorted(times)[1:-1]
+        return sum(mid) / len(mid)
 
     def rows_out(name):
         d = os.path.join(verify_dir, name)
@@ -49,7 +105,7 @@ def main():
 
     print("| query | engine s | duckdb s | ratio | rows out |")
     print("|---|---|---|---|---|")
-    tot_s = tot_d = 0.0
+    covered = {}  # name -> (engine s, duckdb s)
     uncovered = []
     for name in sorted(spark_times):
         s = spark_times[name]
@@ -61,18 +117,33 @@ def main():
             except Exception:
                 d = float("nan")
             if s > 0 and d == d:
-                tot_s += s
-                tot_d += d
+                covered[name] = (s, d)
             ratio = f"{s/d:.1f}×" if d and d == d else "err"
             print(f"| {name} | {s:.3f} | {d:.3f} | {ratio} | {rtxt} |")
         else:
             uncovered.append(name)
             print(f"| {name} | {s:.3f} | — | rows-only | {rtxt} |")
-    # guard: with zero oracle-covered queries (or all-error DuckDB runs)
-    # tot_d stays 0.0 — print the table without a ratio instead of dying
-    tot_ratio = f"{tot_s/tot_d:.1f}×" if tot_d > 0 else "—"
-    print(f"| **oracle-covered total** | **{tot_s:.1f}** | **{tot_d:.1f}** "
-          f"| **{tot_ratio}** | |")
+
+    def agg(label, names):
+        ss = sum(covered[n][0] for n in names)
+        dd = sum(covered[n][1] for n in names)
+        # guard: with zero members (or all-error DuckDB runs) dd stays
+        # 0.0 — print the row without a ratio instead of dying
+        ratio = f"{ss/dd:.2f}×" if dd > 0 else "—"
+        print(f"| **{label} ({len(names)})** | **{ss:.1f}** | **{dd:.1f}** "
+              f"| **{ratio}** | |")
+
+    agg("oracle-covered total", sorted(covered))
+    floating = [n for n, (s, d) in covered.items()
+                if d >= 0.050 and n not in FILE_WRITERS
+                and n not in POLICY_TWINS and n not in QUADRATIC_ORACLE]
+    agg("floating data-bound subset", sorted(floating))
+    pinned = [n for n in PINNED_SUBSET_R10 if n in covered]
+    agg("pinned r10 subset", pinned)
+    missing = [n for n in PINNED_SUBSET_R10 if n not in covered]
+    if missing:
+        print(f"pinned-subset members missing from this run: {missing}",
+              file=sys.stderr)
     print(f"\n{len(uncovered)} rows-only entries (no SQL oracle): "
           + " ".join(uncovered), file=sys.stderr)
 
