@@ -95,6 +95,24 @@ object SqlFrontend {
       |ORDER BY numwait DESC, s_name
       |LIMIT 20""".stripMargin
 
+  /** Windowed SQL text (r11) — the frontend's window-planning path
+    * (named WINDOW clause shared by three functions + an inline frame),
+    * which the DSL w* entries never touch: one text, both engines.
+    * Exact scaled-long running sum (graft.Exprs convention) so the
+    * frame accumulation is order-free cross-engine; unique (date, key)
+    * tiebreak pins every ranked value.
+    */
+  private val windowSql =
+    """SELECT o_custkey, o_orderkey,
+      |  ROW_NUMBER() OVER w AS rn,
+      |  LAG(o_orderkey) OVER w AS prev_order,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e2
+      |    AS running_spend
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+
   /** Correlated EXISTS — planned as a semi join, not a per-row subquery. */
   private val existsSql =
     """SELECT o_orderkey FROM orders
@@ -108,6 +126,7 @@ object SqlFrontend {
     "sql3_grouping_sets" -> ((s, d) => { withViews(s, d); s.sql(groupingSetsSql) }),
     "sql4_exists_subquery" -> ((s, d) => { withViews(s, d); s.sql(existsSql) }),
     "sql5_q21_multi_exists" -> ((s, d) => { withViews(s, d); s.sql(q21Sql) }),
+    "sql6_window_text" -> ((s, d) => { withViews(s, d); s.sql(windowSql) }),
 
     // A10: pivot — event counts per user fanned out by type. Explicit
     // value list pins the output schema on both engines.
@@ -136,6 +155,7 @@ object SqlFrontend {
     "sql3_grouping_sets" -> groupingSetsSql,
     "sql4_exists_subquery" -> existsSql,
     "sql5_q21_multi_exists" -> q21Sql,
+    "sql6_window_text" -> windowSql,
 
     "a10_pivot" ->
       """SELECT user_id,

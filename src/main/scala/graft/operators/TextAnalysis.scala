@@ -49,6 +49,47 @@ object TextAnalysis {
   def langIdCol(text: Column): Column = langIdOfTokens(split(text, "\\s+"))
 
   val queries: Map[String, Q] = Map(
+    // L16: CORPUS-LEVEL SEGMENT DEDUP (C4 / RefinedWeb style) — the
+    // curation rule "discard any line occurring in ≥ 3 documents",
+    // applied to this fixture's newline-free word streams as disjoint
+    // 16-word segments: split each doc into segments, count DISTINCT
+    // docs per exact segment text (one partial-agg groupBy on the
+    // segment — map-side combine carries (segment, partial set) rows),
+    // drop the segments above the df cut (a small hot set at any
+    // corpus size — that is the point of the rule: boilerplate is
+    // few distinct strings repeated everywhere; AQE broadcasts the
+    // anti-join build side), and REBUILD each doc's cleaned text by
+    // position order. Unlike l14 (duplicate-passage ANALYSIS) this is
+    // the removal operator: output is the cleaned corpus. Segments
+    // travel as strings so the DuckDB twin groups on identical keys
+    // (at 100 TB you would key the df agg on xxhash64(segment) and
+    // carry the string only into the rebuild — noted, not needed for
+    // the contract). Fully deterministic: position-sorted rebuild,
+    // left join keeps fully-boilerplate docs as empty strings.
+    "l16_line_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val words = split(col("text"), " ")
+      val segs = docs.select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0), ceil(size(words) / lit(16.0)).cast(IntegerType) - 1),
+            i => concat_ws(" ", slice(words, i * 16 + 1, lit(16))))))
+        .toDF("doc_id", "pos", "seg")
+      val hot = segs.groupBy(col("seg"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 3).select(col("seg"))
+      val kept = segs.join(hot, Seq("seg"), "left_anti")
+      docs.select(col("doc_id"))
+        .join(kept.groupBy(col("doc_id"))
+            .agg(array_join(transform(
+              array_sort(collect_list(struct(col("pos"), col("seg")))),
+              x => x.getField("seg")), " ").as("clean_text"),
+              count(lit(1)).as("n_kept_segments")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"),
+          coalesce(col("n_kept_segments"), lit(0L)).as("n_kept_segments"))
+    }),
+
     // L5: per-document text statistics.
     "l5_text_stats" -> ((s, d) => {
       Tables.documents(s, d).select(
@@ -402,6 +443,31 @@ object TextAnalysis {
   private val stopSql = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    // l16: identical segmentation + df cut + position-ordered rebuild
+    // (1-based inclusive list slice ≡ Spark's slice(arr, start, 16))
+    "l16_line_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |), segs AS (
+        |  SELECT doc_id, i AS pos,
+        |    array_to_string(words[(i*16+1):(i*16+16)], ' ') AS seg
+        |  FROM (SELECT doc_id, words,
+        |          unnest(range(0, CAST(ceil(len(words)/16.0) AS BIGINT))) AS i
+        |        FROM w)
+        |), hot AS (
+        |  SELECT seg FROM segs GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 3
+        |), kept AS (
+        |  SELECT doc_id, pos, seg FROM segs
+        |  WHERE seg NOT IN (SELECT seg FROM hot)
+        |), rebuilt AS (
+        |  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+        |    COUNT(*) AS n_kept
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, COALESCE(clean_text, '') AS clean_text,
+        |  CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept_segments
+        |FROM documents d LEFT JOIN rebuilt USING (doc_id)""".stripMargin,
+
     // l10: RollingHash's nested polynomial fold, re-expressed with
     // DuckDB list_reduce. ascii(c) = codepoint = the utf-8 byte on this
     // all-ASCII corpus (engine hashes bytes); list_prepend supplies the
