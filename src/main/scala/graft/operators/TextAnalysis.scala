@@ -66,29 +66,7 @@ object TextAnalysis {
     // carry the string only into the rebuild — noted, not needed for
     // the contract). Fully deterministic: position-sorted rebuild,
     // left join keeps fully-boilerplate docs as empty strings.
-    "l16_line_dedup" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val words = split(col("text"), " ")
-      val segs = docs.select(col("doc_id"),
-          posexplode(transform(
-            sequence(lit(0), ceil(size(words) / lit(16.0)).cast(IntegerType) - 1),
-            i => concat_ws(" ", slice(words, i * 16 + 1, lit(16))))))
-        .toDF("doc_id", "pos", "seg")
-      val hot = segs.groupBy(col("seg"))
-        .agg(countDistinct(col("doc_id")).as("df"))
-        .filter(col("df") >= 3).select(col("seg"))
-      val kept = segs.join(hot, Seq("seg"), "left_anti")
-      docs.select(col("doc_id"))
-        .join(kept.groupBy(col("doc_id"))
-            .agg(array_join(transform(
-              array_sort(collect_list(struct(col("pos"), col("seg")))),
-              x => x.getField("seg")), " ").as("clean_text"),
-              count(lit(1)).as("n_kept_segments")),
-          Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("clean_text"), lit("")).as("clean_text"),
-          coalesce(col("n_kept_segments"), lit(0L)).as("n_kept_segments"))
-    }),
+    "l16_line_dedup" -> ((s, d) => lineDedup(Tables.documents(s, d))),
 
     // L5: per-document text statistics.
     "l5_text_stats" -> ((s, d) => {
@@ -441,6 +419,36 @@ object TextAnalysis {
   }
 
   private val stopSql = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** l16 kernel on any (doc_id, text) frame: disjoint `segWords`-word
+    * segments, drop every segment whose exact text occurs in ≥ `maxDf`
+    * distinct documents, rebuild each doc's cleaned text in position
+    * order (docs reduced to nothing survive as empty strings).
+    */
+  def lineDedup(docs: org.apache.spark.sql.DataFrame, segWords: Int = 16,
+      maxDf: Int = 3): org.apache.spark.sql.DataFrame = {
+    val words = split(col("text"), " ")
+    val segs = docs.select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0),
+            ceil(size(words) / lit(segWords.toDouble)).cast(IntegerType) - 1),
+          i => concat_ws(" ", slice(words, i * segWords + 1, lit(segWords))))))
+      .toDF("doc_id", "pos", "seg")
+    val hot = segs.groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= maxDf).select(col("seg"))
+    val kept = segs.join(hot, Seq("seg"), "left_anti")
+    docs.select(col("doc_id"))
+      .join(kept.groupBy(col("doc_id"))
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("seg")))),
+            x => x.getField("seg")), " ").as("clean_text"),
+            count(lit(1)).as("n_kept_segments")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept_segments"), lit(0L)).as("n_kept_segments"))
+  }
 
   val oracles: Map[String, String] = Map(
     // l16: identical segmentation + df cut + position-ordered rebuild

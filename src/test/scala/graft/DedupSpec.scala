@@ -411,4 +411,24 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(clusters("m5b_cluster_policy") === clusters("m5_dedup_clusters"))
   }
+
+  test("l16 line dedup drops only segments shared by >= 3 docs, rebuilds in order (L16)") {
+    import spark.implicits._
+    // 4-word segments; "a b c d" appears in 3 docs (dropped), "x y z w"
+    // in 2 (kept); doc 4 is pure boilerplate and survives as ''
+    val docs = Seq(
+      (1L, "a b c d x y z w p q r s"),
+      (2L, "k l m n a b c d"),
+      (3L, "x y z w u v"),
+      (4L, "a b c d"),
+      (5L, "a b c e")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lineDedup(docs, segWords = 4, maxDf = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) === (("x y z w p q r s", 2L))) // dropped head, order kept
+    assert(out(2L) === (("k l m n", 1L)))
+    assert(out(3L) === (("x y z w u v", 2L)))    // df=2 segment survives
+    assert(out(4L) === (("", 0L)))               // fully boilerplate
+    assert(out(5L) === (("a b c e", 1L)))        // near-miss segment kept
+  }
 }
