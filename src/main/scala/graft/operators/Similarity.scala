@@ -650,14 +650,20 @@ object Similarity {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val bits0 = if (bits > 0) bits else {
-      // rowCount when the catalog has one; otherwise bytes/384 — a FULL
-      // embedding row (dim floats + id), so the fallback UNDER-estimates
-      // n. The error direction matters and is the opposite of
-      // exactTopK's gate: under-estimating rows yields fewer bits →
-      // wider buckets → more candidates, which costs time but never
-      // recall; over-estimating would silently thin the index.
+      // rowCount when the catalog has one; otherwise bytes/512 — chosen
+      // ABOVE the measured on-disk row width (~400 B for a 64-float
+      // embedding + id + label on the fixture parquet) so the fallback
+      // UNDER-estimates n. The error direction matters and is the
+      // opposite of exactTopK's gate: under-estimating rows yields
+      // fewer bits → wider buckets → more candidates, which costs time
+      // but never recall; over-estimating silently thins the index.
+      // Measured r11: the former /384 divisor estimated n=2080 against
+      // the sf0.1 corpus's true 2000, crossing the 512-bucket boundary
+      // (bits 9→10, 2/bucket) and dropping LSH recall@3 0.949→0.851;
+      // /512 restores the documented direction on every fixture shape
+      // (sf0.01→bits 8, sf0.1→9, sf1→12 — the RecallTune sweeps below).
       val st = embeddings.queryExecution.optimizedPlan.stats
-      val n = st.rowCount.map(_.toLong).getOrElse(st.sizeInBytes.toLong / 384L)
+      val n = st.rowCount.map(_.toLong).getOrElse(st.sizeInBytes.toLong / 512L)
       // ~4 vectors/bucket — the point the RecallTune sweeps support on
       // BOTH fixture shapes: recall@3 0.985 at sf0.01 (resolves to
       // bits=8), 0.949 at sf0.1 (bits=9, the hard near-orthogonal
