@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{DotProduct, RollingHash}
@@ -17,35 +17,59 @@ import graft.functions.{DotProduct, RollingHash}
   * after which `SELECT rolling_hash(split(text, ' ')), dot_product(a, b)`
   * work from plain SQL — the engine's functions are first-class citizens
   * of the Catalyst function registry, not DSL-only helpers.
+  *
+  * For sessions built WITHOUT the extension (the driver contract's
+  * mains construct a plain session), [[GraftExtensions.ensureFunctions]]
+  * registers the same triples into an existing session's function
+  * registry idempotently — the sql7 entry attaches through it, the same
+  * late-attach pattern `RangeJoinRewrite.ensureRegistered` uses for the
+  * optimizer rule.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-
-  private def info(name: String, usage: String) =
-    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // bounded-interval range joins plan as bucketed equi joins by default
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
-    e.injectFunction((
-      FunctionIdentifier("rolling_hash"),
+    GraftExtensions.functions.foreach(e.injectFunction)
+  }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
+
+  /** The engine's SQL-callable native expressions, as the (identifier,
+    * info, builder) triples both registration paths consume.
+    */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("rolling_hash"),
       info("rolling_hash",
         "rolling_hash(tokens) - order-sensitive polynomial fingerprint of an ARRAY<STRING>"),
-      (exprs: Seq[Expression]) => RollingHash(exprs.head)))
-    e.injectFunction((
-      FunctionIdentifier("dot_product"),
+      (exprs: Seq[Expression]) => RollingHash(exprs.head)),
+    (FunctionIdentifier("dot_product"),
       info("dot_product",
         "dot_product(a, b) - dot product of two ARRAY<DOUBLE> columns"),
-      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))),
     // Spark ships BloomFilterMightContain for its internal runtime
     // filters but exposes no SQL name for it; register one so a
     // serialized `df.stat.bloomFilter` can prefilter from plain SQL.
-    e.injectFunction((
-      FunctionIdentifier("might_contain"),
+    (FunctionIdentifier("might_contain"),
       info("might_contain",
         "might_contain(bloomBinary, longCol) - codegen'd bloom-filter probe"),
       (exprs: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           exprs.head, exprs(1))))
-  }
+
+  /** Register the SQL functions into an ALREADY-BUILT session (no-op if
+    * present). Session-scoped state like the temp-view registry, so the
+    * cost is one registry probe per query build, not per row.
+    */
+  def ensureFunctions(spark: SparkSession): Unit =
+    functions.foreach { case (id, inf, builder) =>
+      if (!spark.sessionState.functionRegistry.functionExists(id))
+        spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
 }

@@ -113,6 +113,42 @@ object SqlFrontend {
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
 
+  /** Native extension functions FROM SQL TEXT (r11) — the one surface
+    * `GraftExtensions` promises that no entry exercised end to end:
+    * `rolling_hash` (the codegen'd polynomial-fingerprint Expression
+    * l10 uses via the DSL) and `dot_product` called by NAME from a SQL
+    * string, resolved through the session FunctionRegistry
+    * ([[graft.GraftExtensions.ensureFunctions]] attaches them to
+    * plain-built sessions, the same late-attach pattern
+    * `RangeJoinRewrite.ensureRegistered` uses). The only sql* entry
+    * whose oracle is not the same text: DuckDB has neither function, so
+    * the oracle re-expresses them as l10's list_reduce fold and
+    * list_dot_product (both conventions already hash-proven by
+    * l10/l3). norm2 rounds to 6 digits on both sides — the l3 float
+    * convention; fingerprint is exact integer arithmetic.
+    */
+  private val nativeFnSql =
+    """SELECT d.doc_id,
+      |  rolling_hash(split(d.text, ' ')) AS fingerprint,
+      |  ROUND(dot_product(CAST(e.embedding AS ARRAY<DOUBLE>),
+      |                    CAST(e.embedding AS ARRAY<DOUBLE>)), 6) AS norm2
+      |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id""".stripMargin
+
+  private val nativeFnOracleSql =
+    """SELECT d.doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(d.text, ' '),
+      |        t -> list_reduce(
+      |               list_prepend(CAST(0 AS BIGINT),
+      |                 list_transform(string_split(t, ''),
+      |                   c -> CAST(ascii(c) AS BIGINT))),
+      |               (th, b) -> (th * 131 + b) % 1000000007))),
+      |    (h, th) -> (h * 31 + th) % 1000000007) AS fingerprint,
+      |  round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+      |                         CAST(e.embedding AS DOUBLE[])), 6) AS norm2
+      |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id""".stripMargin
+
   /** Correlated EXISTS — planned as a semi join, not a per-row subquery. */
   private val existsSql =
     """SELECT o_orderkey FROM orders
@@ -127,6 +163,11 @@ object SqlFrontend {
     "sql4_exists_subquery" -> ((s, d) => { withViews(s, d); s.sql(existsSql) }),
     "sql5_q21_multi_exists" -> ((s, d) => { withViews(s, d); s.sql(q21Sql) }),
     "sql6_window_text" -> ((s, d) => { withViews(s, d); s.sql(windowSql) }),
+    "sql7_native_fn" -> ((s, d) => {
+      withViews(s, d)
+      graft.GraftExtensions.ensureFunctions(s)
+      s.sql(nativeFnSql)
+    }),
 
     // A10: pivot — event counts per user fanned out by type. Explicit
     // value list pins the output schema on both engines.
@@ -156,6 +197,7 @@ object SqlFrontend {
     "sql4_exists_subquery" -> existsSql,
     "sql5_q21_multi_exists" -> q21Sql,
     "sql6_window_text" -> windowSql,
+    "sql7_native_fn" -> nativeFnOracleSql,
 
     "a10_pivot" ->
       """SELECT user_id,

@@ -30,6 +30,25 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getDouble(1) === 11.0)
   }
 
+  test("ensureFunctions late-attaches the registry entries idempotently") {
+    GraftExtensions.ensureFunctions(spark)
+    GraftExtensions.ensureFunctions(spark) // second call must be a no-op
+    val r = spark.sql(
+      """SELECT rolling_hash(array('a','b')) AS h,
+        |       dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d
+        |""".stripMargin).head()
+    assert(r.getLong(0) > 0L)
+    assert(r.getDouble(1) === 11.0)
+    // and the DSL fingerprint entry agrees with the SQL-name path
+    val viaSql = spark.sql("SELECT rolling_hash(array('x','yz')) AS h").head().getLong(0)
+    import spark.implicits._
+    val viaDsl = Seq(Seq("x", "yz")).toDF("t")
+      .select(graft.functions.RollingHash.rollingHash(
+        org.apache.spark.sql.functions.col("t")).as("h"))
+      .head().getLong(0)
+    assert(viaSql === viaDsl)
+  }
+
   test("might_contain probes a serialized bloom filter from SQL") {
     import spark.implicits._
     val reg = spark.sessionState.functionRegistry
