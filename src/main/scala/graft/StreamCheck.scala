@@ -341,6 +341,28 @@ object StreamCheck {
       }
     }
 
+    scenario("t14_scd2_temporal_enrich") {
+      // user 1 upgraded basic->gold at minute 5 (half-open boundary:
+      // the minute-5 event itself is already gold); user 2 has one open
+      // version; user 9 has history but the event predates it -> drop.
+      val dim = Seq(
+        (1L, "basic", ts(0), Option(ts(5))),
+        (1L, "gold", ts(5), None: Option[java.sql.Timestamp]),
+        (2L, "basic", ts(0), None: Option[java.sql.Timestamp]),
+        (9L, "gold", ts(10), None: Option[java.sql.Timestamp]))
+        .toDF("user_id", "tier", "valid_from", "valid_to")
+      val in = MemoryStream[Ev](spark)
+      val (rows, batches) = run(
+        Streams.enrichScd2(in.toDF(), dim, "user_id"), "sc_t14", "append",
+        Seq(() => in.addData(
+          ev(1, 1, user = 1L), ev(2, 5, user = 1L), ev(3, 9, user = 1L),
+          ev(4, 2, user = 2L), ev(5, 3, user = 9L))))
+      val got = spark.table("sc_t14").select($"event_id", $"tier").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      Res(got == Set((1L, "basic"), (2L, "gold"), (3L, "gold"),
+        (4L, "basic")), rows, batches)
+    }
+
     scenario("t10_stream_static_enrich") {
       val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
       val in = MemoryStream[Ev](spark)

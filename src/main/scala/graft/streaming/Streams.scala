@@ -113,6 +113,29 @@ object Streams {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), key)
 
+  /** T14: stream-side SCD2 temporal enrichment — each event joins the
+    * dimension VERSION valid at its event time (half-open
+    * `[valid_from, valid_to)`, open current version = null valid_to:
+    * the m18 history-build contract), the streaming counterpart of
+    * as-of enrichment against a slowly-changing dimension. Like t10
+    * the static side re-evaluates per trigger — a refreshed SCD2
+    * snapshot is picked up at the next micro-batch with zero streaming
+    * state — but unlike t10 the match is temporal, so REPLAYED or late
+    * events still enrich against the version that was current at event
+    * time, not today's row (the correctness property that makes
+    * backfills and reprocessing safe). The equi key keeps the plan a
+    * broadcast HASH join with the range as residual filter, never a
+    * per-row nested loop.
+    */
+  def enrichScd2(events: DataFrame, dim: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    events.join(broadcast(dim),
+      events(key) === dim(key) &&
+        events("ts") >= dim("valid_from") &&
+        (dim("valid_to").isNull || events("ts") < dim("valid_to")))
+      .drop(dim(key))
+  }
+
   /** T9: foreachBatch latest-wins upsert sink — the streaming twin of
     * the batch m2 merge, for sinks with no native streaming MERGE. Each
     * micro-batch is reduced to one row per key (greatest (ts, event_id)

@@ -156,6 +156,29 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got === Set((1L, "gold"), (2L, "basic")))
   }
 
+  test("T14: SCD2 temporal enrichment picks the version valid at event time") {
+    import spark.implicits._
+    val dim = Seq(
+      (1L, "basic", ts(0), Option(ts(5))),
+      (1L, "gold", ts(5), None: Option[java.sql.Timestamp]),
+      (2L, "basic", ts(0), None: Option[java.sql.Timestamp]),
+      (9L, "gold", ts(10), None: Option[java.sql.Timestamp]))
+      .toDF("user_id", "tier", "valid_from", "valid_to")
+    val in = MemoryStream[Ev](spark)
+    val q = Streams.enrichScd2(in.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("t14_out")
+      .outputMode("append").start()
+    // minute-5 event: half-open boundary, already the gold version;
+    // user 9's minute-3 event predates its first version -> drops
+    in.addData(ev(1, 1, user = 1L), ev(2, 5, user = 1L), ev(3, 9, user = 1L),
+      ev(4, 2, user = 2L), ev(5, 3, user = 9L))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("t14_out")
+      .select($"event_id", $"tier").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "basic"), (2L, "gold"), (3L, "gold"), (4L, "basic")))
+  }
+
   test("T8b: left-outer interval join emits unmatched purchases after watermark") {
     import spark.implicits._
     val pIn = MemoryStream[Ev](spark)
