@@ -556,6 +556,17 @@ object PipelineOps {
       // "boundaries ≈ events/50" as a fixture-shaped constant)
       peakConcurrency(queries("m1_sessionize")(s, d))),
 
+    // M19: data-quality EXPECTATIONS — declarative constraint
+    // verification with a violations report, the deequ pattern
+    // (Schelter et al., "Automating Large-Scale Data Quality
+    // Verification", VLDB 2018): an ingest that loads unchecked data
+    // poisons every downstream consumer, so quality rules run inside
+    // the engine as aggregates, not as per-rule scan jobs. See
+    // [[expectations]] for the scan-count contract.
+    "m19_expectations" -> ((s, d) => expectations(
+      Tables.orders(s, d), Tables.lineitem(s, d),
+      Tables.events(s, d), Tables.documents(s, d))),
+
     // M18: SCD TYPE-2 HISTORY — the effective-dated dimension build:
     // fold a change log into (key, value, valid_from, valid_to,
     // is_current) rows, the lakehouse answer to "what was this row's
@@ -704,6 +715,71 @@ object PipelineOps {
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     conc.select(expr("us DIV 86400000000").as("day"), col("conc"))
       .groupBy(col("day")).agg(max(col("conc")).as("peak"))
+  }
+
+  /** M19 kernel: evaluate the fixture's constraint suite in as few
+    * scans as the rules allow — the deequ decomposition (Schelter et
+    * al., VLDB 2018). Row-level rules (not-null, range,
+    * accepted-values, cross-column consistency) and KEY UNIQUENESS
+    * (count − exact countDistinct) fold into ONE conditional-sum
+    * aggregate per table, so four tables cost four scans regardless of
+    * how many rules each carries; referential integrity is the one
+    * rule that inherently needs a second relation — a left-anti join
+    * whose key side AQE broadcasts when small and shuffles when not.
+    * Every branch reduces to a 1-row frame before the union, so the
+    * report is constant-size output at any input scale and the
+    * cross-join stitching the FK count to its table's row count is
+    * the j8 broadcast-1-row-totals shape, never a real cartesian.
+    */
+  def expectations(o: DataFrame, l: DataFrame,
+      e: DataFrame, doc: DataFrame): DataFrame = {
+    val oRows = o.agg(
+        count(lit(1)).as("checked"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_unique"),
+        sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("v_null"),
+        sum(when(!col("o_orderstatus").isin("O", "F"), 1L).otherwise(0L))
+          .as("v_status"))
+      .selectExpr(
+        """stack(3,
+          |  'orders.o_orderkey is unique', v_unique,
+          |  'orders.o_orderdate is not null', v_null,
+          |  'orders.o_orderstatus in (O,F)', v_status) AS (rule, violations)
+          |""".stripMargin,
+        "checked")
+    val orphans = l.join(o.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("v_fk"))
+    val lRows = l.agg(
+        count(lit(1)).as("checked"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 45, 1L)
+          .otherwise(0L)).as("v_qty"))
+      .crossJoin(broadcast(orphans))
+      .selectExpr(
+        """stack(2,
+          |  'lineitem.l_quantity in [1,45]', v_qty,
+          |  'lineitem.l_orderkey references orders', v_fk) AS (rule, violations)
+          |""".stripMargin,
+        "checked")
+    val eRows = e.agg(
+        count(lit(1)).as("checked"),
+        sum(when(col("value") < 0 || col("value") > 100, 1L).otherwise(0L))
+          .as("v_val"))
+      .selectExpr(
+        "stack(1, 'events.value in [0,100]', v_val) AS (rule, violations)",
+        "checked")
+    val dRows = doc.agg(
+        count(lit(1)).as("checked"),
+        sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
+          .as("v_len"))
+      .selectExpr(
+        "stack(1, 'documents.n_chars = length(text)', v_len) AS (rule, violations)",
+        "checked")
+    oRows.unionByName(lRows).unionByName(eRows).unionByName(dRows)
+      .select(col("rule"),
+        col("violations").cast(LongType).as("violations"),
+        col("checked").cast(LongType).as("checked"),
+        (col("violations") === 0).as("passed"))
+      .orderBy(col("rule"))
   }
 
   val oracles: Map[String, String] = Map(
@@ -881,6 +957,35 @@ object PipelineOps {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_toks
         |  FROM t)
         |WHERE cum_toks <= budget""".stripMargin,
+
+    "m19_expectations" ->
+      """WITH o AS (SELECT COUNT(*) AS c,
+        |             COUNT(*) - COUNT(DISTINCT o_orderkey) AS vu,
+        |             COUNT(*) FILTER (o_orderdate IS NULL) AS vn,
+        |             COUNT(*) FILTER (o_orderstatus NOT IN ('O','F')) AS vs
+        |           FROM orders),
+        |     l AS (SELECT COUNT(*) AS c,
+        |             COUNT(*) FILTER (l_quantity < 1 OR l_quantity > 45) AS vq
+        |           FROM lineitem),
+        |     fk AS (SELECT COUNT(*) AS vf FROM lineitem
+        |            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+        |     e AS (SELECT COUNT(*) AS c,
+        |             COUNT(*) FILTER (e.value < 0 OR e.value > 100) AS vv
+        |           FROM events e),
+        |     dd AS (SELECT COUNT(*) AS c,
+        |             COUNT(*) FILTER (n_chars <> length(text)) AS vl
+        |           FROM documents)
+        |SELECT rule, violations, checked, violations = 0 AS passed FROM (
+        |  SELECT 'orders.o_orderkey is unique' AS rule,
+        |         vu AS violations, c AS checked FROM o
+        |  UNION ALL SELECT 'orders.o_orderdate is not null', vn, c FROM o
+        |  UNION ALL SELECT 'orders.o_orderstatus in (O,F)', vs, c FROM o
+        |  UNION ALL SELECT 'lineitem.l_quantity in [1,45]', vq, c FROM l
+        |  UNION ALL SELECT 'lineitem.l_orderkey references orders', vf, l.c
+        |            FROM l, fk
+        |  UNION ALL SELECT 'events.value in [0,100]', vv, c FROM e
+        |  UNION ALL SELECT 'documents.n_chars = length(text)', vl, c FROM dd)
+        |ORDER BY rule""".stripMargin,
 
     "m18_scd2_history" ->
       """WITH base AS (

@@ -446,6 +446,46 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     assert(dels2("aabb").intersect(dels2("bbaa")).nonEmpty && lev("aabb", "bbaa") > 2)
   }
 
+  test("m19 expectations count every planted violation exactly once") {
+    import spark.implicits._
+    // planted: 1 duplicate key, 1 null date, 2 bad statuses (one on a
+    // dup row), 1 out-of-range qty, 2 FK orphans, 1 bad value, 1 length
+    // mismatch — each rule must see exactly its own violations.
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val o = Seq(
+      (1L, "O", Option(ts0)), (2L, "F", Option(ts0)),
+      (2L, "P", Option(ts0)),                 // dup key + bad status
+      (3L, "X", Option(ts0)),                 // bad status
+      (4L, "O", None: Option[java.sql.Timestamp])) // null date
+      .toDF("o_orderkey", "o_orderstatus", "o_orderdate")
+    val l = Seq(
+      (1L, 10.0), (2L, 46.0),                 // qty out of [1,45]
+      (98L, 5.0), (99L, 5.0))                 // FK orphans
+      .toDF("l_orderkey", "l_quantity")
+    val e = Seq((1L, 50.0), (2L, 101.0)).toDF("event_id", "value")
+    val doc = Seq((1L, "abc", 3), (2L, "abcd", 3)) // mismatch on doc 2
+      .toDF("doc_id", "text", "n_chars")
+    val got = operators.PipelineOps.expectations(o, l, e, doc)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got("orders.o_orderkey is unique") === ((1L, 5L, false)))
+    assert(got("orders.o_orderdate is not null") === ((1L, 5L, false)))
+    assert(got("orders.o_orderstatus in (O,F)") === ((2L, 5L, false)))
+    assert(got("lineitem.l_quantity in [1,45]") === ((1L, 4L, false)))
+    assert(got("lineitem.l_orderkey references orders") === ((2L, 4L, false)))
+    assert(got("events.value in [0,100]") === ((1L, 2L, false)))
+    assert(got("documents.n_chars = length(text)") === ((1L, 2L, false)))
+    assert(got.size === 7)
+    // and a clean table set reports all-passed
+    val clean = operators.PipelineOps.expectations(
+      Seq((1L, "O", Option(ts0))).toDF("o_orderkey", "o_orderstatus", "o_orderdate"),
+      Seq((1L, 10.0)).toDF("l_orderkey", "l_quantity"),
+      Seq((1L, 50.0)).toDF("event_id", "value"),
+      Seq((1L, "abc", 3)).toDF("doc_id", "text", "n_chars"))
+      .collect()
+    assert(clean.forall(_.getBoolean(3)))
+    assert(clean.forall(_.getLong(1) == 0L))
+  }
+
   test("PGN rendering is total on arbitrary games (R10 law)") {
     val optStr = Gen.option(Gen.oneOf(Gen.alphaNumStr,
       Gen.const("with \"quotes\" and\nnewlines")))
