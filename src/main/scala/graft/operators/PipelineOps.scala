@@ -722,10 +722,11 @@ object PipelineOps {
     * al., VLDB 2018). Row-level rules (not-null, range,
     * accepted-values, cross-column consistency) and KEY UNIQUENESS
     * (count − exact countDistinct) fold into ONE conditional-sum
-    * aggregate per table, so four tables cost four scans regardless of
-    * how many rules each carries; referential integrity is the one
-    * rule that inherently needs a second relation — a left-anti join
-    * whose key side AQE broadcasts when small and shuffles when not.
+    * aggregate per table — four tables, four scans, however many such
+    * rules each carries; referential integrity is the one rule that
+    * inherently needs a second relation, adding a left-anti join whose
+    * two sides re-scan ONLY the key columns (column-pruned at the
+    * parquet reader) and whose key side AQE broadcasts when small.
     * Every branch reduces to a 1-row frame before the union, so the
     * report is constant-size output at any input scale and the
     * cross-join stitching the FK count to its table's row count is
