@@ -231,7 +231,12 @@ object Bench {
         java.nio.file.Paths.get(fullPath),
         s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":$runs,""" +
           s""""load_avg":[${f3(loadBefore)},${f3(loadAvg)}],""" +
-          s""""ext_max":${f3(extMax)},"hot":$hotFull,""" +
+          // ext_gate = the configured clean-pass threshold; ext_peak =
+          // the worst external-CPU reading actually measured (named so
+          // a reader cannot mistake the config for a measurement)
+          s""""ext_gate":${f3(extMax)},"ext_peak":${f3(
+            perPass.flatMap(_.values.map(_.ext)).foldLeft(0.0)(math.max))},""" +
+          s""""hot":$hotFull,""" +
           s""""load_gate":${gateEvents.mkString("[", ",", "]")},""" +
           s""""queries":$medJson,"passes":$passJson,""" +
           s""""passes_ext":$extJson,"retimed":$retimedJson,"sf":"$sfDir"}""")

@@ -364,6 +364,29 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(Tables.fanOutWidth(BigInt(64 << 20), 8) === 8)    // cap tracks cores
   }
 
+  test("m19 expectations: FK anti join is a hash join; key re-scans are pruned") {
+    val df = graft.operators.PipelineOps
+      .queries("m19_expectations")(spark, sf("sf0.001"))
+    df.collect()
+    val p = plan(df)
+    // the FK rule must plan as a LeftAnti HASH join — a nested-loop
+    // anti join re-probes the full key side per lineitem row at scale.
+    // (The 1-row report-stitch crossJoin IS a BroadcastNestedLoop by
+    // construction — j8's broadcast-totals shape — so the assert is on
+    // the anti join's line, not plan-wide.)
+    val antiLines = p.linesIterator.filter(_.contains("LeftAnti")).toSeq
+    assert(antiLines.nonEmpty, p.take(3000))
+    assert(antiLines.forall(_.contains("HashJoin")), antiLines.mkString("\n"))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the two FK-side re-scans must read ONLY the join key: any scan of
+    // orders/lineitem beyond the agg scans carries a 1-column schema
+    val keyScans = p.linesIterator.filter(l =>
+      l.contains("ReadSchema") &&
+        (l.contains("struct<l_orderkey:bigint>") ||
+         l.contains("struct<o_orderkey:bigint>"))).size
+    assert(keyScans >= 2, p.take(3000))
+  }
+
   test("multimodal stubs: resize shapes payloads, frame sampler strides") {
     val payload = Array.tabulate[Byte](100)(_.toByte)
     assert(Multimodal.resizeStub(payload, 8, 4).length === 32)
