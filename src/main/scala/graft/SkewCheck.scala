@@ -132,7 +132,14 @@ object SkewCheck {
       // the 90%-hot source, m17's boundary stream contains the hot
       // user's one giant session
       Run("m16_temperature_mix", "m16_temperature_mix"),
-      Run("m17_peak_concurrency", "m17_peak_concurrency"))
+      Run("m17_peak_concurrency", "m17_peak_concurrency"),
+      // r11 additions: l16's segment-df groupBy faces hot segment keys
+      // on this corpus (every near-dup copy shares every segment — the
+      // partial agg must collapse them map-side); j11's cell explode
+      // faces the hot user's giant sessionize interval, the exact case
+      // the span-stats width guard (ADVICE r10) caps at 1024 cells/row
+      Run("l16_line_dedup", "l16_line_dedup"),
+      Run("j11_overlap_join", "j11_overlap_join"))
 
     var allPass = true
     val entries = runs.map { r =>
