@@ -149,6 +149,47 @@ object SqlFrontend {
       |                         CAST(e.embedding AS DOUBLE[])), 6) AS norm2
       |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id""".stripMargin
 
+  /** Recursive CTE (r11) — iterative fixpoint queries from plain SQL
+    * (Spark 4's WITH RECURSIVE), the frontend capability class that
+    * windows/joins cannot express: per-customer "opening streak" — walk
+    * the chain of consecutive orders (LEAD-linked, deterministic
+    * (date, key) tiebreak) while each gap is ≤ 30 days, report the
+    * walk length. The successor pointer makes the recursion LINEAR
+    * (one row per customer per iteration — a UNION ALL frontier can
+    * never multi-path-explode), termination is structural (strictly
+    * increasing dates + the gap cut; fixture max depth 4), and each
+    * iteration is one equi join of the frontier against the base.
+    * Scale note: Spark's recursion re-plans the referenced CTE per
+    * step, so a depth-d walk costs d base evaluations — fine for the
+    * shallow business-logic recursions this entry represents; DEEP
+    * fixpoints (graph closure over 100 TB) belong on the DSL's
+    * checkpointed iterative operators (m5's contraction CC), which is
+    * why both exist. One dialect-neutral text = the DuckDB oracle
+    * verbatim.
+    */
+  private val recursiveSql =
+    """WITH RECURSIVE nxt AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate,
+      |         LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+      |           ORDER BY o_orderdate, o_orderkey) AS nd,
+      |         LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+      |           ORDER BY o_orderdate, o_orderkey) AS nk,
+      |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |           ORDER BY o_orderdate, o_orderkey) AS rn
+      |  FROM orders
+      |), walk AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate, nd, nk, 1 AS steps
+      |  FROM nxt WHERE rn = 1
+      |  UNION ALL
+      |  SELECT n.o_custkey, n.o_orderkey, n.o_orderdate, n.nd, n.nk,
+      |         w.steps + 1
+      |  FROM walk w JOIN nxt n ON n.o_orderkey = w.nk
+      |  WHERE w.nd IS NOT NULL
+      |    AND w.nd <= w.o_orderdate + INTERVAL 30 DAY
+      |)
+      |SELECT o_custkey, MAX(steps) AS streak
+      |FROM walk GROUP BY o_custkey""".stripMargin
+
   /** Correlated EXISTS — planned as a semi join, not a per-row subquery. */
   private val existsSql =
     """SELECT o_orderkey FROM orders
@@ -163,6 +204,7 @@ object SqlFrontend {
     "sql4_exists_subquery" -> ((s, d) => { withViews(s, d); s.sql(existsSql) }),
     "sql5_q21_multi_exists" -> ((s, d) => { withViews(s, d); s.sql(q21Sql) }),
     "sql6_window_text" -> ((s, d) => { withViews(s, d); s.sql(windowSql) }),
+    "sql8_recursive_cte" -> ((s, d) => { withViews(s, d); s.sql(recursiveSql) }),
     "sql7_native_fn" -> ((s, d) => {
       withViews(s, d)
       graft.GraftExtensions.ensureFunctions(s)
@@ -198,6 +240,7 @@ object SqlFrontend {
     "sql5_q21_multi_exists" -> q21Sql,
     "sql6_window_text" -> windowSql,
     "sql7_native_fn" -> nativeFnOracleSql,
+    "sql8_recursive_cte" -> recursiveSql,
 
     "a10_pivot" ->
       """SELECT user_id,
