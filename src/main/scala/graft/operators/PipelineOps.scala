@@ -556,6 +556,40 @@ object PipelineOps {
       // "boundaries ≈ events/50" as a fixture-shaped constant)
       peakConcurrency(queries("m1_sessionize")(s, d))),
 
+    // M20: the CURATION DAG — the three stages every pretraining-data
+    // pass runs (quality gate → exact dedup → per-source token budget)
+    // fused into ONE logical plan, proving the operators compose
+    // without materialization barriers: the l7 gate's predicates stay
+    // row-local in the scan (Catalyst pushes them below everything),
+    // dedup is l1's one digest-keyed partial agg with min(struct)
+    // carrying the survivor's whole row (no join-back), and the budget
+    // is m4's sharded running sum over the DEDUPED set. Total shuffle
+    // bill at any scale: one digest agg + the budget family's
+    // source-clustered exchange — a fused curation pass over 100 TB
+    // costs exactly its stages, not stages × materializations.
+    "m20_curation_pipeline" -> ((s, d) => {
+      val toksM20 = split(col("text"), " ")
+      val gated = Tables.documents(s, d)
+        .withColumn("n_toks", size(toksM20).cast(LongType))
+        .withColumn("stop_ratio",
+          size(filter(toksM20, t => t.isin(TextAnalysis.Stopwords: _*)))
+            .cast(DoubleType) / col("n_toks"))
+        .filter(col("n_toks").between(10, 2000) &&
+          col("stop_ratio") < lit(0.35) &&
+          col("text").rlike("^[a-z0-9 ]+$") &&
+          col("lang").isin("en", "es", "zh", "fr", "de"))
+      val kept = gated
+        .groupBy(md5(col("text").cast(BinaryType)).as("text_md5"))
+        .agg(min(struct(col("doc_id"), col("source"), col("n_toks"))).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.source").as("source"),
+          col("r.n_toks").as("n_toks"))
+      val ord = Seq(col("n_toks").desc, col("doc_id"))
+      shardedRunningSum(rangeSharded(kept, col("source"), ord),
+          "source", "__shard", ord, "n_toks", "cum_toks", prefixWidth(kept))
+        .filter(col("cum_toks") <= 5000)
+        .select(col("doc_id"), col("source"), col("n_toks"), col("cum_toks"))
+    }),
+
     // M19: data-quality EXPECTATIONS — declarative constraint
     // verification with a violations report, the deequ pattern
     // (Schelter et al., "Automating Large-Scale Data Quality
@@ -958,6 +992,32 @@ object PipelineOps {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_toks
         |  FROM t)
         |WHERE cum_toks <= budget""".stripMargin,
+
+    "m20_curation_pipeline" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, text, lang,
+         |    string_split(text, ' ') AS tk FROM documents
+         |), g AS (
+         |  SELECT doc_id, source, text,
+         |    CAST(len(tk) AS BIGINT) AS n_toks,
+         |    CAST(len(list_filter(tk, x -> list_contains(${TextAnalysis.stopSql}, x))) AS DOUBLE) / len(tk) AS stop_ratio
+         |  FROM t
+         |  WHERE len(tk) BETWEEN 10 AND 2000
+         |    AND regexp_matches(text, '^[a-z0-9 ]+$$')
+         |    AND lang IN ('en', 'es', 'zh', 'fr', 'de')
+         |), gated AS (
+         |  SELECT doc_id, source, text, n_toks FROM g WHERE stop_ratio < 0.35
+         |), kept AS (
+         |  SELECT doc_id, source, n_toks FROM (
+         |    SELECT doc_id, source, n_toks,
+         |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM gated) WHERE rn = 1
+         |)
+         |SELECT doc_id, source, n_toks, cum_toks FROM (
+         |  SELECT doc_id, source, n_toks,
+         |    CAST(SUM(n_toks) OVER (PARTITION BY source
+         |      ORDER BY n_toks DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
+         |  FROM kept) WHERE cum_toks <= 5000""".stripMargin,
 
     "m19_expectations" ->
       """WITH o AS (SELECT COUNT(*) AS c,

@@ -18,7 +18,7 @@ import org.apache.spark.sql.types._
   */
 object TextAnalysis {
 
-  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private[operators] val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
   private def toks: Column = split(col("text"), " ")
 
@@ -418,7 +418,7 @@ object TextAnalysis {
     } else result
   }
 
-  private val stopSql = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+  private[operators] val stopSql = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   /** l16 kernel on any (doc_id, text) frame: disjoint `segWords`-word
     * segments, drop every segment whose exact text occurs in ≥ `maxDf`
