@@ -167,7 +167,7 @@ object SqlFrontend {
     * why both exist. One dialect-neutral text = the DuckDB oracle
     * verbatim.
     */
-  private val recursiveSql =
+  private[graft] val recursiveSql =
     """WITH RECURSIVE nxt AS (
       |  SELECT o_custkey, o_orderkey, o_orderdate,
       |         LEAD(o_orderdate) OVER (PARTITION BY o_custkey

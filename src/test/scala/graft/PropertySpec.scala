@@ -446,6 +446,39 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     assert(dels2("aabb").intersect(dels2("bbaa")).nonEmpty && lev("aabb", "bbaa") > 2)
   }
 
+  test("sql8 recursive streak ≡ scala brute force on random order histories") {
+    import spark.implicits._
+    def streak(dates: Seq[Long]): Int = {
+      // walk the sorted dates from the first while each gap <= 30 days
+      val sorted = dates.sorted
+      var n = 1
+      while (n < sorted.length &&
+        sorted(n) - sorted(n - 1) <= 30L * 86400000L) n += 1
+      n
+    }
+    for (seed <- 1L to 3L) {
+      val gen = Gen.listOfN(120, Gen.zip(Gen.choose(1L, 12L), Gen.choose(0L, 400L)))
+      val rows = sample(gen, seed).zipWithIndex.map { case ((cust, day), i) =>
+        (cust, i.toLong, new java.sql.Timestamp(day * 86400000L))
+      }
+      // dates are unique per customer? not necessarily — ties are fine:
+      // the SQL tiebreak is (date, key); the brute force must mirror it
+      val byCust = rows.groupBy(_._1).map { case (c, rs) =>
+        val sorted = rs.map(r => (r._3.getTime, r._2)).sortBy(identity)
+        var n = 1
+        while (n < sorted.length &&
+          sorted(n)._1 - sorted(n - 1)._1 <= 30L * 86400000L) n += 1
+        c -> n
+      }
+      rows.toDF("o_custkey", "o_orderkey", "o_orderdate")
+        .createOrReplaceTempView("prop_sql8_orders")
+      val got = spark.sql(graft.operators.SqlFrontend.recursiveSql
+          .replace("FROM orders", "FROM prop_sql8_orders"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got === byCust, s"seed=$seed")
+    }
+  }
+
   test("m19 expectations count every planted violation exactly once") {
     import spark.implicits._
     // planted: 1 duplicate key, 1 null date, 2 bad statuses (one on a
