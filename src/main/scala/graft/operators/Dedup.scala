@@ -674,6 +674,53 @@ object Dedup {
         .select(col("dst").as("doc_id")).distinct()
       Tables.documents(s, d).join(removed, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("n_chars"))
+    }),
+
+    // L17: URL-level dedup — the FIRST dedup pass every web-crawl
+    // curation recipe runs (CCNet, C4, RefinedWeb): canonicalize each
+    // record's URL, keep one record per canonical URL. Canonicalization
+    // is the standard normal form: strip the fragment, lowercase the
+    // host, drop the scheme-default port, drop tracking params
+    // (utm_*), sort the surviving query params, strip the trailing
+    // slash. The fixture derives a deterministically MESSY url per doc
+    // (case-shuffled host, optional :443, optional trailing slash,
+    // shuffled param order, utm noise, fragment — the f11 derived-url
+    // convention) where every doc_id % 500 group collapses to ONE
+    // canonical URL. Everything canonicalizes per-row inside the scan
+    // projection (codegen'd regexp/array ops, no UDF); the dedup is one
+    // groupBy keyed on the canonical URL — the l1 exact-dedup plan
+    // shape, one shuffle at any corpus size.
+    "l17_url_dedup" -> ((s, d) => {
+      val g = (col("doc_id") % 500).cast(StringType)
+      val url = concat(lit("https://"),
+        when(col("doc_id") % 3 === 0, "Crawl.Example.COM")
+          .when(col("doc_id") % 3 === 1, "crawl.example.com")
+          .otherwise("CRAWL.EXAMPLE.COM"),
+        when(col("doc_id") % 2 === 0, ":443").otherwise(""),
+        lit("/articles/"), g,
+        when(col("doc_id") % 5 === 0, "/").otherwise(""),
+        lit("?"),
+        when(col("doc_id") % 4 < 2, concat(lit("id="), g, lit("&ref=home")))
+          .otherwise(concat(lit("ref=home&id="), g)),
+        when(col("doc_id") % 2 === 1,
+            concat(lit("&utm_source=feed&utm_campaign=c"),
+              (col("doc_id") % 9).cast(StringType)))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, "#frag").otherwise(lit("")))
+      val noFrag = regexp_replace(url, "#.*$", "")
+      val host = regexp_replace(
+        lower(regexp_extract(noFrag, "^https://([^/?#]+)", 1)), ":443$", "")
+      val path = regexp_replace(
+        regexp_extract(noFrag, "^https://[^/?#]+(/[^?#]*)", 1), "/$", "")
+      val params = array_join(sort_array(filter(
+        split(regexp_extract(noFrag, "\\?([^#]*)", 1), "&"),
+        p => !p.startsWith("utm_") && p =!= "")), "&")
+      val canonical = concat(lit("https://"), host, path,
+        when(length(params) > 0, concat(lit("?"), params)).otherwise(lit("")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), canonical.as("canon_url"))
+        .groupBy(col("canon_url"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dupes"))
     })
   )
 
@@ -1177,6 +1224,44 @@ object Dedup {
         |FROM pairs
         |  JOIN sizes s1 ON s1.doc_id = d1
         |  JOIN sizes s2 ON s2.doc_id = d2
-        |ORDER BY jaccard DESC, d1, d2 LIMIT 20""".stripMargin
+        |ORDER BY jaccard DESC, d1, d2 LIMIT 20""".stripMargin,
+
+    // l17: DuckDB re-derives the same messy url and canonicalizes with
+    // its own regexp/list functions (list_filter + starts_with instead
+    // of Spark's filter + startsWith; LIKE would wildcard the '_').
+    "l17_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' ||
+        |    CASE doc_id % 3 WHEN 0 THEN 'Crawl.Example.COM'
+        |         WHEN 1 THEN 'crawl.example.com'
+        |         ELSE 'CRAWL.EXAMPLE.COM' END ||
+        |    CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END ||
+        |    '/articles/' || (doc_id % 500) ||
+        |    CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END || '?' ||
+        |    CASE WHEN doc_id % 4 < 2 THEN 'id=' || (doc_id % 500) || '&ref=home'
+        |         ELSE 'ref=home&id=' || (doc_id % 500) END ||
+        |    CASE WHEN doc_id % 2 = 1
+        |         THEN '&utm_source=feed&utm_campaign=c' || (doc_id % 9)
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END AS url
+        |  FROM documents
+        |), nf AS (
+        |  SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM u
+        |), c AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(regexp_extract(u, '^https://([^/?#]+)', 1)),
+        |      ':443$', '') AS host,
+        |    regexp_replace(regexp_extract(u, '^https://[^/?#]+(/[^?#]*)', 1),
+        |      '/$', '') AS path,
+        |    array_to_string(list_sort(list_filter(
+        |      string_split(regexp_extract(u, '\?([^#]*)', 1), '&'),
+        |      p -> NOT starts_with(p, 'utm_') AND p <> '')), '&') AS params
+        |  FROM nf
+        |)
+        |SELECT 'https://' || host || path ||
+        |    CASE WHEN params <> '' THEN '?' || params ELSE '' END AS canon_url,
+        |  min(doc_id) AS doc_id, COUNT(*) AS n_dupes
+        |FROM c GROUP BY 1""".stripMargin
   )
 }

@@ -31,6 +31,22 @@ object Ingest {
     b
   }
 
+  /** s14's manifest scan: per-file [min,max] of the clustering key over
+    * a freshly written layout, filtered to the files whose range
+    * intersects [lo, hi). Exposed for IngestSpec's skip assertion. The
+    * manifest build reads ONE pruned column; the returned list is the
+    * filtered file index (driver-held in Spark regardless).
+    */
+  private[graft] def manifestMatches(s: org.apache.spark.sql.SparkSession,
+      path: String, lo: org.apache.spark.sql.Column,
+      hi: org.apache.spark.sql.Column): Seq[String] = {
+    s.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("l_shipdate")).as("f_lo"), max(col("l_shipdate")).as("f_hi"))
+      .filter(col("f_hi") >= lo && col("f_lo") < hi)
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+  }
+
   val queries: Map[String, Q] = Map(
     // S1: parquet scan of every fixture table (vectorized reader).
     "s1_parquet_scan" -> ((s, d) => {
@@ -300,6 +316,40 @@ object Ingest {
           min(col("o_year")).as("min_year"))
     }),
 
+    // S14: FILE-LEVEL DATA SKIPPING via a min/max manifest — the
+    // Delta/Iceberg stats-pruning pattern on plain parquet. Partition
+    // pruning (s6b/s13) skips whole directories; at 100 TB the next
+    // order of magnitude comes from skipping FILES inside a partition
+    // using per-file column stats. Layout: range-cluster lineitem by
+    // l_shipdate so each file owns a narrow date slice, then build a
+    // manifest of (file, min, max) — one column-pruned pass at write
+    // time (parquet footers already hold these stats; a footer-reading
+    // manifest builder changes the constant, not the shape). Query: the
+    // date predicate filters the MANIFEST first, and only intersecting
+    // files are handed to the scan — the same driver-side role Spark's
+    // own file index plays, so the collected file list is no new scale
+    // risk (it IS the file index, filtered). A 3-month predicate over
+    // 7 years of data reads ~1/28th of the files; the residual filter
+    // stays on the scan so results never depend on manifest precision.
+    // IngestSpec asserts the skip actually happened (matched < total).
+    "s14_stats_skipping" -> ((s, d) => {
+      val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
+      val out = tmp(s"graft_s14_lineitem_skip_$tag")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_shipdate"))
+        .repartitionByRange(16, col("l_shipdate"))
+        .write.mode("overwrite").parquet(out)
+      val lo = lit("1995-06-01 00:00:00").cast(TimestampType)
+      val hi = lit("1995-09-01 00:00:00").cast(TimestampType)
+      val matched = manifestMatches(s, out, lo, hi)
+      s.read.parquet(matched: _*)
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("total"))
+    }),
+
     // S8: in-memory source (unit-test seam).
     "s8_inmemory" -> ((s, _) => {
       import s.implicits._
@@ -403,6 +453,15 @@ object Ingest {
 
     "s8_inmemory" ->
       """SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'alpha', 1.5),
-        |  (2, 'beta', 2.5), (3, 'gamma', 3.5)) t(id, name, score)""".stripMargin
+        |  (2, 'beta', 2.5), (3, 'gamma', 3.5)) t(id, name, score)""".stripMargin,
+
+    // s14: the oracle scans the whole table — agreement proves the
+    // manifest never skipped a file containing a matching row.
+    "s14_stats_skipping" ->
+      s"""SELECT COUNT(*) AS n_items, ${sqlDsum("l_quantity")} AS sum_qty,
+         |  ${sqlDsum("l_extendedprice")} AS total
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1995-09-01 00:00:00'""".stripMargin
   )
 }

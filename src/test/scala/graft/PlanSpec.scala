@@ -394,4 +394,33 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(frames.length === 4) // ceil(10 frames / 3)
     assert(frames.head.toSeq === payload.slice(0, 10).toSeq)
   }
+
+  test("s14 manifest skipping reads a strict subset of files, result exact") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.TimestampType
+    val d = sf("sf0.001")
+    // run the entry: builds the range-clustered layout and aggregates
+    // through the manifest-pruned scan
+    val got = graft.sources.Ingest
+      .queries("s14_stats_skipping")(spark, d).collect().head
+    // exact recompute over the FULL table — skipping must never cost rows
+    val lo = lit("1995-06-01 00:00:00").cast(TimestampType)
+    val hi = lit("1995-09-01 00:00:00").cast(TimestampType)
+    val want = Tables.lineitem(spark, d)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .agg(count(lit(1)), Exprs.dsum(col("l_quantity")),
+        Exprs.dsum(col("l_extendedprice"))).collect().head
+    assert(got.getLong(0) === want.getLong(0))
+    assert(got.getDouble(1) === want.getDouble(1))
+    assert(got.getDouble(2) === want.getDouble(2))
+    // skip evidence: the 3-month manifest match is a strict subset of
+    // the 16-file range-clustered layout (7 years of shipdates)
+    val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
+    val out = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_s14_lineitem_skip_$tag")
+    val total = out.toFile.listFiles().count(_.getName.endsWith(".parquet"))
+    val matched = graft.sources.Ingest.manifestMatches(spark, out.toString, lo, hi)
+    assert(matched.nonEmpty && matched.size < total,
+      s"matched=${matched.size} total=$total")
+  }
 }
