@@ -365,6 +365,35 @@ object Joins {
       graft.plans.AsOfJoinApi.asofJoin(p, c,
           Seq("user_id", "day"), Seq("c_user", "c_day"), "p_ts", "c_ts", "c_id")
         .select(col("p_id"), col("user_id"), col("day"), col("c_id"))
+    }),
+
+    // J13: NEAREST-event join — the pandas merge_asof(direction=
+    // 'nearest') shape the backward-only as-of family (j9/j10) can't
+    // express: each purchase matches the click minimizing |Δt| in
+    // EITHER direction within ±1 hour, NULL if none. The two-sided band
+    // predicate is the same bounded-interval class as j7/j10, so the
+    // RangeJoinRewrite bucketing applies to pair generation at scale;
+    // the rank window picks the minimum-gap click with a deterministic
+    // (earlier ts, smaller id) tiebreak for equidistant pairs. The gap
+    // is the exact µs long (fractional seconds would go engine-specific).
+    "j13_nearest_event" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+      val gap = abs(unix_micros(col("c_ts")) - unix_micros(col("p_ts")))
+      val w = Window.partitionBy(col("p_id"))
+        .orderBy(gap.asc_nulls_last, col("c_ts").asc_nulls_last,
+          col("c_id").asc_nulls_last)
+      p.join(c,
+          p("user_id") === c("c_user") &&
+            c("c_ts") >= p("p_ts") - expr("INTERVAL 1 HOUR") &&
+            c("c_ts") <= p("p_ts") + expr("INTERVAL 1 HOUR"), "left")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("p_id"), col("user_id"), col("c_id"), gap.as("gap_us"))
     })
   )
 
@@ -637,6 +666,20 @@ object Joins {
         |    ON p.user_id = c.user_id
         |   AND CAST(c.ts AS DATE) = CAST(p.ts AS DATE)
         |   AND c.ts <= p.ts
+        |) WHERE rn = 1""".stripMargin,
+
+    "j13_nearest_event" ->
+      """SELECT p_id, user_id, c_id, gap_us FROM (
+        |  SELECT p.event_id AS p_id, p.user_id, c.event_id AS c_id,
+        |    abs(epoch_us(c.ts) - epoch_us(p.ts)) AS gap_us,
+        |    ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |      ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)) ASC NULLS LAST,
+        |               c.ts ASC NULLS LAST, c.event_id ASC NULLS LAST) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id
+        |   AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |   AND c.ts <= p.ts + INTERVAL 1 HOUR
         |) WHERE rn = 1""".stripMargin
   )
 }

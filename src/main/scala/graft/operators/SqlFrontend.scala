@@ -190,6 +190,24 @@ object SqlFrontend {
       |SELECT o_custkey, MAX(steps) AS streak
       |FROM walk GROUP BY o_custkey""".stripMargin
 
+  /** LATERAL correlated derived table (r11) — the top-k-per-outer-row
+    * idiom from SQL text: each BUILDING customer's two most expensive
+    * orders via a correlated, ordered, limited subquery in the FROM
+    * clause. Exercises the frontend path none of sql1–sql8 touch
+    * (lateral decorrelation: Catalyst must rewrite the per-row LIMIT
+    * into a rank-over-join, never execute the subquery per outer row).
+    * The inner (price, key) tiebreak pins the LIMIT deterministically;
+    * one dialect-neutral text = the DuckDB oracle verbatim.
+    */
+  private val lateralSql =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+      |) t
+      |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin
+
   /** Correlated EXISTS — planned as a semi join, not a per-row subquery. */
   private val existsSql =
     """SELECT o_orderkey FROM orders
@@ -205,6 +223,7 @@ object SqlFrontend {
     "sql5_q21_multi_exists" -> ((s, d) => { withViews(s, d); s.sql(q21Sql) }),
     "sql6_window_text" -> ((s, d) => { withViews(s, d); s.sql(windowSql) }),
     "sql8_recursive_cte" -> ((s, d) => { withViews(s, d); s.sql(recursiveSql) }),
+    "sql9_lateral_topk" -> ((s, d) => { withViews(s, d); s.sql(lateralSql) }),
     "sql7_native_fn" -> ((s, d) => {
       withViews(s, d)
       graft.GraftExtensions.ensureFunctions(s)
@@ -241,6 +260,7 @@ object SqlFrontend {
     "sql6_window_text" -> windowSql,
     "sql7_native_fn" -> nativeFnOracleSql,
     "sql8_recursive_cte" -> recursiveSql,
+    "sql9_lateral_topk" -> lateralSql,
 
     "a10_pivot" ->
       """SELECT user_id,

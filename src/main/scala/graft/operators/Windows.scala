@@ -139,6 +139,34 @@ object Windows {
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
           row_number().over(w).as("rn"))
         .filter(col("rn") <= 3)
+    }),
+
+    // W8: FUNNEL conversion — the product-analytics sequence primitive
+    // (first signup → earliest purchase within 7 days, per user) that
+    // MATCH_RECOGNIZE engines special-case. Here it is one whole-
+    // partition window (min signup ts broadcast to every row of the
+    // user's partition — one user-keyed shuffle) + a groupBy on the
+    // SAME key, which reuses the window's hash partitioning so no
+    // second exchange ever plans. Per-user window = the w3 per-key
+    // semantics class for the skew gate. Time-to-convert is the exact
+    // µs long difference (timestamps are µs-exact; a seconds division
+    // would go fractional and engine-specific).
+    "w8_funnel" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+      val withFs = Tables.events(s, d).withColumn("signup_ts",
+        min(when(col("event_type") === "signup", col("ts"))).over(w))
+      withFs
+        .filter(col("event_type") === "purchase" &&
+          col("ts") >= col("signup_ts") &&
+          col("ts") <= col("signup_ts") + expr("INTERVAL 7 DAY"))
+        .groupBy(col("user_id"))
+        .agg(min(col("signup_ts")).as("signup_ts"),
+          min(col("ts")).as("conv_ts"),
+          count(lit(1)).as("n_purchases_7d"))
+        .select(col("user_id"), col("signup_ts"), col("conv_ts"),
+          col("n_purchases_7d"),
+          (unix_micros(col("conv_ts")) - unix_micros(col("signup_ts")))
+            .as("usecs_to_convert"))
     })
   )
 
@@ -211,6 +239,21 @@ object Windows {
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    ROW_NUMBER() OVER (PARTITION BY o_custkey
         |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
-        |  FROM orders) WHERE rn <= 3""".stripMargin
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+
+    "w8_funnel" ->
+      """WITH fs AS (
+        |  SELECT user_id, MIN(ts) AS signup_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id
+        |), p AS (
+        |  SELECT e.user_id, fs.signup_ts, e.ts
+        |  FROM events e JOIN fs ON e.user_id = fs.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= fs.signup_ts
+        |    AND e.ts <= fs.signup_ts + INTERVAL 7 DAY
+        |)
+        |SELECT user_id, signup_ts, MIN(ts) AS conv_ts,
+        |  COUNT(*) AS n_purchases_7d,
+        |  epoch_us(MIN(ts)) - epoch_us(signup_ts) AS usecs_to_convert
+        |FROM p GROUP BY user_id, signup_ts""".stripMargin
   )
 }

@@ -395,6 +395,16 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(frames.head.toSeq === payload.slice(0, 10).toSeq)
   }
 
+  test("w8 funnel: groupBy reuses the window's user partitioning — one exchange") {
+    val df = graft.operators.Windows.queries("w8_funnel")(spark, sf("sf0.001"))
+    df.collect()
+    // count in the AQE final plan only (the plan string echoes the
+    // initial plan below it, doubling every node)
+    val p = plan(df).split("== Initial Plan ==").head
+    val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(n === 1, p.take(3000))
+  }
+
   test("s14 manifest skipping reads a strict subset of files, result exact") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.TimestampType
