@@ -363,6 +363,31 @@ object StreamCheck {
         (4L, "basic")), rows, batches)
     }
 
+    scenario("t15_stream_incremental_dedup") {
+      // m12's streaming twin: within-stream content dedup (watermark-
+      // bounded state) + stream-static anti join against the standing
+      // corpus digests. Which of two identical same-batch docs survives
+      // is engine-unspecified, so the assert accepts either of 1/3.
+      val corpus = Seq("old doc body").toDF("text")
+        .select(md5(col("text").cast(org.apache.spark.sql.types.BinaryType))
+          .as("text_md5"))
+      val in = MemoryStream[Streams.Doc](spark)
+      def doc(id: Long, text: String, min: Int) = Streams.Doc(id, text, ts(min))
+      val (rows, batches) = run(Streams.streamingDedup(in.toDF(), corpus),
+        "sc_t15", "append", Seq(
+          () => in.addData(doc(1, "alpha body", 0), doc(2, "beta body", 1),
+            doc(3, "alpha body", 1),    // within-batch duplicate
+            doc(4, "old doc body", 2)), // standing-corpus duplicate
+          () => in.addData(
+            doc(5, "beta body", 3),     // cross-batch dup within watermark
+            doc(6, "gamma body", 4))))
+      val ids = spark.table("sc_t15").select($"doc_id").collect()
+        .map(_.getLong(0)).toSet
+      Res(ids.size == 3 && ids.intersect(Set(1L, 3L)).size == 1 &&
+          ids.contains(2L) && ids.contains(6L),
+        rows, batches)
+    }
+
     scenario("t10_stream_static_enrich") {
       val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
       val in = MemoryStream[Ev](spark)

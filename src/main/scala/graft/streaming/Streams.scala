@@ -61,6 +61,28 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** A streamed document for the T15 incremental-dedup path. */
+  case class Doc(doc_id: Long, text: String, ts: java.sql.Timestamp)
+
+  /** T15: STREAMING incremental exact dedup — m12's 24/7 twin, the shape
+    * a continuously-crawled corpus actually ingests with: new documents
+    * arrive as a stream, duplicates WITHIN the stream are dropped by
+    * content digest (watermark-bounded state, so the dedup map never
+    * grows past the lateness horizon), and survivors are anti-joined
+    * against the STANDING corpus digest set (stream-static left anti —
+    * re-evaluated per micro-batch, so a corpus refresh is picked up on
+    * the next trigger, zero streaming state for the corpus side). At
+    * 100 TB/day the static side is a digest-only projection (16 bytes +
+    * key per doc), exactly what m12's bloom/broadcast gate consumes.
+    */
+  def streamingDedup(docs: DataFrame, corpusDigests: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    docs.withWatermark("ts", watermark)
+      .withColumn("text_md5",
+        md5(col("text").cast(org.apache.spark.sql.types.BinaryType)))
+      .dropDuplicatesWithinWatermark("text_md5")
+      .join(corpusDigests, Seq("text_md5"), "left_anti")
+
   /** T8: stream-stream interval join — purchases matched to clicks of
     * the same user within the preceding `interval`. Both sides carry
     * watermarks so the join state is bounded (Spark drops buffered rows
