@@ -703,6 +703,40 @@ object PipelineOps {
         when(draw < "cccc", "train")
           .when(draw < "e666", "val")
           .otherwise("test").as("split"))
+    }),
+
+    // M21: DECONTAMINATED SPLIT — m13's stable-hash split and l11's
+    // n-gram decontamination FUSED into the one operation every
+    // training run actually performs: assign train/val/test by content-
+    // stable hash, then strip from TRAIN any document sharing ≥3
+    // shingles with the held-out TEST split (train/test leakage is the
+    // classic eval-inflation bug). Unlike l11 (whose benchmark side is
+    // KBs by definition and broadcasts unconditionally), the holdout
+    // here is ~10% of the corpus, so the shingle join gets NO broadcast
+    // hint — it plans as a shingle-keyed equi join (one shuffle per
+    // side at 100 TB; AQE promotes the fixture-scale side to broadcast
+    // on its own). Shingles are the native ShingleHash kernel, distinct
+    // per doc, computed in the scan.
+    "m21_decontaminated_split" -> ((s, d) => {
+      val draw = substring(md5(concat(lit("split:"),
+        col("doc_id").cast(StringType)).cast(BinaryType)), 1, 4)
+      val docs = Tables.documents(s, d).withColumn("split",
+        when(draw < "cccc", "train")
+          .when(draw < "e666", "val")
+          .otherwise("test"))
+      def shingled(df: DataFrame) = df.select(col("doc_id"),
+        explode(graft.functions.ShingleHash.shingleHashes(
+          split(col("text"), " "))).as("sh"))
+      val hold = shingled(docs.filter(col("split") === "test"))
+        .select(col("sh")).distinct()
+      val train = docs.filter(col("split") === "train")
+      val contaminated = shingled(train)
+        .join(hold, "sh") // per-doc shingles are distinct (l11's law)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+      train.join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
     })
   )
 
@@ -917,6 +951,35 @@ object PipelineOps {
         |            < 'e666' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+
+    // m21: same 3-gram semantics as l11's oracle (whole-token windows;
+    // docs with < 3 tokens have no shingles and always survive).
+    "m21_decontaminated_split" ->
+      """WITH sp AS (
+        |  SELECT doc_id, lang, n_chars, text,
+        |    CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+        |              < 'cccc' THEN 'train'
+        |         WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+        |              < 'e666' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, split, string_split(text, ' ') AS t FROM sp
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, split, unnest(list_transform(
+        |    range(1, greatest(len(t) - 1, 1)),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS sh
+        |  FROM toks WHERE len(t) >= 3
+        |), hold AS (
+        |  SELECT DISTINCT sh FROM sh WHERE split = 'test'
+        |), cont AS (
+        |  SELECT s.doc_id FROM sh s JOIN hold USING (sh)
+        |  WHERE s.split = 'train'
+        |  GROUP BY 1 HAVING COUNT(*) >= 3
+        |)
+        |SELECT d.doc_id, d.lang, d.n_chars FROM sp d
+        |WHERE d.split = 'train'
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM cont)""".stripMargin,
 
     "m8_profile" ->
       """SELECT COUNT(*) AS n_rows,
