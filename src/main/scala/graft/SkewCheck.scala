@@ -139,7 +139,17 @@ object SkewCheck {
       // faces the hot user's giant sessionize interval, the exact case
       // the span-stats width guard (ADVICE r10) caps at 1024 cells/row
       Run("l16_line_dedup", "l16_line_dedup"),
-      Run("j11_overlap_join", "j11_overlap_join"))
+      Run("j11_overlap_join", "j11_overlap_join"),
+      // r11 late additions: w8's per-user funnel deliberately takes the
+      // aggregate formulation so the hot user collapses map-side (the
+      // PlanSpec-pinned no-Window shape); j13 faces the hot user's
+      // dense click stream — the gate is what exposed the band-join
+      // formulation's pair blow-up (54.6 s) and drove the two-pass
+      // native as-of rewrite (2.2 s); m21's shingle join faces hot
+      // shingles
+      Run("w8_funnel", "w8_funnel"),
+      Run("j13_nearest_event", "j13_nearest_event"),
+      Run("m21_decontaminated_split", "m21_decontaminated_split"))
 
     var allPass = true
     val entries = runs.map { r =>

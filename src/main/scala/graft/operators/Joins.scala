@@ -370,30 +370,49 @@ object Joins {
     // J13: NEAREST-event join — the pandas merge_asof(direction=
     // 'nearest') shape the backward-only as-of family (j9/j10) can't
     // express: each purchase matches the click minimizing |Δt| in
-    // EITHER direction within ±1 hour, NULL if none. The two-sided band
-    // predicate is the same bounded-interval class as j7/j10, so the
-    // RangeJoinRewrite bucketing applies to pair generation at scale;
-    // the rank window picks the minimum-gap click with a deterministic
-    // (earlier ts, smaller id) tiebreak for equidistant pairs. The gap
-    // is the exact µs long (fractional seconds would go engine-specific).
+    // EITHER direction within ±1 hour, NULL if none. NOT the band-join
+    // + rank-window formulation: on a dense hot key that materializes
+    // every (purchase × click-within-±1h) pair — 54 s on the 500k-row
+    // hot-user fixture, quadratic in key density at 100 TB. Instead:
+    // TWO native sorted merges (graft.plans.AsOfJoin — O(1) memory, no
+    // pair blow-up): backward nearest directly, forward nearest as
+    // backward on NEGATED clocks (greatest -ts ≤ -p_ts ⟺ smallest
+    // ts ≥ p_ts), then a 1:1 combine keyed on the unique p_id picks
+    // the nearer side. Per direction, the overall nearest is within
+    // the band iff any candidate is, so tolerance is a post-filter.
+    // Tiebreak neg_c_id makes each merge prefer the SMALLEST click id
+    // at equal ts, and backward wins equal gaps (earlier c_ts) —
+    // matching the oracle's (gap, c_ts, c_id) ascending rank. Gaps are
+    // exact µs longs.
     "j13_nearest_event" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val p = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+        .select(col("event_id").as("p_id"), col("user_id"),
+          unix_micros(col("ts")).as("p_us"),
+          (-unix_micros(col("ts"))).as("neg_p_us"))
       val c = ev.filter(col("event_type") === "click")
         .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
-          col("ts").as("c_ts"))
-      val gap = abs(unix_micros(col("c_ts")) - unix_micros(col("p_ts")))
-      val w = Window.partitionBy(col("p_id"))
-        .orderBy(gap.asc_nulls_last, col("c_ts").asc_nulls_last,
-          col("c_id").asc_nulls_last)
-      p.join(c,
-          p("user_id") === c("c_user") &&
-            c("c_ts") >= p("p_ts") - expr("INTERVAL 1 HOUR") &&
-            c("c_ts") <= p("p_ts") + expr("INTERVAL 1 HOUR"), "left")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("p_id"), col("user_id"), col("c_id"), gap.as("gap_us"))
+          unix_micros(col("ts")).as("c_us"),
+          (-unix_micros(col("ts"))).as("neg_c_us"),
+          (-col("event_id")).as("neg_c_id"))
+      val tol = 3600L * 1000000L
+      val back = graft.plans.AsOfJoinApi.asofJoin(p, c,
+          "user_id", "c_user", "p_us", "c_us", "neg_c_id")
+        .select(col("p_id"), col("user_id"),
+          col("c_id").as("b_c_id"), (col("p_us") - col("c_us")).as("b_gap"))
+      val fwd = graft.plans.AsOfJoinApi.asofJoin(p, c,
+          "user_id", "c_user", "neg_p_us", "neg_c_us", "neg_c_id")
+        .select(col("p_id"),
+          col("c_id").as("f_c_id"), (col("c_us") - col("p_us")).as("f_gap"))
+      def inTol(g: org.apache.spark.sql.Column) = g.isNotNull && g <= tol
+      val backWins = inTol(col("b_gap")) &&
+        (!inTol(col("f_gap")) || col("b_gap") <= col("f_gap"))
+      back.join(fwd, Seq("p_id"))
+        .select(col("p_id"), col("user_id"),
+          when(backWins, col("b_c_id"))
+            .otherwise(when(inTol(col("f_gap")), col("f_c_id"))).as("c_id"),
+          when(backWins, col("b_gap"))
+            .otherwise(when(inTol(col("f_gap")), col("f_gap"))).as("gap_us"))
     })
   )
 

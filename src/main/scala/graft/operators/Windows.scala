@@ -143,21 +143,26 @@ object Windows {
 
     // W8: FUNNEL conversion — the product-analytics sequence primitive
     // (first signup → earliest purchase within 7 days, per user) that
-    // MATCH_RECOGNIZE engines special-case. Here it is one whole-
-    // partition window (min signup ts broadcast to every row of the
-    // user's partition — one user-keyed shuffle) + a groupBy on the
-    // SAME key, which reuses the window's hash partitioning so no
-    // second exchange ever plans. Per-user window = the w3 per-key
-    // semantics class for the skew gate. Time-to-convert is the exact
-    // µs long difference (timestamps are µs-exact; a seconds division
-    // would go fractional and engine-specific).
+    // MATCH_RECOGNIZE engines special-case. Deliberately NOT the
+    // whole-partition-window formulation (min-signup broadcast via
+    // Window.partitionBy buffers a hot user's entire partition on one
+    // task): both sides reduce to per-user AGGREGATES, so partial
+    // aggregation collapses even a 20%-of-corpus user map-side before
+    // either shuffle, and the join carries one row per signup user.
+    // The purchase-side groupBy reuses the join's user partitioning
+    // (no third exchange). Hint-free join: AQE broadcasts the signup
+    // dim at fixture scale; at 100 TB both sides are user-clustered
+    // SMJ. Time-to-convert is the exact µs long difference (timestamps
+    // are µs-exact; a seconds division would go fractional and
+    // engine-specific).
     "w8_funnel" -> ((s, d) => {
-      val w = Window.partitionBy(col("user_id"))
-      val withFs = Tables.events(s, d).withColumn("signup_ts",
-        min(when(col("event_type") === "signup", col("ts"))).over(w))
-      withFs
-        .filter(col("event_type") === "purchase" &&
-          col("ts") >= col("signup_ts") &&
+      val ev = Tables.events(s, d)
+      val fs = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"))
+        .join(fs, "user_id")
+        .filter(col("ts") >= col("signup_ts") &&
           col("ts") <= col("signup_ts") + expr("INTERVAL 7 DAY"))
         .groupBy(col("user_id"))
         .agg(min(col("signup_ts")).as("signup_ts"),

@@ -395,14 +395,20 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(frames.head.toSeq === payload.slice(0, 10).toSeq)
   }
 
-  test("w8 funnel: groupBy reuses the window's user partitioning — one exchange") {
+  test("w8 funnel: aggregate formulation — no Window, partial aggs, no 3rd exchange") {
     val df = graft.operators.Windows.queries("w8_funnel")(spark, sf("sf0.001"))
     df.collect()
     // count in the AQE final plan only (the plan string echoes the
     // initial plan below it, doubling every node)
     val p = plan(df).split("== Initial Plan ==").head
+    // the skew-safe shape: per-user mins are AGGREGATES (map-side
+    // partial collapse), never a whole-partition Window buffer
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("partial_min"), p.take(3000))
+    // signup agg + purchase join side; the final groupBy must reuse the
+    // join's user partitioning rather than add a third exchange
     val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    assert(n === 1, p.take(3000))
+    assert(n <= 2, p.take(3000))
   }
 
   test("s14 manifest skipping reads a strict subset of files, result exact") {
