@@ -208,6 +208,21 @@ object SqlFrontend {
       |) t
       |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin
 
+  /** Set operations from SQL TEXT (r11) — INTERSECT binds tighter than
+    * EXCEPT in both engines (SQL standard), so the chain's grouping is
+    * pinned by the standard, not by dialect luck: repeat-1995-and-1996
+    * customers minus the big-failed-order ones. The DSL o4b/o5/o5b
+    * entries cover the operators; this covers the frontend's set-op
+    * PARSING/planning path with one dialect-neutral text.
+    */
+  private val setOpsSql =
+    """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+      |EXCEPT
+      |SELECT o_custkey FROM orders
+      |WHERE o_orderstatus = 'F' AND o_totalprice > 400000""".stripMargin
+
   /** Correlated EXISTS — planned as a semi join, not a per-row subquery. */
   private val existsSql =
     """SELECT o_orderkey FROM orders
@@ -224,6 +239,7 @@ object SqlFrontend {
     "sql6_window_text" -> ((s, d) => { withViews(s, d); s.sql(windowSql) }),
     "sql8_recursive_cte" -> ((s, d) => { withViews(s, d); s.sql(recursiveSql) }),
     "sql9_lateral_topk" -> ((s, d) => { withViews(s, d); s.sql(lateralSql) }),
+    "sql10_setops_text" -> ((s, d) => { withViews(s, d); s.sql(setOpsSql) }),
     "sql7_native_fn" -> ((s, d) => {
       withViews(s, d)
       graft.GraftExtensions.ensureFunctions(s)
@@ -261,6 +277,7 @@ object SqlFrontend {
     "sql7_native_fn" -> nativeFnOracleSql,
     "sql8_recursive_cte" -> recursiveSql,
     "sql9_lateral_topk" -> lateralSql,
+    "sql10_setops_text" -> setOpsSql,
 
     "a10_pivot" ->
       """SELECT user_id,

@@ -68,6 +68,34 @@ object TextAnalysis {
     // left join keeps fully-boilerplate docs as empty strings.
     "l16_line_dedup" -> ((s, d) => lineDedup(Tables.documents(s, d))),
 
+    // L18: DOMAIN-LEVEL FILTERING — the host-reputation pass web-crawl
+    // curation runs after per-document scoring (C4's blocklist,
+    // RefinedWeb's per-domain rules): aggregate the corpus BY HOST,
+    // then keep only documents from hosts that (a) have enough volume
+    // to judge (≥3 docs — thin hosts are unratable), (b) clear the
+    // host-level mean-length bar, and (c) are not on the blocklist
+    // (one domain family here as the stand-in). Host derives from
+    // (source, doc_id) — the f11/l17 derived-column convention. Plan:
+    // per-row host in the scan; ONE host-keyed partial agg whose
+    // result is one row per host (millions of rows at 100 TB, not
+    // corpus-sized); a hint-free join back (AQE broadcasts the host
+    // dim at fixture scale; at 100 TB a host-keyed equi join). The
+    // mean compare stays on the exact long sum / count double — both
+    // engines divide the same exact integers, so the cut is identical.
+    "l18_domain_filter" -> ((s, d) => {
+      val host = concat(lower(col("source")), lit("-"),
+        (col("doc_id") % 7).cast(StringType), lit(".example.org"))
+      val docs = Tables.documents(s, d).withColumn("host", host)
+      val stats = docs.groupBy(col("host"))
+        .agg(count(lit(1)).as("host_docs"),
+          (sum(col("n_chars")).cast(DoubleType) / count(lit(1)))
+            .as("host_mean_chars"))
+      docs.join(stats, "host")
+        .filter(col("host_docs") >= 3 && col("host_mean_chars") >= 220.0 &&
+          !col("host").startsWith("src19-"))
+        .select(col("doc_id"), col("host"), col("host_docs"))
+    }),
+
     // L5: per-document text statistics.
     "l5_text_stats" -> ((s, d) => {
       Tables.documents(s, d).select(
@@ -451,6 +479,21 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "l18_domain_filter" ->
+      """WITH h AS (
+        |  SELECT doc_id, n_chars,
+        |    lower(source) || '-' || (doc_id % 7) || '.example.org' AS host
+        |  FROM documents
+        |), st AS (
+        |  SELECT host, COUNT(*) AS host_docs,
+        |    CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS host_mean_chars
+        |  FROM h GROUP BY host
+        |)
+        |SELECT h.doc_id, h.host, st.host_docs
+        |FROM h JOIN st USING (host)
+        |WHERE st.host_docs >= 3 AND st.host_mean_chars >= 220.0
+        |  AND NOT starts_with(h.host, 'src19-')""".stripMargin,
+
     // l16: identical segmentation + df cut + position-ordered rebuild
     // (1-based inclusive list slice ≡ Spark's slice(arr, start, 16))
     "l16_line_dedup" ->
