@@ -384,8 +384,14 @@ object Joins {
     // at equal ts, and backward wins equal gaps (earlier c_ts) —
     // matching the oracle's (gap, c_ts, c_id) ascending rank. Gaps are
     // exact µs longs.
-    "j13_nearest_event" -> ((s, d) => {
-      val ev = Tables.events(s, d)
+    "j13_nearest_event" -> ((s, d) => nearestEvent(Tables.events(s, d)))
+  )
+
+  /** j13's kernel on any (event_id, ts, user_id, event_type) frame —
+    * exposed for PropertySpec's brute-force law.
+    */
+  private[graft] def nearestEvent(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
       val p = ev.filter(col("event_type") === "purchase")
         .select(col("event_id").as("p_id"), col("user_id"),
           unix_micros(col("ts")).as("p_us"),
@@ -413,8 +419,7 @@ object Joins {
             .otherwise(when(inTol(col("f_gap")), col("f_c_id"))).as("c_id"),
           when(backWins, col("b_gap"))
             .otherwise(when(inTol(col("f_gap")), col("f_gap"))).as("gap_us"))
-    })
-  )
+  }
 
   private val TwoHoursUs = 7200000000L
 

@@ -155,25 +155,30 @@ object Windows {
     // SMJ. Time-to-convert is the exact µs long difference (timestamps
     // are µs-exact; a seconds division would go fractional and
     // engine-specific).
-    "w8_funnel" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val fs = ev.filter(col("event_type") === "signup")
-        .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
-      ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"))
-        .join(fs, "user_id")
-        .filter(col("ts") >= col("signup_ts") &&
-          col("ts") <= col("signup_ts") + expr("INTERVAL 7 DAY"))
-        .groupBy(col("user_id"))
-        .agg(min(col("signup_ts")).as("signup_ts"),
-          min(col("ts")).as("conv_ts"),
-          count(lit(1)).as("n_purchases_7d"))
-        .select(col("user_id"), col("signup_ts"), col("conv_ts"),
-          col("n_purchases_7d"),
-          (unix_micros(col("conv_ts")) - unix_micros(col("signup_ts")))
-            .as("usecs_to_convert"))
-    })
+    "w8_funnel" -> ((s, d) => funnel(Tables.events(s, d)))
   )
+
+  /** w8's kernel on any (ts, user_id, event_type) frame — exposed for
+    * PropertySpec's brute-force law.
+    */
+  private[graft] def funnel(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val fs = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+      .join(fs, "user_id")
+      .filter(col("ts") >= col("signup_ts") &&
+        col("ts") <= col("signup_ts") + expr("INTERVAL 7 DAY"))
+      .groupBy(col("user_id"))
+      .agg(min(col("signup_ts")).as("signup_ts"),
+        min(col("ts")).as("conv_ts"),
+        count(lit(1)).as("n_purchases_7d"))
+      .select(col("user_id"), col("signup_ts"), col("conv_ts"),
+        col("n_purchases_7d"),
+        (unix_micros(col("conv_ts")) - unix_micros(col("signup_ts")))
+          .as("usecs_to_convert"))
+  }
 
   val oracles: Map[String, String] = Map(
     "w1_ranking" ->

@@ -479,6 +479,73 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("j13 nearest-event ≡ brute force incl. equidistant tiebreaks (J13 law)") {
+    import spark.implicits._
+    val hourUs = 3600L * 1000000L
+    for (seed <- 1L to 3L) {
+      // coarse 10-min grid over ±3 h so exact forward/backward ties and
+      // out-of-tolerance gaps both arise; duplicate timestamps too
+      val gen = Gen.listOfN(80, Gen.zip(
+        Gen.choose(1L, 4L), Gen.choose(0L, 36L),
+        Gen.oneOf("purchase", "click", "view")))
+      val rows = sample(gen, seed).zipWithIndex.map { case ((u, slot, t), i) =>
+        (i.toLong, new java.sql.Timestamp(slot * 600000L), u, t)
+      }
+      val df = rows.toDF("event_id", "ts", "user_id", "event_type")
+      val got = graft.operators.Joins.nearestEvent(df).collect()
+        .map(r => r.getLong(0) -> (
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+      val clicks = rows.filter(_._4 == "click")
+      val want = rows.filter(_._4 == "purchase").map { p =>
+        val cand = clicks.filter(c => c._3 == p._3 &&
+          math.abs(c._2.getTime - p._2.getTime) * 1000L <= hourUs)
+        if (cand.isEmpty) p._1 -> (None, None)
+        else {
+          val best = cand.minBy(c => (
+            math.abs(c._2.getTime - p._2.getTime), c._2.getTime, c._1))
+          p._1 -> (Some(best._1),
+            Some(math.abs(best._2.getTime - p._2.getTime) * 1000L))
+        }
+      }.toMap
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
+  test("w8 funnel ≡ brute force incl. the 7-day boundary (W8 law)") {
+    import spark.implicits._
+    val weekMs = 7L * 86400000L
+    for (seed <- 1L to 3L) {
+      // hourly grid over 20 days so conversions straddle the inclusive
+      // 7-day boundary; users without signups / without purchases arise
+      val gen = Gen.listOfN(100, Gen.zip(
+        Gen.choose(1L, 5L), Gen.choose(0L, 480L),
+        Gen.oneOf("purchase", "signup", "click")))
+      val rows = sample(gen, seed).zipWithIndex.map { case ((u, hr, t), i) =>
+        (i.toLong, new java.sql.Timestamp(hr * 3600000L), u, t)
+      }
+      val df = rows.toDF("event_id", "ts", "user_id", "event_type")
+      val got = graft.operators.Windows.funnel(df).collect()
+        .map(r => r.getLong(0) -> (r.getTimestamp(1).getTime,
+          r.getTimestamp(2).getTime, r.getLong(3), r.getLong(4))).toMap
+      val want = rows.groupBy(_._3).flatMap { case (u, evs) =>
+        val signups = evs.filter(_._4 == "signup").map(_._2.getTime)
+        if (signups.isEmpty) None
+        else {
+          val fs = signups.min
+          val purch = evs.filter(e => e._4 == "purchase" &&
+            e._2.getTime >= fs && e._2.getTime <= fs + weekMs)
+          if (purch.isEmpty) None
+          else {
+            val conv = purch.map(_._2.getTime).min
+            Some(u -> (fs, conv, purch.size.toLong, (conv - fs) * 1000L))
+          }
+        }
+      }
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
   test("m19 expectations count every planted violation exactly once") {
     import spark.implicits._
     // planted: 1 duplicate key, 1 null date, 2 bad statuses (one on a
