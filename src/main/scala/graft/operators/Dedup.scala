@@ -707,22 +707,38 @@ object Dedup {
               (col("doc_id") % 9).cast(StringType)))
           .otherwise(lit("")),
         when(col("doc_id") % 7 === 0, "#frag").otherwise(lit("")))
-      val noFrag = regexp_replace(url, "#.*$", "")
-      val host = regexp_replace(
-        lower(regexp_extract(noFrag, "^https://([^/?#]+)", 1)), ":443$", "")
-      val path = regexp_replace(
-        regexp_extract(noFrag, "^https://[^/?#]+(/[^?#]*)", 1), "/$", "")
-      val params = array_join(sort_array(filter(
-        split(regexp_extract(noFrag, "\\?([^#]*)", 1), "&"),
-        p => !p.startsWith("utm_") && p =!= "")), "&")
-      val canonical = concat(lit("https://"), host, path,
-        when(length(params) > 0, concat(lit("?"), params)).otherwise(lit("")))
       Tables.documents(s, d)
-        .select(col("doc_id"), canonical.as("canon_url"))
+        .select(col("doc_id"), canonicalUrl(url).as("canon_url"))
         .groupBy(col("canon_url"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dupes"))
     })
   )
+
+  /** Canonical normal form of an absolute http(s) URL — l17's kernel,
+    * all codegen'd regexp/array built-ins, no UDF: strip the fragment,
+    * lowercase scheme and host, drop the scheme-default port (:443 for
+    * https, :80 for http), drop tracking params (utm_*), sort the
+    * surviving query params, strip the trailing slash. Idempotent and
+    * mess-invariant by construction (PropertySpec law: any two messy
+    * spellings of the same logical URL collapse to one string, and
+    * canon ∘ canon = canon).
+    */
+  private[graft] def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rawHost = lower(
+      regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val host = when(scheme === "https", regexp_replace(rawHost, ":443$", ""))
+      .when(scheme === "http", regexp_replace(rawHost, ":80$", ""))
+      .otherwise(rawHost)
+    val path = regexp_replace(regexp_extract(noFrag,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(/[^?#]*)", 1), "/$", "")
+    val params = array_join(sort_array(filter(
+      split(regexp_extract(noFrag, "\\?([^#]*)", 1), "&"),
+      p => !p.startsWith("utm_") && p =!= "")), "&")
+    concat(scheme, lit("://"), host, path,
+      when(length(params) > 0, concat(lit("?"), params)).otherwise(lit("")))
+  }
 
   /** Deterministic tmp location for a policy-oracle pair dump — shared
     * by the engine entry (writer) and its DuckDB oracle SQL (reader).

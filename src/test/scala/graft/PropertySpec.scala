@@ -479,6 +479,54 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("URL canonicalization: mess-invariant + idempotent (L17 law)") {
+    import spark.implicits._
+    // a logical URL = (scheme, host, path segs, param set); a "mess" =
+    // case-shuffled host, optional default port, optional trailing
+    // slash, shuffled param order, utm noise, optional fragment. Any
+    // two messes of the same logical URL must canonicalize identically,
+    // and canon must be a fixpoint.
+    val logical = for {
+      scheme <- Gen.oneOf("http", "https")
+      host <- Gen.oneOf("example.com", "a.b.example.org", "x1.net")
+      segs <- Gen.listOfN(2, Gen.choose(0, 99))
+      ps <- Gen.someOf(Seq("id=7", "ref=home", "q=a+b", "page=3"))
+    } yield (scheme, host, segs.mkString("/p/", "/", ""), ps.toSeq)
+    def mess(u: (String, String, String, Seq[String]), seed: Long): String = {
+      val (scheme, host, path, ps) = u
+      val r = new scala.util.Random(seed)
+      val h = host.map(c => if (r.nextBoolean()) c.toUpper else c)
+      val port = if (r.nextBoolean()) (if (scheme == "https") ":443" else ":80") else ""
+      val slash = if (r.nextBoolean()) "/" else ""
+      val params = r.shuffle(ps ++ (if (r.nextBoolean())
+        Seq(s"utm_source=s${r.nextInt(9)}", "utm_medium=m") else Nil))
+      val qs = if (params.nonEmpty) "?" + params.mkString("&") else ""
+      val frag = if (r.nextBoolean()) "#sec" + r.nextInt(5) else ""
+      s"$scheme://$h$port$path$slash$qs$frag"
+    }
+    for (seed <- 1L to 3L) {
+      val urls = sample(Gen.listOfN(40, logical), seed)
+      val pairs = urls.zipWithIndex.map { case (u, i) =>
+        (i.toLong, mess(u, seed * 1000 + i), mess(u, seed * 2000 + i))
+      }
+      val df = pairs.toDF("id", "u1", "u2")
+        .select(col("id"),
+          Dedup.canonicalUrl(col("u1")).as("c1"),
+          Dedup.canonicalUrl(col("u2")).as("c2"))
+        .withColumn("cc", Dedup.canonicalUrl(col("c1")))
+      val rows = df.collect()
+      rows.foreach { r =>
+        assert(r.getString(1) === r.getString(2),
+          s"mess-variant: ${r.getLong(0)} seed=$seed")
+        assert(r.getString(3) === r.getString(1),
+          s"not idempotent: ${r.getLong(0)} seed=$seed")
+      }
+      // distinct logical URLs must NOT collapse together
+      val distinctLogical = urls.map(u => (u._1, u._2.toLowerCase, u._3, u._4.sorted)).distinct.size
+      assert(rows.map(_.getString(1)).distinct.length === distinctLogical)
+    }
+  }
+
   test("j13 nearest-event ≡ brute force incl. equidistant tiebreaks (J13 law)") {
     import spark.implicits._
     val hourUs = 3600L * 1000000L
