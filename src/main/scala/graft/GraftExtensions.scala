@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, RollingHash}
+import graft.functions.{DotProduct, NormalizeNfc, RollingHash}
 
 /** SQL-surface registration for graft's native Catalyst expressions
   * (SURVEY.md §4.3's extension mechanism). Wire with:
@@ -53,6 +53,10 @@ object GraftExtensions {
       info("dot_product",
         "dot_product(a, b) - dot product of two ARRAY<DOUBLE> columns"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))),
+    (FunctionIdentifier("normalize_nfc"),
+      info("normalize_nfc",
+        "normalize_nfc(str) - Unicode NFC normalization (tokenizer-prep)"),
+      (exprs: Seq[Expression]) => NormalizeNfc(exprs.head)),
     // Spark ships BloomFilterMightContain for its internal runtime
     // filters but exposes no SQL name for it; register one so a
     // serialized `df.stat.bloomFilter` can prefilter from plain SQL.

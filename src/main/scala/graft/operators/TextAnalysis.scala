@@ -68,6 +68,30 @@ object TextAnalysis {
     // left join keeps fully-boilerplate docs as empty strings.
     "l16_line_dedup" -> ((s, d) => lineDedup(Tables.documents(s, d))),
 
+    // L19: TEXT NORMALIZATION — the tokenizer-prep pass every
+    // multilingual corpus runs before any hash-keyed operation: the
+    // same logical text arrives from the web in composed AND decomposed
+    // Unicode forms ('é' = U+00E9 vs 'e'+U+0301), which hash/dedup as
+    // DIFFERENT documents unless normalized first. Pipeline: lowercase
+    // → whitespace collapse → NFC, via the native NormalizeNfc
+    // Expression (codegen'd, ASCII rows return the input object after
+    // one byte scan — zero allocation on the overwhelming case; a
+    // Scala UDF here would box every row of a 100 TB scan). The
+    // fixture corpus is ASCII, so a decomposed suffix is planted
+    // per-row (e+COMBINING ACUTE, A+COMBINING RING) — the composition
+    // is genuinely exercised and the composed bytes are hash-checked
+    // against DuckDB's nfc_normalize.
+    "l19_normalize_text" -> ((s, d) => {
+      val messy = concat(col("text"), lit(" cafe\u0301 "),  // e + COMBINING ACUTE (decomposed)
+        upper(col("lang")), lit("A\u030A"))       // A + COMBINING RING
+      val norm = graft.functions.NormalizeNfc.normalizeNfc(
+        regexp_replace(lower(messy), "\\s+", " "))
+      Tables.documents(s, d).select(col("doc_id"),
+        norm.as("norm_text"),
+        length(norm).as("n_chars_norm"),
+        md5(norm.cast(BinaryType)).as("norm_md5"))
+    }),
+
     // L18: DOMAIN-LEVEL FILTERING — the host-reputation pass web-crawl
     // curation runs after per-document scoring (C4's blocklist,
     // RefinedWeb's per-domain rules): aggregate the corpus BY HOST,
@@ -479,6 +503,22 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    // l19: chr(769) = COMBINING ACUTE, chr(778) = COMBINING RING —
+    // DuckDB's nfc_normalize must compose the same bytes Spark's
+    // native expression does; length counts post-composition chars.
+    "l19_normalize_text" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    nfc_normalize(regexp_replace(lower(
+        |      text || ' cafe' || chr(769) || ' ' || upper(lang)
+        |        || 'A' || chr(778)), '\s+', ' ', 'g')) AS norm_text
+        |  FROM documents
+        |)
+        |SELECT doc_id, norm_text,
+        |  CAST(length(norm_text) AS INT) AS n_chars_norm,
+        |  md5(norm_text) AS norm_md5
+        |FROM m""".stripMargin,
+
     "l18_domain_filter" ->
       """WITH h AS (
         |  SELECT doc_id, n_chars,

@@ -57,6 +57,34 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(codegen === evaled.asInstanceOf[Long])
   }
 
+  test("NormalizeNfc: composes decomposed forms, ASCII is an identity fixpoint") {
+    import spark.implicits._
+    import graft.functions.NormalizeNfc
+    import org.apache.spark.unsafe.types.UTF8String
+    // decomposed e+U+0301 composes to é (one char); Å likewise
+    val got = Seq("cafe\u0301 A\u030A").toDF("s")
+      .select(NormalizeNfc.normalizeNfc(col("s")).as("n"),
+        length(NormalizeNfc.normalizeNfc(col("s"))).as("len"))
+      .head()
+    assert(got.getString(0) === "caf\u00e9 \u00c5")
+    assert(got.getInt(1) === 6)
+    // already-NFC and pure-ASCII inputs return the INPUT object (the
+    // zero-allocation fast path), and the helper is idempotent
+    val ascii = UTF8String.fromString("plain ascii text")
+    assert(NormalizeNfc.nfc(ascii) eq ascii)
+    val composed = UTF8String.fromString("caf\u00e9")
+    assert(NormalizeNfc.nfc(composed) eq composed)
+    val once = NormalizeNfc.nfc(UTF8String.fromString("e\u0301"))
+    assert(NormalizeNfc.nfc(once) eq once)
+    // SQL-name path through the session registry
+    graft.GraftExtensions.ensureFunctions(spark)
+    // NB Spark's char(n) wraps at 256 (chr(n % 256)) — the combining
+    // mark must come in as a unicode escape in the SQL text itself
+    val viaSql = spark.sql(
+      "SELECT normalize_nfc('cafe\\u0301') AS n").head().getString(0)
+    assert(viaSql === "caf\u00e9")
+  }
+
   test("ShingleHash: distinct-set size matches the string-shingle form") {
     import spark.implicits._
     import graft.functions.ShingleHash
