@@ -230,7 +230,32 @@ object SqlFrontend {
       |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
       |  AND o_orderstatus = 'F'""".stripMargin
 
+  /** CTAS through the catalog (r11) — the frontend's DDL/write path
+    * (s6b/s13 create tables over EXISTING layouts; nothing exercised
+    * CREATE TABLE AS SELECT end to end): materialize a per-status
+    * order summary into a parquet-backed catalog table, then read it
+    * back THROUGH the catalog by name. Table/path derive from the data
+    * dir (the s11/s13 multi-fixture-session convention); oracle
+    * recomputes the summary from the source, so the materialization
+    * must be value-transparent.
+    */
+  private def ctas(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    withViews(s, d)
+    val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
+    val tbl = s"sql11_order_summary_$tag"
+    val path = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_$tbl").toString
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(
+      s"""CREATE TABLE $tbl USING parquet LOCATION '$path' AS
+         |SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         |  CAST(SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS DOUBLE) / 1e2 AS total
+         |FROM orders GROUP BY o_orderstatus, o_orderpriority""".stripMargin)
+    s.sql(s"SELECT * FROM $tbl")
+  }
+
   val queries: Map[String, Q] = Map(
+    "sql11_ctas" -> ((s, d) => ctas(s, d)),
     "sql1_tpch_q3" -> ((s, d) => { withViews(s, d); s.sql(q3Sql) }),
     "sql2_scalar_subquery" -> ((s, d) => { withViews(s, d); s.sql(scalarSubSql) }),
     "sql3_grouping_sets" -> ((s, d) => { withViews(s, d); s.sql(groupingSetsSql) }),
@@ -278,6 +303,10 @@ object SqlFrontend {
     "sql8_recursive_cte" -> recursiveSql,
     "sql9_lateral_topk" -> lateralSql,
     "sql10_setops_text" -> setOpsSql,
+    "sql11_ctas" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS DOUBLE) / 1e2 AS total
+        |FROM orders GROUP BY o_orderstatus, o_orderpriority""".stripMargin,
 
     "a10_pivot" ->
       """SELECT user_id,
