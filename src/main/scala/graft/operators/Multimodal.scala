@@ -103,6 +103,41 @@ object Multimodal {
           col("meta.width").as("width"))
     }),
 
+    // L8e: the binaryFile SOURCE — real multimodal lakes store one FILE
+    // per asset (image/audio), not binary columns; Spark's built-in
+    // binaryFile DSv2 source is how a 100 TB image corpus actually
+    // enters the engine (path, length, content per file; partition-
+    // parallel listing + read). The fixture materializes a doc subset
+    // as .bin files from the EXECUTORS (foreachPartition — at cluster
+    // scale the same code writes to shared storage through the Hadoop
+    // FS API; local /tmp is the fixture stand-in), reads them back
+    // through binaryFile, recovers the key from the PATH (the lake
+    // convention: identity lives in the filename), and digest-checks
+    // the payload against the source-of-truth table via the oracle.
+    "l8e_multimodal_binaryfile" -> ((s, d) => {
+      val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_l8e_assets_$tag")
+      java.nio.file.Files.createDirectories(dir)
+      dir.toFile.listFiles((_, n) => n.endsWith(".bin")).foreach(_.delete())
+      val dirStr = dir.toString
+      mediaTable(s, d).filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), col("payload"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dirStr, f"doc_${r.getLong(0)}%09d.bin"),
+              r.getAs[Array[Byte]](1))
+          }
+        }
+      s.read.format("binaryFile").load(dirStr)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+            .cast(LongType).as("doc_id"),
+          col("length").as("byte_len"),
+          md5(col("content")).as("payload_md5"))
+    }),
+
     // L8b: stub decode features through the typed mapPartitions path.
     // The byte-derived features are mirrored exactly in the oracle SQL,
     // so even the stub is correctness-checked end to end.
@@ -156,6 +191,14 @@ object Multimodal {
         |  'fake/raw' AS format,
         |  CAST(n_chars AS INT) AS width
         |FROM documents""".stripMargin,
+
+    // l8e: the oracle recomputes digest/length from the source table for
+    // the same subset — agreement proves the executor-side file writes,
+    // the binaryFile read, and the path-derived keys are all lossless.
+    "l8e_multimodal_binaryfile" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,
+        |  md5(text) AS payload_md5
+        |FROM documents WHERE doc_id % 50 = 0""".stripMargin,
 
     "l8b_multimodal_decode" ->
       """SELECT doc_id,
