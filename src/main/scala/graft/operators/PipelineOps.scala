@@ -590,6 +590,50 @@ object PipelineOps {
         .select(col("doc_id"), col("source"), col("n_toks"), col("cum_toks"))
     }),
 
+    // M22: OBSERVED curation audit — Dataset.observe / CollectMetrics,
+    // the Spark surface built for exactly this: per-stage row/token
+    // accounting ("how many docs did the gate drop? how many were
+    // dupes?") that PIGGYBACKS on the pipeline's own pass instead of
+    // re-running each stage as its own count job (m19 is the
+    // standalone report; this is the in-flight audit every production
+    // curation run wants for free). Two observe() points (input,
+    // post-gate) ride m20's gate predicates; ONE action drives the
+    // whole DAG and all metrics; the returned frame is the one-row
+    // audit. At 100 TB the cost over the un-audited pipeline is zero
+    // extra scans — CollectMetrics aggregates in-stream.
+    "m22_observed_curation" -> ((s, d) => {
+      import org.apache.spark.sql.Observation
+      val obsIn = Observation()
+      val obsGate = Observation()
+      val tk = split(col("text"), " ")
+      val input = Tables.documents(s, d).observe(obsIn,
+        count(lit(1)).as("n_input"), sum(col("n_chars")).as("chars_input"))
+      val gated = input
+        .withColumn("n_toks", size(tk).cast(LongType))
+        .withColumn("stop_ratio",
+          size(filter(tk, t => t.isin(TextAnalysis.Stopwords: _*)))
+            .cast(DoubleType) / col("n_toks"))
+        .filter(col("n_toks").between(10, 2000) &&
+          col("stop_ratio") < lit(0.35) &&
+          col("text").rlike("^[a-z0-9 ]+$") &&
+          col("lang").isin("en", "es", "zh", "fr", "de"))
+        .observe(obsGate, count(lit(1)).as("n_after_gate"),
+          sum(col("n_toks")).as("toks_after_gate"))
+      val nDedup = gated
+        .groupBy(md5(col("text").cast(BinaryType)).as("text_md5"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .count() // the ONE action: drives the DAG and both observations
+      val in = obsIn.get; val g = obsGate.get
+      import s.implicits._
+      Seq((in("n_input").asInstanceOf[Long],
+        in("chars_input").asInstanceOf[Long],
+        g("n_after_gate").asInstanceOf[Long],
+        g("toks_after_gate").asInstanceOf[Long],
+        nDedup))
+        .toDF("n_input", "chars_input", "n_after_gate", "toks_after_gate",
+          "n_after_dedup")
+    }),
+
     // M19: data-quality EXPECTATIONS — declarative constraint
     // verification with a violations report, the deequ pattern
     // (Schelter et al., "Automating Large-Scale Data Quality
@@ -1081,6 +1125,27 @@ object PipelineOps {
          |    CAST(SUM(n_toks) OVER (PARTITION BY source
          |      ORDER BY n_toks DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
          |  FROM kept) WHERE cum_toks <= 5000""".stripMargin,
+
+    "m22_observed_curation" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, lang, string_split(text, ' ') AS tk
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id, text, CAST(len(tk) AS BIGINT) AS n_toks
+         |  FROM t
+         |  WHERE len(tk) BETWEEN 10 AND 2000
+         |    AND CAST(len(list_filter(tk, x -> list_contains(${TextAnalysis.stopSql}, x)))
+         |          AS DOUBLE) / len(tk) < 0.35
+         |    AND regexp_matches(text, '^[a-z0-9 ]+$$')
+         |    AND lang IN ('en', 'es', 'zh', 'fr', 'de')
+         |)
+         |SELECT
+         |  (SELECT COUNT(*) FROM documents) AS n_input,
+         |  (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents) AS chars_input,
+         |  COUNT(*) AS n_after_gate,
+         |  CAST(SUM(n_toks) AS BIGINT) AS toks_after_gate,
+         |  COUNT(DISTINCT md5(text)) AS n_after_dedup
+         |FROM g""".stripMargin,
 
     "m19_expectations" ->
       """WITH o AS (SELECT COUNT(*) AS c,
