@@ -246,6 +246,13 @@ object SqlFrontend {
     val path = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), s"graft_$tbl").toString
     s.sql(s"DROP TABLE IF EXISTS $tbl")
+    // DROP leaves the external LOCATION on disk and CTAS refuses a
+    // non-empty dir — idempotent re-runs must clear the layout first
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(path))
     s.sql(
       s"""CREATE TABLE $tbl USING parquet LOCATION '$path' AS
          |SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
