@@ -227,17 +227,20 @@ object TextAnalysis {
     "l15_bigram_logprob" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       // Both count tables are consumed twice (uf by the total and the
-      // join; bf by cf and the join) — the gate caches them at fixture
-      // scale, and at 100 TB the LM count tables are PERSISTED reusable
-      // artifacts (they are the model), so nothing recomputes there
-      // either. The vocabulary-sized cache is tiny next to the corpus.
-      val small =
-        docs.queryExecution.optimizedPlan.stats.sizeInBytes <= (32L << 20)
-      def pin(df: org.apache.spark.sql.DataFrame) =
-        if (small) { val c = df.coalesce(8).cache(); c.count(); c } else df
+      // join; bf by cf and the join), so the single-action plan below
+      // recomputes each subtree once more (column pruning gives the two
+      // consumers different aggregate outputs, so ReuseExchange cannot
+      // dedup them). That is the right trade at every scale: at fixture
+      // scale the r10 cache+count+localCheckpoint gate was measured
+      // SLOWER than the recompute (1.15 s vs 0.85 s at sf0.1 — four
+      // action round-trips dwarf a millisecond rescan), and at 100 TB
+      // the LM count tables are PERSISTED reusable artifacts (they are
+      // the model), written explicitly by the pipeline that owns them,
+      // not cached ad hoc inside the query — the large path has always
+      // run this bare shape.
       val t = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
       val words = t.select(col("doc_id"), explode(col("t")).as("tok"))
-      val uf = pin(words.groupBy(col("tok")).agg(count(lit(1)).as("uf")))
+      val uf = words.groupBy(col("tok")).agg(count(lit(1)).as("uf"))
       val total = uf.agg(sum(col("uf")).as("n"))
       val big = t.filter(size(col("t")) >= 2)
         .select(col("doc_id"), explode(zip_with(
@@ -245,9 +248,9 @@ object TextAnalysis {
           slice(col("t"), lit(2), size(col("t")) - 1),
           (a, b) => struct(a.as("p"), b.as("c")))).as("bg"))
         .select(col("doc_id"), col("bg.p").as("p"), col("bg.c").as("c"))
-      val bf = pin(big.groupBy(col("p"), col("c")).agg(count(lit(1)).as("bf")))
+      val bf = big.groupBy(col("p"), col("c")).agg(count(lit(1)).as("bf"))
       val cf = bf.groupBy(col("p")).agg(sum(col("bf")).as("cf"))
-      val result = big.join(bf, Seq("p", "c")).join(cf, Seq("p"))
+      big.join(bf, Seq("p", "c")).join(cf, Seq("p"))
         .join(uf.withColumnRenamed("tok", "c"), Seq("c"))
         .crossJoin(broadcast(total))
         .groupBy(col("doc_id"))
@@ -255,16 +258,6 @@ object TextAnalysis {
             lit(0.3) * col("uf") / col("n"))) / count(lit(1)), 6)
             .as("mean_bigram_logprob"),
           count(lit(1)).as("n_bigrams"))
-      // Release the gate caches once the per-doc result is pinned
-      // (ADVICE r9: cached vocab relations otherwise accumulate in
-      // executor storage across a bench session). localCheckpoint'd
-      // blocks are ContextCleaner-released on GC; bare .cache() entries
-      // are not — same discipline as Dedup.minhashDedup.
-      if (small) {
-        val out = result.localCheckpoint()
-        uf.unpersist(); bf.unpersist()
-        out
-      } else result
     }),
 
     // L7c: PII redaction — scrub emails and phone-shaped tokens before
@@ -425,13 +418,7 @@ object TextAnalysis {
     * over planted corpora.
     */
   def dupPassage(docs: org.apache.spark.sql.DataFrame, k: Int)
-      : org.apache.spark.sql.DataFrame = dupPassage(docs, k, gate = true)
-
-  /** `gate = false` skips the small-corpus cache/checkpoint — the bare
-    * 100 TB plan shape, which is what PlanSpec pins (the checkpoint
-    * would hide the aggregates behind a Scan ExistingRDD). */
-  private[graft] def dupPassage(docs: org.apache.spark.sql.DataFrame,
-      k: Int, gate: Boolean): org.apache.spark.sql.DataFrame = {
+      : org.apache.spark.sql.DataFrame = {
     val grams = docs.select(col("doc_id"),
         graft.functions.ShingleHash.ngramHashes(split(col("text"), " "), k).as("g"))
       .filter(size(col("g")) > 0)
@@ -439,35 +426,26 @@ object TextAnalysis {
     // and the per-doc join — and it reaches each consumer with no
     // shuffle of its own (the fan-out partitioning already clusters by
     // doc_id, so partial+final fuse in the scan stage). Recomputing it
-    // therefore costs a second SCAN, never a second shuffle; the
-    // small-corpus gate caches it at fixture scale, and a 100 TB run
-    // that is scan-bound persists/checkpoints the aggregate instead —
-    // either way the skew-safe two-level shape below is unchanged.
-    val smallCorpus = gate &&
-      docs.queryExecution.optimizedPlan.stats.sizeInBytes <= (32L << 20)
-    val occ0 = grams.select(col("doc_id"), explode(col("g")).as("g"))
+    // for the second consumer therefore costs a second SCAN, never a
+    // second shuffle — cheap at any scale where the scan is columnar
+    // and pruned, and a 100 TB run that is scan-bound persists or
+    // checkpoints the aggregate explicitly instead. No small-corpus
+    // cache gate anymore: the r10 cache+count+localCheckpoint path was
+    // measured SLOWER at fixture scale than just rescanning (0.79 s vs
+    // 0.60 s at sf0.1) — three extra action round-trips buy nothing
+    // when the rescan is milliseconds. One plan shape at every scale.
+    val occ = grams.select(col("doc_id"), explode(col("g")).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-    val occ = if (smallCorpus) {
-      val c = occ0.coalesce(8).cache(); c.count(); c
-    } else occ0
     val tot = occ.groupBy(col("g")).agg(sum(col("c")).as("cnt"))
     val dupPerDoc = occ.join(tot.filter(col("cnt") >= 2).select(col("g")), "g")
       .groupBy(col("doc_id")).agg(sum(col("c")).as("dup_grams"))
-    val result = grams
+    grams
       .select(col("doc_id"), size(col("g")).cast(LongType).as("n_grams"))
       .join(dupPerDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),
         coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
         round(coalesce(col("dup_grams"), lit(0L)).cast(DoubleType) /
           col("n_grams"), 6).as("dup_frac"))
-    // Release the gate cache once the per-doc result is pinned (ADVICE
-    // r9) — localCheckpoint'd blocks are ContextCleaner-released on GC,
-    // bare .cache() entries accumulate across a bench session.
-    if (smallCorpus) {
-      val out = result.localCheckpoint()
-      occ.unpersist()
-      out
-    } else result
   }
 
   private[operators] val stopSql = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")

@@ -243,14 +243,11 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     // same skew law as the l2c/l2d df stage: a hot passage must collapse
     // map-side (partial_count / partial_sum), never fan into a Window —
     // one viral boilerplate gram would otherwise pin one task
-    // gate=false: the entry's small-corpus checkpoint would hide the
-    // aggregates behind a Scan ExistingRDD; the bare kernel IS the
-    // 100 TB plan shape this test pins
     val df = graft.operators.TextAnalysis.dupPassage(
       graft.Tables.fanOut(
         graft.Tables.documents(spark, sf("sf0.001")),
         org.apache.spark.sql.functions.col("doc_id")),
-      5, gate = false)
+      5)
     df.collect()
     val p = plan(df)
     assert(!p.contains("Window"), p.take(3000))
