@@ -65,7 +65,23 @@ object GraftExtensions {
         "might_contain(bloomBinary, longCol) - codegen'd bloom-filter probe"),
       (exprs: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          exprs.head, exprs(1))))
+          exprs.head, exprs(1))),
+    // mergeable KLL quantile sketches (k4) — Spark ships the HLL trio
+    // (hll_sketch_agg/hll_union_agg/hll_sketch_estimate) but no
+    // storable quantile sketch; same surface shape here
+    (FunctionIdentifier("kll_sketch_agg"),
+      info("kll_sketch_agg",
+        "kll_sketch_agg(doubleCol) - mergeable KLL quantile sketch (BINARY)"),
+      (exprs: Seq[Expression]) => graft.functions.KllSketchAgg(exprs.head)),
+    (FunctionIdentifier("kll_union_agg"),
+      info("kll_union_agg",
+        "kll_union_agg(sketchBinary) - union of stored KLL sketches"),
+      (exprs: Seq[Expression]) => graft.functions.KllUnionAgg(exprs.head)),
+    (FunctionIdentifier("kll_get_quantile"),
+      info("kll_get_quantile",
+        "kll_get_quantile(sketchBinary, rank) - quantile from a KLL sketch"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.KllGetQuantile(exprs.head, exprs(1))))
 
   /** Register the SQL functions into an ALREADY-BUILT session (no-op if
     * present). Session-scoped state like the temp-view registry, so the

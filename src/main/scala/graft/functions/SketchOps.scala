@@ -30,4 +30,21 @@ object SketchOps {
       Literal(bos.toByteArray, BinaryType),
       ColumnBridge.expression(value)))
   }
+
+  /** Mergeable KLL quantile sketch of a DOUBLE column (k4; see
+    * [[graft.functions.KllSketchAgg]]). Result is a storable BINARY.
+    */
+  def kllSketchAgg(value: Column, k: Int = 200): Column =
+    ColumnBridge.column(
+      KllSketchAgg(ColumnBridge.expression(value), k).toAggregateExpression())
+
+  /** Union of stored KLL sketch binaries. */
+  def kllUnionAgg(sketch: Column): Column =
+    ColumnBridge.column(
+      KllUnionAgg(ColumnBridge.expression(sketch)).toAggregateExpression())
+
+  /** Quantile at `rank` ∈ [0,1] from a stored/merged KLL sketch. */
+  def kllQuantile(sketch: Column, rank: Double): Column =
+    ColumnBridge.column(KllGetQuantile(ColumnBridge.expression(sketch),
+      Literal(rank, org.apache.spark.sql.types.DoubleType)))
 }

@@ -668,6 +668,32 @@ object PipelineOps {
         lead(col("eff"), 1).over(w).isNull.as("is_current"))
     }),
 
+    // M23: INCREMENTAL ROLLUP MAINTENANCE — the don't-rescan-history
+    // pattern every 100 TB warehouse lives by: a per-(event_type, day)
+    // aggregate snapshot is MATERIALIZED once, and each new day is
+    // folded in by re-aggregating (snapshot ∪ delta-partials) — the
+    // daily maintenance bill is one scan of the DELTA plus the
+    // key-sized snapshot, never the full fact history. Correct only
+    // for aggregates with a partial-merge algebra, so the snapshot
+    // stores MERGEABLE partials: count→sum, exact scaled-long sum→sum
+    // (Exprs: order-independent, so re-association across the
+    // snapshot/delta boundary cannot move a ulp), min→min, max→max.
+    // The oracle recomputes the rollup from the FULL fact table — the
+    // merged result must be indistinguishable from a cold recompute
+    // regardless of where the cutoff fell, which is exactly the
+    // incremental-maintenance contract. Cutoff = max(ts) − 7 d via one
+    // 1-row agg job (bounded driver materialization, the dimBounds
+    // precedent); day keys are integer µs division, not date_trunc
+    // (engine-neutral).
+    "m23_incremental_rollup" -> ((s, d) => {
+      val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
+      val snap = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_m23_rollup_$tag").toString
+      val ev = Tables.events(s, d)
+      val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      incrementalRollup(ev, maxUs - 7L * 86400000000L, snap)
+    }),
+
     // M14: Z-ORDER layout — multi-dimensional clustering for scan
     // pruning, the lakehouse technique for fact tables queried by MORE
     // THAN ONE dimension (events by user AND by time): a sort by one
@@ -844,6 +870,38 @@ object PipelineOps {
     * cross-join stitching the FK count to its table's row count is
     * the j8 broadcast-1-row-totals shape, never a real cartesian.
     */
+  /** m23 kernel: snapshot-merge aggregate maintenance on any events-shaped
+    * frame (ts, event_type, value). Rows strictly before `cutoffUs` are
+    * rolled up into MERGEABLE partials (count / exact scaled-long sum /
+    * min / max), MATERIALIZED at `snapPath` (the persisted snapshot a
+    * warehouse would keep), and re-aggregated together with the delta's
+    * partials. PropertySpec pins the contract: for ANY cutoff the merged
+    * result ≡ a cold full recompute — the snapshot boundary is
+    * unobservable. The scaled-long sum makes that exact: re-associating
+    * integer adds across the snapshot/delta boundary cannot move a ulp,
+    * where a double sum would.
+    */
+  private[graft] def incrementalRollup(ev: DataFrame, cutoffUs: Long,
+      snapPath: String): DataFrame = {
+    val s = ev.sparkSession
+    val base = ev.select(col("event_type"),
+      unix_micros(col("ts")).as("us"),
+      graft.Exprs.slong(col("value"), 2).as("v2"), col("value"))
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy(col("event_type"), expr("us div 86400000000").as("day_no"))
+      .agg(count(lit(1)).as("n_events"), sum(col("v2")).as("s2"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+    partials(base.filter(col("us") < cutoffUs))
+      .write.mode("overwrite").parquet(snapPath)
+    s.read.parquet(snapPath)
+      .unionByName(partials(base.filter(col("us") >= cutoffUs)))
+      .groupBy(col("event_type"), col("day_no"))
+      .agg(sum(col("n_events")).as("n_events"),
+        (sum(col("s2")).cast(DoubleType) / 1e2).as("sum_value"),
+        min(col("min_value")).as("min_value"),
+        max(col("max_value")).as("max_value"))
+  }
+
   def expectations(o: DataFrame, l: DataFrame,
       e: DataFrame, doc: DataFrame): DataFrame = {
     val oRows = o.agg(
@@ -1191,6 +1249,16 @@ object PipelineOps {
         |  LEAD(eff) OVER w - 1 AS valid_to,
         |  LEAD(eff) OVER w IS NULL AS is_current
         |FROM chlog WINDOW w AS (PARTITION BY k ORDER BY eff)""".stripMargin,
+
+    // m23: the oracle is a COLD FULL RECOMPUTE over the fact table — the
+    // engine's snapshot-merge path must be indistinguishable from it.
+    "m23_incremental_rollup" ->
+      """SELECT event_type, epoch_us(ts) // 86400000000 AS day_no,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(ROUND(value * 1e2, 0) AS BIGINT)) AS DOUBLE) / 1e2
+        |    AS sum_value,
+        |  MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "m16_temperature_mix" ->
       """WITH t AS (

@@ -60,6 +60,29 @@ object Sketches {
       daily.groupBy(col("event_type"))
         .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")
           .as("est_users"))
+    }),
+
+    // K4: MERGEABLE QUANTILE sketches — k3's pattern for quantiles,
+    // which Spark itself cannot do (percentile_approx's digest is not a
+    // storable/unionable value): per-(event_type, day) KLL sketches of
+    // `value`, then per-type p50/p95 by UNIONING the daily sketches —
+    // the persisted rollup that answers any date-range latency-quantile
+    // question without rescanning the fact table. Native
+    // TypedImperativeAggregates (graft.functions.KllSketch*): the
+    // buffer is the sketch object, serialized only at shuffle
+    // boundaries; partial aggregation collapses map-side. SketchSpec
+    // pins the KLL rank-error bound vs exact quantiles and that the
+    // union preserves the total weight.
+    "k4_kll_quantile_merge" -> ((s, d) => {
+      import graft.functions.SketchOps._
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(kllSketchAgg(col("value")).as("sk"))
+      daily.groupBy(col("event_type"))
+        .agg(kllUnionAgg(col("sk")).as("merged"))
+        .select(col("event_type"),
+          kllQuantile(col("merged"), 0.5).as("p50"),
+          kllQuantile(col("merged"), 0.95).as("p95"))
     })
   )
 

@@ -120,6 +120,30 @@ object TextAnalysis {
         .select(col("doc_id"), col("host"), col("host_docs"))
     }),
 
+    // L20: HOST AUTHORITY RANK — fixed-iteration PageRank over the
+    // crawl's host link graph, the curation signal behind "prefer docs
+    // from reputable hosts" (OpenWebText's karma cut, CCNet/RefinedWeb
+    // host weighting): l18 judges a host by ITS OWN docs, this ranks it
+    // by who LINKS to it. Iterative rank propagation is the one graph
+    // shape the engine lacked beyond m5's connected components. The
+    // whole computation is EXACT INTEGER fixed-point (ranks scaled 1e12;
+    // every divide is integer floor division) so three iterations are
+    // bit-identical cross-engine — float PageRank sums in engine-
+    // specific order and could never be hash-checked. Links derived
+    // deterministically from the fixture (src = l18's host convention,
+    // dst from the doc's (doc_id, n_chars) — a closed host universe).
+    // Scale: see [[hostRank]].
+    "l20_host_rank" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val src = concat(lower(col("source")), lit("-"),
+        (col("doc_id") % 7).cast(StringType), lit(".example.org"))
+      val dst = concat(lit("src"),
+        ((col("doc_id") + col("n_chars")) % 20).cast(StringType), lit("-"),
+        (col("n_chars") % 7).cast(StringType), lit(".example.org"))
+      hostRank(docs.select(src.as("src"), dst.as("dst"))
+        .filter(col("src") =!= col("dst")).distinct(), iters = 3)
+    }),
+
     // L5: per-document text statistics.
     "l5_text_stats" -> ((s, d) => {
       Tables.documents(s, d).select(
@@ -480,6 +504,49 @@ object TextAnalysis {
         coalesce(col("n_kept_segments"), lit(0L)).as("n_kept_segments"))
   }
 
+  /** l20 kernel: `iters` PageRank sweeps over an edge list, in exact
+    * integer fixed-point — r₀ = ⌊1e12/N⌋ for every host, then
+    * r'(v) = ⌊15·r₀/100⌋ + ⌊85·Σ_{(u,v)∈E} ⌊r(u)/outdeg(u)⌋ / 100⌋.
+    * Every operation is a positive integer floor division, so the
+    * result is a pure function of the edge set — no float summation
+    * order anywhere (PropertySpec pins ≡ an in-memory reference walk;
+    * the DuckDB oracle unrolls the same three sweeps as CTEs).
+    * Dangling hosts (outdeg 0) leak their mass — the standard
+    * simplification, applied identically on both sides.
+    *
+    * Scale: per iteration, one host-keyed partial-agg shuffle for the
+    * incoming sums plus two equi joins against HOST-cardinality tables
+    * (rank, outdeg) — never doc-cardinality; the edge list is built
+    * once from the scan and reused (cached by the optimizer as a
+    * repeated subtree at fixture scale; at 100 TB it would be a
+    * materialized link table). Iteration count is fixed and small, so
+    * the unrolled lineage stays shallow — deep fixpoints belong to
+    * m5's checkpointed machinery, not here.
+    */
+  private[graft] def hostRank(edges: org.apache.spark.sql.DataFrame,
+      iters: Int): org.apache.spark.sql.DataFrame = {
+    val Scale = 1000000000000L
+    val verts = edges.select(col("src").as("host"))
+      .union(edges.select(col("dst"))).distinct()
+    // one scalar agg job: host-universe size (host-cardinality, bounded)
+    val n = verts.count()
+    val r0 = Scale / n
+    val base = 15L * r0 / 100L
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("n_out"))
+    var rank = verts.select(col("host"), lit(r0).as("rank_e12"))
+    for (_ <- 1 to iters) {
+      val inc = edges
+        .join(rank.select(col("host").as("src"), col("rank_e12").as("r")), "src")
+        .join(deg, "src")
+        .groupBy(col("dst").as("host"))
+        .agg(sum(expr("r div n_out")).as("inc"))
+      rank = verts.join(inc, Seq("host"), "left")
+        .select(col("host"),
+          (lit(base) + expr("(85 * coalesce(inc, 0L)) div 100")).as("rank_e12"))
+    }
+    rank
+  }
+
   val oracles: Map[String, String] = Map(
     // l19: chr(769) = COMBINING ACUTE, chr(778) = COMBINING RING —
     // DuckDB's nfc_normalize must compose the same bytes Spark's
@@ -511,6 +578,47 @@ object TextAnalysis {
         |FROM h JOIN st USING (host)
         |WHERE st.host_docs >= 3 AND st.host_mean_chars >= 220.0
         |  AND NOT starts_with(h.host, 'src19-')""".stripMargin,
+
+    // l20: the same three integer fixed-point sweeps unrolled as CTEs.
+    // CASTs to BIGINT because DuckDB's SUM(BIGINT) widens to HUGEINT;
+    // values stay far inside int64 so the casts are lossless.
+    "l20_host_rank" ->
+      """WITH d0 AS (
+        |  SELECT lower(source) || '-' || (doc_id % 7) || '.example.org' AS src,
+        |    'src' || ((doc_id + n_chars) % 20) || '-' || (n_chars % 7)
+        |      || '.example.org' AS dst
+        |  FROM documents
+        |), e AS (SELECT DISTINCT src, dst FROM d0 WHERE src <> dst),
+        |v AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+        |c AS (SELECT 1000000000000 // COUNT(*) AS r0,
+        |        (15 * (1000000000000 // COUNT(*))) // 100 AS b FROM v),
+        |deg AS (SELECT src, COUNT(*) AS n_out FROM e GROUP BY src),
+        |i0 AS (SELECT host, (SELECT r0 FROM c) AS r FROM v),
+        |i1 AS (SELECT v.host, (SELECT b FROM c)
+        |         + (85 * COALESCE(inc.s, 0)) // 100 AS r
+        |       FROM v LEFT JOIN (
+        |         SELECT e.dst AS host,
+        |           CAST(SUM(p.r // deg.n_out) AS BIGINT) AS s
+        |         FROM e JOIN i0 p ON e.src = p.host
+        |                JOIN deg ON e.src = deg.src
+        |         GROUP BY e.dst) inc USING (host)),
+        |i2 AS (SELECT v.host, (SELECT b FROM c)
+        |         + (85 * COALESCE(inc.s, 0)) // 100 AS r
+        |       FROM v LEFT JOIN (
+        |         SELECT e.dst AS host,
+        |           CAST(SUM(p.r // deg.n_out) AS BIGINT) AS s
+        |         FROM e JOIN i1 p ON e.src = p.host
+        |                JOIN deg ON e.src = deg.src
+        |         GROUP BY e.dst) inc USING (host)),
+        |i3 AS (SELECT v.host, (SELECT b FROM c)
+        |         + (85 * COALESCE(inc.s, 0)) // 100 AS r
+        |       FROM v LEFT JOIN (
+        |         SELECT e.dst AS host,
+        |           CAST(SUM(p.r // deg.n_out) AS BIGINT) AS s
+        |         FROM e JOIN i2 p ON e.src = p.host
+        |                JOIN deg ON e.src = deg.src
+        |         GROUP BY e.dst) inc USING (host))
+        |SELECT host, CAST(r AS BIGINT) AS rank_e12 FROM i3""".stripMargin,
 
     // l16: identical segmentation + df cut + position-ordered rebuild
     // (1-based inclusive list slice ≡ Spark's slice(arr, start, 16))

@@ -155,7 +155,36 @@ object Windows {
     // SMJ. Time-to-convert is the exact µs long difference (timestamps
     // are µs-exact; a seconds division would go fractional and
     // engine-specific).
-    "w8_funnel" -> ((s, d) => funnel(Tables.events(s, d)))
+    "w8_funnel" -> ((s, d) => funnel(Tables.events(s, d))),
+
+    // W9: COHORT RETENTION — the other half of the product-analytics
+    // pair (w8 answers "did they convert"; this answers "did they come
+    // back"): users are cohorted by the week of their first signup, and
+    // each (cohort_wk, week_offset) cell counts the distinct users of
+    // that cohort active that many weeks later. Same scale posture as
+    // w8: both sides reduce to AGGREGATES (no per-user window), the
+    // cohort dim joins hint-free (AQE broadcast at fixture scale,
+    // user-clustered SMJ at 100 TB), and the exact distinct plans as a
+    // two-phase agg whose first grouping key includes user_id — a hot
+    // user collapses map-side instead of buffering one task. Week
+    // arithmetic is integer µs division (both engines floor positive
+    // integer div), never date_trunc: week-truncation conventions are
+    // engine-specific, epoch arithmetic is not.
+    "w9_cohort_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val fs = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("signup_us"))
+      ev.select(col("user_id"), unix_micros(col("ts")).as("us"))
+        .join(fs, "user_id")
+        .filter(col("us") >= col("signup_us"))
+        .select(
+          expr("signup_us div 604800000000").as("cohort_wk"),
+          expr("(us - signup_us) div 604800000000").as("week_offset"),
+          col("user_id"))
+        .groupBy(col("cohort_wk"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+    })
   )
 
   /** w8's kernel on any (ts, user_id, event_type) frame — exposed for
@@ -264,6 +293,20 @@ object Windows {
         |SELECT user_id, signup_ts, MIN(ts) AS conv_ts,
         |  COUNT(*) AS n_purchases_7d,
         |  epoch_us(MIN(ts)) - epoch_us(signup_ts) AS usecs_to_convert
-        |FROM p GROUP BY user_id, signup_ts""".stripMargin
+        |FROM p GROUP BY user_id, signup_ts""".stripMargin,
+
+    // w9: `//` is DuckDB's integer floor division ≡ Spark's `div` on
+    // non-negative BIGINTs
+    "w9_cohort_retention" ->
+      """WITH fs AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS signup_us FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id
+        |)
+        |SELECT signup_us // 604800000000 AS cohort_wk,
+        |  (epoch_us(e.ts) - signup_us) // 604800000000 AS week_offset,
+        |  COUNT(DISTINCT e.user_id) AS n_active
+        |FROM events e JOIN fs USING (user_id)
+        |WHERE epoch_us(e.ts) >= signup_us
+        |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -49,6 +49,18 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestBase {
     assert(viaSql === viaDsl)
   }
 
+  test("kll sketch trio callable from SQL (build → union → quantile)") {
+    GraftExtensions.ensureFunctions(spark)
+    val r = spark.sql(
+      """SELECT kll_get_quantile(kll_union_agg(sk), 0.5d) AS med FROM (
+        |  SELECT grp, kll_sketch_agg(v) AS sk FROM (
+        |    SELECT id % 4 AS grp, CAST(id AS DOUBLE) AS v FROM range(1000)
+        |  ) GROUP BY grp
+        |)""".stripMargin).head()
+    // values 0..999 sharded by id%4 then unioned: median within rank err
+    assert(math.abs(r.getDouble(0) - 500.0) <= 30.0)
+  }
+
   test("might_contain probes a serialized bloom filter from SQL") {
     import spark.implicits._
     val reg = spark.sessionState.functionRegistry

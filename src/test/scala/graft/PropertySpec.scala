@@ -634,6 +634,56 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     assert(clean.forall(_.getLong(1) == 0L))
   }
 
+  test("hostRank ≡ scala integer fixed-point walk on random graphs (L20 law)") {
+    import spark.implicits._
+    for (seed <- 1L to 4L) {
+      val nV = 12
+      val raw = sample(Gen.listOfN(40, for {
+        a <- Gen.choose(0, nV - 1); b <- Gen.choose(0, nV - 1)
+      } yield (s"h$a", s"h$b")), seed)
+      val edges = raw.filter(p => p._1 != p._2).distinct
+      assert(edges.nonEmpty, s"seed=$seed produced no edges")
+      val got = operators.TextAnalysis
+        .hostRank(edges.toDF("src", "dst"), iters = 3)
+        .as[(String, Long)].collect().toMap
+      // reference: the same three sweeps in plain Long arithmetic
+      val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      val r0 = 1000000000000L / verts.size
+      val base = 15L * r0 / 100L
+      val out = edges.groupBy(_._1).map { case (k, v) => (k, v.size.toLong) }
+      var r = verts.map(_ -> r0).toMap
+      for (_ <- 1 to 3) {
+        val inc = scala.collection.mutable.Map.empty[String, Long]
+          .withDefaultValue(0L)
+        for ((a, b) <- edges) inc(b) += r(a) / out(a)
+        r = verts.map(v => v -> (base + 85L * inc(v) / 100L)).toMap
+      }
+      assert(got === r, s"seed=$seed")
+    }
+  }
+
+  test("m23 merged rollup ≡ cold recompute at ANY cutoff (boundary law)") {
+    val events = Tables.events(spark, sf("sf0.001"))
+    val snap = java.nio.file.Files
+      .createTempDirectory("graft_m23_spec").toString
+    val usBounds = events.agg(min(unix_micros(col("ts"))),
+      max(unix_micros(col("ts")))).head()
+    val (lo, hi) = (usBounds.getLong(0), usBounds.getLong(1))
+    // cold recompute = cutoff below every row (empty snapshot)
+    val cold = operators.PipelineOps
+      .incrementalRollup(events, lo, s"$snap/cold")
+      .collect().map(r => r.toSeq).sortBy(_.toString)
+    // the boundary must be unobservable wherever it falls: interior
+    // cutoffs (25/50/75%) and one above every row (empty delta)
+    for (frac <- Seq(0.25, 0.5, 0.75, 1.1)) {
+      val cut = lo + ((hi - lo + 1) * frac).toLong
+      val got = operators.PipelineOps
+        .incrementalRollup(events, cut, s"$snap/f$frac")
+        .collect().map(r => r.toSeq).sortBy(_.toString)
+      assert(got === cold, s"cutoff frac=$frac")
+    }
+  }
+
   test("PGN rendering is total on arbitrary games (R10 law)") {
     val optStr = Gen.option(Gen.oneOf(Gen.alphaNumStr,
       Gen.const("with \"quotes\" and\nnewlines")))

@@ -58,6 +58,48 @@ class SketchSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("k4 KLL merge algebra: union of daily sketches holds every value; quantiles within rank error") {
+    val d = sf("sf0.01")
+    val ev = Tables.events(spark, d)
+    // exact per-type sorted values for rank checks
+    val exact = ev.select(col("event_type"), col("value"))
+      .na.drop().collect()
+      .groupBy(_.getString(0)).map { case (t, rs) =>
+        t -> rs.map(_.getDouble(1)).sorted
+      }
+    val got = graft.operators.Sketches
+      .queries("k4_kll_quantile_merge")(spark, d)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got.keySet === exact.keySet)
+    // KLL k=200: ~1.65% two-sided rank error at 99% confidence; assert 3%
+    def rankOf(sorted: Array[Double], v: Double): Double = {
+      val le = sorted.count(_ <= v)
+      le.toDouble / sorted.length
+    }
+    for ((t, (p50, p95)) <- got) {
+      val s = exact(t)
+      assert(math.abs(rankOf(s, p50) - 0.5) <= 0.03,
+        s"$t p50=$p50 rank=${rankOf(s, p50)}")
+      assert(math.abs(rankOf(s, p95) - 0.95) <= 0.03,
+        s"$t p95=$p95 rank=${rankOf(s, p95)}")
+      // returned quantiles are actual stream values (KLL keeps samples)
+      assert(s.contains(p50) && s.contains(p95), s"$t quantile not a sample")
+    }
+    // merge algebra: the union's total weight is exactly every non-null
+    // value — daily sharding + union loses/duplicates nothing
+    import graft.functions.SketchOps._
+    val mergedBytes = ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(kllSketchAgg(col("value")).as("sk"))
+      .groupBy(col("event_type")).agg(kllUnionAgg(col("sk")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("m")).toMap
+    for ((t, bytes) <- mergedBytes) {
+      val sk = org.apache.datasketches.kll.KllDoublesSketch
+        .heapify(org.apache.datasketches.memory.Memory.wrap(bytes))
+      assert(sk.getN === exact(t).length.toLong, s"$t union weight")
+    }
+  }
+
   test("Tuning.recommended applies cleanly to a session builder") {
     // shared session exists; just validate every key/value is accepted
     // by the conf machinery (no typos / removed confs)
