@@ -516,16 +516,21 @@ object TextAnalysis {
     *
     * Scale: per iteration, one host-keyed partial-agg shuffle for the
     * incoming sums plus two equi joins against HOST-cardinality tables
-    * (rank, outdeg) — never doc-cardinality; the edge list is built
-    * once from the scan and reused (cached by the optimizer as a
-    * repeated subtree at fixture scale; at 100 TB it would be a
-    * materialized link table). Iteration count is fixed and small, so
-    * the unrolled lineage stays shallow — deep fixpoints belong to
-    * m5's checkpointed machinery, not here.
+    * (rank, outdeg) — never doc-cardinality. The DISTINCT edge list is
+    * the materialized link table every web-graph pipeline keeps: it is
+    * host-cardinality (≈ hosts × avg degree, never docs), and the
+    * unrolled sweeps reference it 2× per iteration plus verts/deg once
+    * each — so it is pinned ONCE with an eager localCheckpoint (the
+    * l14/l15 pin precedent) instead of re-running the doc scan +
+    * distinct shuffle ~3·iters times, which profiling showed dominated
+    * the query. Iteration count is fixed and small, so the unrolled
+    * lineage stays shallow — deep fixpoints belong to m5's
+    * checkpointed machinery, not here.
     */
-  private[graft] def hostRank(edges: org.apache.spark.sql.DataFrame,
+  private[graft] def hostRank(edges0: org.apache.spark.sql.DataFrame,
       iters: Int): org.apache.spark.sql.DataFrame = {
     val Scale = 1000000000000L
+    val edges = edges0.localCheckpoint(true)
     val verts = edges.select(col("src").as("host"))
       .union(edges.select(col("dst"))).distinct()
     // one scalar agg job: host-universe size (host-cardinality, bounded)
