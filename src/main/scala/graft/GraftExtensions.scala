@@ -81,7 +81,31 @@ object GraftExtensions {
       info("kll_get_quantile",
         "kll_get_quantile(sketchBinary, rank) - quantile from a KLL sketch"),
       (exprs: Seq[Expression]) =>
-        graft.functions.KllGetQuantile(exprs.head, exprs(1))))
+        graft.functions.KllGetQuantile(exprs.head, exprs(1))),
+    // mergeable theta distinct-count sketches with SET ALGEBRA (k5) —
+    // Spark's HLL trio unions but cannot intersect/difference
+    (FunctionIdentifier("theta_sketch_agg"),
+      info("theta_sketch_agg",
+        "theta_sketch_agg(keyCol) - mergeable theta distinct-count sketch (BINARY)"),
+      (exprs: Seq[Expression]) => graft.functions.ThetaSketchAgg(exprs.head)),
+    (FunctionIdentifier("theta_union_agg"),
+      info("theta_union_agg",
+        "theta_union_agg(sketchBinary) - union of stored theta sketches"),
+      (exprs: Seq[Expression]) => graft.functions.ThetaUnionAgg(exprs.head)),
+    (FunctionIdentifier("theta_estimate"),
+      info("theta_estimate",
+        "theta_estimate(sketchBinary) - distinct-count estimate from a theta sketch"),
+      (exprs: Seq[Expression]) => graft.functions.ThetaEstimate(exprs.head)),
+    (FunctionIdentifier("theta_intersect"),
+      info("theta_intersect",
+        "theta_intersect(a, b) - sketch of the set intersection"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.ThetaIntersect(exprs.head, exprs(1))),
+    (FunctionIdentifier("theta_a_not_b"),
+      info("theta_a_not_b",
+        "theta_a_not_b(a, b) - sketch of the set difference a MINUS b"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.ThetaANotB(exprs.head, exprs(1))))
 
   /** Register the SQL functions into an ALREADY-BUILT session (no-op if
     * present). Session-scoped state like the temp-view registry, so the

@@ -47,4 +47,31 @@ object SketchOps {
   def kllQuantile(sketch: Column, rank: Double): Column =
     ColumnBridge.column(KllGetQuantile(ColumnBridge.expression(sketch),
       Literal(rank, org.apache.spark.sql.types.DoubleType)))
+
+  /** Mergeable theta distinct-count sketch of a LONG/INT/STRING key
+    * column (k5; see [[graft.functions.ThetaSketchAgg]]). Result is a
+    * storable BINARY that supports union, intersection, and difference.
+    */
+  def thetaSketchAgg(value: Column, lgK: Int = 12): Column =
+    ColumnBridge.column(
+      ThetaSketchAgg(ColumnBridge.expression(value), lgK).toAggregateExpression())
+
+  /** Union of stored theta sketch binaries. */
+  def thetaUnionAgg(sketch: Column): Column =
+    ColumnBridge.column(
+      ThetaUnionAgg(ColumnBridge.expression(sketch)).toAggregateExpression())
+
+  /** Distinct-count estimate from a stored/merged theta sketch. */
+  def thetaEstimate(sketch: Column): Column =
+    ColumnBridge.column(ThetaEstimate(ColumnBridge.expression(sketch)))
+
+  /** Sketch of the intersection of two theta sketches. */
+  def thetaIntersect(a: Column, b: Column): Column =
+    ColumnBridge.column(ThetaIntersect(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Sketch of the difference a \ b of two theta sketches. */
+  def thetaANotB(a: Column, b: Column): Column =
+    ColumnBridge.column(ThetaANotB(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -208,6 +208,27 @@ object Aggregates {
           max(col("cnt")).as("mode_cnt"))
     }),
 
+    // A15: WEIGHTED MEDIAN — the smallest value whose cumulative weight
+    // reaches half the group's total (lower weighted median; here
+    // l_quantity weighted by revenue — "the quantity at which half the
+    // money sits at or below"). Spark ships no weighted percentile, and
+    // the naive form (sort every row, scan for the crossing) serializes
+    // each group onto one task. This plan collapses FIRST: one
+    // partial-agg groupBy on (group, value) — l_quantity has ~50
+    // distinct values, so a 100 TB fact reduces map-side to a
+    // |groups|×|values| grid — then the cumulative/total-weight windows
+    // run over that key-sized grid, never the corpus. Weights are
+    // exact scaled longs (order-free), so the crossing row — and the
+    // hash — is deterministic cross-engine.
+    "a15_weighted_median" -> ((s, d) =>
+      weightedMedian(Tables.lineitem(s, d)
+          .select(col("l_returnflag"),
+            col("l_quantity"),
+            slong(col("l_extendedprice"), 2).as("w")),
+        "l_returnflag", "l_quantity")
+        .withColumn("total_weight",
+          (col("total_weight").cast(DoubleType) / 100.0))),
+
     // A12: statistical aggregate family — sample stddev/variance and the
     // two-column moments (correlation, covariance) over the price/
     // quantity pair. All single-pass partial+final aggregates (Spark's
@@ -224,6 +245,31 @@ object Aggregates {
             .as("covar_pq"))
     })
   )
+
+  /** a15's kernel: lower weighted median per group over a frame carrying
+    * (groupCol, valueCol, w) with `w` an exact LONG weight — the smallest
+    * value whose cumulative weight reaches half the group total. The
+    * cumulative/total windows run over the (group, value)-collapsed grid
+    * (one partial-agg groupBy first), never the raw rows; exposed for
+    * PropertySpec's brute-force law.
+    */
+  private[graft] def weightedMedian(
+      df: org.apache.spark.sql.DataFrame,
+      groupCol: String, valueCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.groupBy(col(groupCol), col(valueCol))
+      .agg(sum(col("w")).as("w"))
+    val wc = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy(col(groupCol))
+    g.select(col(groupCol), col(valueCol),
+        sum(col("w")).over(wc).as("cw"),
+        sum(col("w")).over(wt).as("tw"))
+      .filter(col("cw") * 2 >= col("tw"))
+      .groupBy(col(groupCol))
+      .agg(min(col(valueCol)).as("w_median"),
+        min(col("tw")).as("total_weight"))
+  }
 
   val oracles: Map[String, String] = Map(
     "a1_ungrouped_agg" ->
@@ -302,6 +348,22 @@ object Aggregates {
         |FROM (SELECT user_id, event_type, COUNT(*) AS cnt
         |      FROM events GROUP BY 1, 2)
         |GROUP BY user_id""".stripMargin,
+
+    "a15_weighted_median" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    SUM(CAST(ROUND(l_extendedprice * 1e2, 0) AS BIGINT)) AS w
+        |  FROM lineitem GROUP BY 1, 2
+        |), c AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+        |  FROM g
+        |)
+        |SELECT l_returnflag, MIN(l_quantity) AS w_median,
+        |  CAST(MIN(tw) AS DOUBLE) / 1e2 AS total_weight
+        |FROM c WHERE 2 * cw >= tw GROUP BY l_returnflag""".stripMargin,
 
     "a12_stats_agg" ->
       """SELECT l_returnflag,

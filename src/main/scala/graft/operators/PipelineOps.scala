@@ -685,6 +685,29 @@ object PipelineOps {
     // 1-row agg job (bounded driver materialization, the dimBounds
     // precedent); day keys are integer µs division, not date_trunc
     // (engine-neutral).
+    // M24: GAP-FILL + FORWARD FILL — the time-series resample/ffill
+    // pass every metrics/feature pipeline runs before modeling: bucket
+    // the stream onto a regular grid (hourly, over the sparse error/
+    // signup types so the fixture actually has holes — 76 empty cells
+    // at sf0.01), then materialize the MISSING cells from a generated
+    // spine and carry the last observed value forward into them. Scale
+    // posture: the corpus-sized work is one partial-agg groupBy (map-
+    // side collapse, one (type, hour)-keyed shuffle); the spine
+    // (sequence + explode over per-type min/max bounds) and the
+    // forward-fill window both run over the AGGREGATED grid — |types| ×
+    // |hours| rows, key-sized at any corpus scale — so no window ever
+    // sees raw events. The fill carries the exact scaled-long sum and
+    // divides after, so filled values are bit-identical cross-engine;
+    // leading cells before a type's first observation stay NULL by the
+    // same convention in both engines.
+    "m24_gapfill" -> ((s, d) =>
+      gapFill(Tables.events(s, d)
+        .filter(col("event_type").isin("error", "signup"))
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("hr"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(graft.Exprs.slong(col("value"), 2)).as("sv")))),
+
     "m23_incremental_rollup" -> ((s, d) => {
       val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
       val snap = java.nio.file.Paths.get(
@@ -870,6 +893,31 @@ object PipelineOps {
     * cross-join stitching the FK count to its table's row count is
     * the j8 broadcast-1-row-totals shape, never a real cartesian.
     */
+  /** m24 kernel: gap-fill + forward fill over an already-aggregated grid
+    * carrying (event_type, hr, n_events, sv) with `sv` the exact
+    * scaled-long cell sum. Generates the dense per-type spine from each
+    * type's own min/max bounds (sequence + explode — key-sized), left
+    * joins the observations in, zero-fills counts, and carries the last
+    * observed sv forward (last IGNORE NULLS over the spine); division to
+    * double happens AFTER the fill so filled values are bit-identical to
+    * their source cells. Cells before a type's first observation keep a
+    * NULL fill. Exposed for PropertySpec's brute-force law.
+    */
+  private[graft] def gapFill(grid: DataFrame): DataFrame = {
+    val spine = grid.groupBy(col("event_type"))
+      .agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"))).as("hr"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(grid, Seq("event_type", "hr"), "left")
+      .select(col("event_type"), col("hr"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        (last(col("sv"), ignoreNulls = true).over(w).cast(DoubleType)
+          / 100.0).as("filled_value"),
+        col("sv").isNotNull.as("observed"))
+  }
+
   /** m23 kernel: snapshot-merge aggregate maintenance on any events-shaped
     * frame (ts, event_type, value). Rows strictly before `cutoffUs` are
     * rolled up into MERGEABLE partials (count / exact scaled-long sum /
@@ -1252,6 +1300,33 @@ object PipelineOps {
 
     // m23: the oracle is a COLD FULL RECOMPUTE over the fact table — the
     // engine's snapshot-merge path must be indistinguishable from it.
+    // m24: the fill runs over the scaled-long sv and divides after, so
+    // fill-then-divide matches Spark exactly; DuckDB's IGNORE NULLS
+    // window last_value ≡ Spark's last(..., ignoreNulls = true)
+    "m24_gapfill" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+        |    COUNT(*) AS n_events,
+        |    SUM(CAST(ROUND(value * 1e2, 0) AS BIGINT)) AS sv
+        |  FROM events WHERE event_type IN ('error', 'signup')
+        |  GROUP BY 1, 2
+        |), bounds AS (
+        |  SELECT event_type, MIN(hr) AS mn, MAX(hr) AS mx
+        |  FROM hourly GROUP BY 1
+        |), spine AS (
+        |  SELECT event_type, UNNEST(generate_series(mn, mx)) AS hr
+        |  FROM bounds
+        |)
+        |SELECT s.event_type, s.hr,
+        |  COALESCE(h.n_events, 0) AS n_events,
+        |  CAST(LAST_VALUE(h.sv IGNORE NULLS) OVER (
+        |    PARTITION BY s.event_type ORDER BY s.hr
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / 1e2 AS filled_value,
+        |  h.sv IS NOT NULL AS observed
+        |FROM spine s LEFT JOIN hourly h
+        |  ON s.event_type = h.event_type AND s.hr = h.hr""".stripMargin,
+
     "m23_incremental_rollup" ->
       """SELECT event_type, epoch_us(ts) // 86400000000 AS day_no,
         |  COUNT(*) AS n_events,

@@ -83,9 +83,58 @@ object Sketches {
         .select(col("event_type"),
           kllQuantile(col("merged"), 0.5).as("p50"),
           kllQuantile(col("merged"), 0.95).as("p95"))
+    }),
+
+    // K5: theta distinct-count sketches with SET ALGEBRA — the overlap
+    // question HLL (k3) cannot answer from stored summaries: "how many
+    // users BOTH clicked and purchased, and how many only clicked",
+    // computed entirely over per-(type, day) persisted sketches (union
+    // → intersect → a-not-b), never by rejoining the fact table. Theta
+    // updates are pure hashing (no RNG) and below the lgK=12 nominal-
+    // entries cap the sketch is in EXACT mode — the fixture's ≤1.5k
+    // distinct users keep every estimate equal to the true count, so
+    // unlike k1–k4 this sketch entry IS hash-checked against DuckDB's
+    // exact distinct joins; at 100 TB the same plan degrades to ±1.6%
+    // bounds, the law SketchSpec owns on a 100k-key planted domain.
+    "k5_theta_set_ops" -> ((s, d) => {
+      import graft.functions.SketchOps._
+      val daily = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(thetaSketchAgg(col("user_id")).as("sk"))
+      val byType = daily.groupBy(col("event_type"))
+        .agg(thetaUnionAgg(col("sk")).as("sk"))
+      val c = byType.filter(col("event_type") === "click")
+        .select(col("sk").as("a"))
+      val p = byType.filter(col("event_type") === "purchase")
+        .select(col("sk").as("b"))
+      c.crossJoin(p).select(
+        round(thetaEstimate(col("a")))
+          .cast(org.apache.spark.sql.types.LongType).as("n_click"),
+        round(thetaEstimate(col("b")))
+          .cast(org.apache.spark.sql.types.LongType).as("n_purchase"),
+        round(thetaEstimate(thetaIntersect(col("a"), col("b"))))
+          .cast(org.apache.spark.sql.types.LongType).as("n_both"),
+        round(thetaEstimate(thetaANotB(col("a"), col("b"))))
+          .cast(org.apache.spark.sql.types.LongType).as("n_click_only"))
     })
   )
 
-  /** No SQL oracles — sketch guarantees live in SketchSpec. */
-  val oracles: Map[String, String] = Map.empty
+  /** k1–k4 have no SQL oracles — their guarantees live in SketchSpec.
+    * k5 is the exception by construction: exact-mode theta estimates
+    * equal true counts, so the set-algebra surface is hash-checked
+    * against DuckDB's exact distinct joins at every fixture sf.
+    */
+  val oracles: Map[String, String] = Map(
+    "k5_theta_set_ops" ->
+      """WITH c AS (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT (SELECT COUNT(*) FROM c) AS n_click,
+        |  (SELECT COUNT(*) FROM p) AS n_purchase,
+        |  (SELECT COUNT(*) FROM c JOIN p USING (user_id)) AS n_both,
+        |  (SELECT COUNT(*) FROM c ANTI JOIN p USING (user_id))
+        |    AS n_click_only""".stripMargin)
 }

@@ -157,6 +157,19 @@ object Windows {
     // engine-specific).
     "w8_funnel" -> ((s, d) => funnel(Tables.events(s, d))),
 
+    // W10: EVENT TRANSITIONS — the first-order Markov matrix over each
+    // user's event sequence (the session-path / next-action analytics
+    // primitive, and the n-gram-over-actions counterpart of l15's
+    // bigram LM over tokens): lag(event_type) along (ts, event_id)
+    // per user, then count + distinct-user support per (prev, next)
+    // pair. The window is the w2 per-key-offset class — lag buffers
+    // nothing beyond one row and the per-user partition is semantic —
+    // and the corpus-sized output collapses immediately into a
+    // |types|²-row aggregate whose partial agg runs map-side, so the
+    // shuffle bill is one user-keyed exchange plus a 25-row agg at any
+    // scale.
+    "w10_event_transitions" -> ((s, d) => transitions(Tables.events(s, d))),
+
     // W9: COHORT RETENTION — the other half of the product-analytics
     // pair (w8 answers "did they convert"; this answers "did they come
     // back"): users are cohorted by the week of their first signup, and
@@ -186,6 +199,21 @@ object Windows {
         .agg(countDistinct(col("user_id")).as("n_active"))
     })
   )
+
+  /** w10's kernel on any (ts, event_id, user_id, event_type) frame —
+    * exposed for PropertySpec's brute-force law.
+    */
+  private[graft] def transitions(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    ev.select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
 
   /** w8's kernel on any (ts, user_id, event_type) frame — exposed for
     * PropertySpec's brute-force law.
@@ -294,6 +322,17 @@ object Windows {
         |  COUNT(*) AS n_purchases_7d,
         |  epoch_us(MIN(ts)) - epoch_us(signup_ts) AS usecs_to_convert
         |FROM p GROUP BY user_id, signup_ts""".stripMargin,
+
+    "w10_event_transitions" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev_type
+        |  FROM events
+        |)
+        |SELECT prev_type, event_type, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
 
     // w9: `//` is DuckDB's integer floor division ≡ Spark's `div` on
     // non-negative BIGINTs

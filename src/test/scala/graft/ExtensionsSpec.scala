@@ -61,6 +61,32 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(r.getDouble(0) - 500.0) <= 30.0)
   }
 
+  test("theta sketch set algebra callable from SQL (build → union → intersect/diff)") {
+    GraftExtensions.ensureFunctions(spark)
+    // keys 0..99 in segment a, 50..149 in b: |a|=|b|=100, |a∩b|=50,
+    // |a\b|=50 — exact mode, so the SQL names must return true counts
+    val r = spark.sql(
+      """WITH s AS (
+        |  SELECT seg, theta_sketch_agg(k) AS sk FROM (
+        |    SELECT 'a' AS seg, id AS k FROM range(100)
+        |    UNION ALL
+        |    SELECT 'b' AS seg, id + 50 AS k FROM range(100)
+        |  ) GROUP BY seg
+        |), m AS (
+        |  SELECT theta_union_agg(CASE WHEN seg = 'a' THEN sk END) AS a,
+        |         theta_union_agg(CASE WHEN seg = 'b' THEN sk END) AS b
+        |  FROM s
+        |)
+        |SELECT theta_estimate(a) AS na, theta_estimate(b) AS nb,
+        |  theta_estimate(theta_intersect(a, b)) AS nboth,
+        |  theta_estimate(theta_a_not_b(a, b)) AS nonly
+        |FROM m""".stripMargin).head()
+    assert(r.getDouble(0) === 100.0)
+    assert(r.getDouble(1) === 100.0)
+    assert(r.getDouble(2) === 50.0)
+    assert(r.getDouble(3) === 50.0)
+  }
+
   test("might_contain probes a serialized bloom filter from SQL") {
     import spark.implicits._
     val reg = spark.sessionState.functionRegistry

@@ -662,6 +662,96 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("w10 transitions ≡ brute-force pair walk (W10 law)") {
+    import spark.implicits._
+    for (seed <- 1L to 3L) {
+      // small user pool + coarse clock so same-user runs and ts ties
+      // (broken by event_id) both arise
+      val gen = Gen.listOfN(120, Gen.zip(
+        Gen.choose(1L, 4L), Gen.choose(0L, 40L),
+        Gen.oneOf("a", "b", "c")))
+      val rows = sample(gen, seed).zipWithIndex.map { case ((u, hr, t), i) =>
+        (i.toLong, new java.sql.Timestamp(hr * 3600000L), u, t)
+      }
+      val df = rows.toDF("event_id", "ts", "user_id", "event_type")
+      val got = graft.operators.Windows.transitions(df).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      val pairs = rows.groupBy(_._3).toSeq.flatMap { case (u, evs) =>
+        evs.sortBy(e => (e._2.getTime, e._1)).sliding(2).collect {
+          case Seq(p, n) => (p._4, n._4, u)
+        }
+      }
+      val want = pairs.groupBy(p => (p._1, p._2)).map { case (k, v) =>
+        k -> (v.size.toLong, v.map(_._3).distinct.size.toLong)
+      }
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
+  test("a15 weighted median ≡ brute-force crossing scan (A15 law)") {
+    import spark.implicits._
+    for (seed <- 1L to 4L) {
+      // duplicate values per group arise (value range 1..8), exercising
+      // the (group, value) pre-collapse; even/odd totals and exact-half
+      // crossings arise from small integer weights
+      val gen = Gen.listOfN(60, Gen.zip(
+        Gen.oneOf("x", "y", "z"), Gen.choose(1, 8), Gen.choose(1L, 9L)))
+      val rows = sample(gen, seed)
+      val df = rows.toDF("g", "v", "w")
+      val got = graft.operators.Aggregates
+        .weightedMedian(df.select(col("g"), col("v"), col("w")), "g", "v")
+        .collect().map(r => r.getString(0) -> (r.getInt(1), r.getLong(2)))
+        .toMap
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        val byV = rs.groupBy(_._2).view
+          .mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
+        val tot = byV.map(_._2).sum
+        val med = byV.scanLeft((0, 0L)) { case ((_, c), (v, w)) =>
+          (v, c + w) }.drop(1).find(p => 2 * p._2 >= tot).get._1
+        g -> (med, tot)
+      }
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
+  test("m24 gap fill carries exactly the last observed cell (M24 law)") {
+    import spark.implicits._
+    for (seed <- 1L to 3L) {
+      // sparse observations over a 30-slot range per type: leading
+      // unobserved cells (NULL fill), interior gaps, adjacent runs
+      val gen = Gen.listOfN(18, Gen.zip(
+        Gen.oneOf("p", "q"), Gen.choose(5L, 34L),
+        Gen.choose(1L, 50L), Gen.choose(-300L, 300L)))
+      val cells = sample(gen, seed)
+        .groupBy(c => (c._1, c._2)).toSeq.map { case ((t, hr), cs) =>
+          (t, hr, cs.map(_._3).sum, cs.map(_._4).sum)
+        }
+      val grid = cells.toDF("event_type", "hr", "n_events", "sv")
+      val got = graft.operators.PipelineOps.gapFill(grid).collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+            r.getBoolean(4)))
+        .toMap
+      val byType = cells.groupBy(_._1)
+      val want = byType.flatMap { case (t, cs) =>
+        val obs = cs.map(c => c._2 -> (c._3, c._4)).toMap
+        val (mn, mx) = (cs.map(_._2).min, cs.map(_._2).max)
+        (mn to mx).map { hr =>
+          val lastSv = (mn to hr).reverse.collectFirst {
+            case h if obs.contains(h) => obs(h)._2 }
+          (t, hr) -> (obs.get(hr).map(_._1).getOrElse(0L),
+            lastSv.map(_ / 100.0), obs.contains(hr))
+        }
+      }
+      assert(got === want, s"seed=$seed")
+      // spine is dense by construction: one row per (type, slot in range)
+      assert(got.size === byType.map { case (_, cs) =>
+        cs.map(_._2).max - cs.map(_._2).min + 1 }.sum)
+    }
+  }
+
   test("m23 merged rollup ≡ cold recompute at ANY cutoff (boundary law)") {
     val events = Tables.events(spark, sf("sf0.001"))
     val snap = java.nio.file.Files

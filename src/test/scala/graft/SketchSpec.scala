@@ -100,6 +100,56 @@ class SketchSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("k5 theta exact mode: set algebra ≡ exact sets (fixture-scale contract)") {
+    import spark.implicits._
+    // random two-segment memberships, several seeds: union/intersect/
+    // a-not-b over sketches must equal exact set ops while the key
+    // count stays under the nominal-entries cap (lgK=12 → 4096)
+    for (seed <- 1L to 3L) {
+      val rng = new scala.util.Random(seed)
+      val rows = (0 until 500).map { _ =>
+        (rng.nextInt(300).toLong, if (rng.nextBoolean()) "x" else "y")
+      }
+      val xs = rows.filter(_._2 == "x").map(_._1).toSet
+      val ys = rows.filter(_._2 == "y").map(_._1).toSet
+      import graft.functions.SketchOps._
+      val byType = rows.toDF("k", "t").groupBy(col("t"))
+        .agg(thetaSketchAgg(col("k")).as("sk"))
+      val a = byType.filter(col("t") === "x").select(col("sk").as("a"))
+      val b = byType.filter(col("t") === "y").select(col("sk").as("b"))
+      val r = a.crossJoin(b).select(
+        thetaEstimate(col("a")).as("na"),
+        thetaEstimate(col("b")).as("nb"),
+        thetaEstimate(thetaIntersect(col("a"), col("b"))).as("nboth"),
+        thetaEstimate(thetaANotB(col("a"), col("b"))).as("nonly"))
+        .head()
+      assert(r.getDouble(0) === xs.size.toDouble, s"seed=$seed |x|")
+      assert(r.getDouble(1) === ys.size.toDouble, s"seed=$seed |y|")
+      assert(r.getDouble(2) === (xs & ys).size.toDouble, s"seed=$seed |x∩y|")
+      assert(r.getDouble(3) === (xs -- ys).size.toDouble, s"seed=$seed |x\\y|")
+    }
+  }
+
+  test("k5 theta estimation mode: 100k-key estimates within bounds; merge ≡ whole-data") {
+    import spark.implicits._
+    import graft.functions.SketchOps._
+    // 100k distinct keys >> 4096 nominal entries forces sampling; the
+    // theta guarantee at lgK=12 is ~1.6% RSE — assert 3σ (±5%) and that
+    // sharding + union sees exactly the whole-data sketch (hash-order
+    // independence: the retained set at a given theta is a pure
+    // function of the key set)
+    val n = 100000
+    val df = (0 until n).map(i => (i.toLong, i % 16)).toDF("k", "shard")
+    val whole = df.agg(thetaSketchAgg(col("k")).as("sk"))
+      .select(thetaEstimate(col("sk"))).head().getDouble(0)
+    assert(math.abs(whole - n) <= 0.05 * n, s"est=$whole exact=$n")
+    val merged = df.groupBy(col("shard"))
+      .agg(thetaSketchAgg(col("k")).as("sk"))
+      .agg(thetaUnionAgg(col("sk")).as("m"))
+      .select(thetaEstimate(col("m"))).head().getDouble(0)
+    assert(merged === whole, s"merged=$merged whole=$whole")
+  }
+
   test("Tuning.recommended applies cleanly to a session builder") {
     // shared session exists; just validate every key/value is accepted
     // by the conf machinery (no typos / removed confs)
