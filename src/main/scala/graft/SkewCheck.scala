@@ -149,7 +149,13 @@ object SkewCheck {
       // shingles
       Run("w8_funnel", "w8_funnel"),
       Run("j13_nearest_event", "j13_nearest_event"),
-      Run("m21_decontaminated_split", "m21_decontaminated_split"))
+      Run("m21_decontaminated_split", "m21_decontaminated_split"),
+      // r11 final additions: w10's lag window is the w2 per-key-offset
+      // class (hot user's partition holds 20% of rows but lag buffers
+      // one row — the aggregate after collapses map-side); w9's cohort
+      // cells face every hot-user event joining one signup row
+      Run("w10_event_transitions", "w10_event_transitions"),
+      Run("w9_cohort_retention", "w9_cohort_retention"))
 
     var allPass = true
     val entries = runs.map { r =>

@@ -388,6 +388,29 @@ object StreamCheck {
         rows, batches)
     }
 
+    scenario("t16_stream_quantile_sketch") {
+      // k4's 24/7 twin: the window's KLL sketch is the streaming agg
+      // state, so batch 2's 50 values must MERGE into batch 1's window
+      // sketch (p50 of the union = 50 — KLL is exact below k=200
+      // samples, so the assert is deterministic), while a second window
+      // computes its own quantile independently.
+      val in = MemoryStream[Ev](spark)
+      val (rows, batches) = run(
+        Streams.streamingQuantiles(in.toDF(), "1 minute"),
+        "sc_t16", "complete", Seq(
+          () => in.addData((1 to 50).map(i =>
+            ev(i.toLong, 0, value = i.toDouble)): _*),
+          () => in.addData(((51 to 100).map(i =>
+            ev(i.toLong, 0, value = i.toDouble)) :+
+            ev(101L, 2, value = 7.0)): _*)))
+      val got = spark.table("sc_t16")
+        .select(date_format($"w_start", "HH:mm"), $"n", $"p50")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      Res(got == Set(("10:00", 100L, 50.0), ("10:02", 1L, 7.0)),
+        rows, batches)
+    }
+
     scenario("t10_stream_static_enrich") {
       val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
       val in = MemoryStream[Ev](spark)

@@ -83,6 +83,24 @@ object Streams {
       .dropDuplicatesWithinWatermark("text_md5")
       .join(corpusDigests, Seq("text_md5"), "left_anti")
 
+  /** T16: STREAMING mergeable quantile rollup — k4's 24/7 twin: the
+    * per-window KLL sketch IS the streaming aggregation state (the
+    * TypedImperativeAggregate's buffer rides the state store between
+    * micro-batches, serialized as its compact byte form), so each new
+    * batch's values MERGE into the standing window sketch and the
+    * running p50 is read back per trigger — continuous "p50 latency
+    * this minute" over an unbounded stream with bounded per-window
+    * state (~KB), where an exact streaming percentile would buffer
+    * every raw value into the store. The same sketch algebra k4 uses
+    * for persisted rollups, now fed incrementally.
+    */
+  def streamingQuantiles(events: DataFrame, width: String = "1 minute"): DataFrame =
+    events.groupBy(window(col("ts"), width))
+      .agg(graft.functions.SketchOps.kllSketchAgg(col("value")).as("sk"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("n"),
+        graft.functions.SketchOps.kllQuantile(col("sk"), 0.5).as("p50"))
+
   /** T8: stream-stream interval join — purchases matched to clicks of
     * the same user within the preceding `interval`. Both sides carry
     * watermarks so the join state is bounded (Spark drops buffered rows

@@ -144,6 +144,28 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       ids.contains(2L) && ids.contains(6L), ids.toString)
   }
 
+  test("T16: streaming quantile sketch merges batches into the window state") {
+    import spark.implicits._
+    val in = MemoryStream[Ev](spark)
+    val q = Streams.streamingQuantiles(in.toDF(), "1 minute")
+      .writeStream.format("memory").queryName("t16_out")
+      .outputMode("complete").start()
+    in.addData((1 to 50).map(i => ev(i.toLong, 0, value = i.toDouble)): _*)
+    q.processAllAvailable()
+    in.addData(((51 to 100).map(i => ev(i.toLong, 0, value = i.toDouble)) :+
+      ev(101L, 2, value = 7.0)): _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("t16_out")
+      .select(date_format(col("w_start"), "HH:mm"), col("n"), col("p50"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // n=100 proves batch 2 merged into batch 1's sketch state; KLL is
+    // exact below k=200 samples, so p50 of 1..100 (inclusive rank
+    // criterion) is exactly 50
+    assert(got === Set(("10:00", 100L, 50.0), ("10:02", 1L, 7.0)),
+      got.toString)
+  }
+
   test("T8: stream-stream interval join matches clicks within the window") {
     import spark.implicits._
     val pIn = MemoryStream[Ev](spark)
