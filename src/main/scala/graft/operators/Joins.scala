@@ -384,7 +384,47 @@ object Joins {
     // at equal ts, and backward wins equal gaps (earlier c_ts) —
     // matching the oracle's (gap, c_ts, c_id) ascending rank. Gaps are
     // exact µs longs.
-    "j13_nearest_event" -> ((s, d) => nearestEvent(Tables.events(s, d)))
+    "j13_nearest_event" -> ((s, d) => nearestEvent(Tables.events(s, d))),
+
+    // J14: TEMPORAL (point-in-time) join — enrich each event with the
+    // dimension VERSION valid at event time, the batch twin of the
+    // streaming t14 scenario and the consumer of what m18 builds: an
+    // SCD2 dimension with half-open [valid_from, valid_to) intervals
+    // (open current = NULL valid_to). The fixture synthesizes a
+    // versioned per-user dimension (v1 from day 1 — so day-0 events
+    // PREDATE history and keep a NULL version, the t14 drop class —
+    // v2 from day 10 for even users, v3 from day 20 for %5 users);
+    // valid_to derives from lead() over the key-sized change log. The
+    // join is EQUI on user_id with the interval test as a residual —
+    // never a nested loop; since each event matches at most one
+    // version, no dedup is needed. At 100 TB the dimension is
+    // key-cardinality (broadcast or key-clustered SMJ), the fact side
+    // shuffles at most once on its own key.
+    "j14_temporal_join" -> ((s, d) => {
+      val day = 86400000000L
+      val t0 = 1704067200000000L // 2024-01-01 00:00:00 UTC, epoch µs
+      val ev = Tables.events(s, d).select(col("event_id"),
+        col("user_id"), unix_micros(col("ts")).as("us"))
+      val users = ev.select(col("user_id")).distinct()
+      val log = users
+        .select(col("user_id"), lit(1L).as("ver"),
+          lit(t0 + 1 * day).as("valid_from"))
+        .unionByName(users.filter(col("user_id") % 2 === 0)
+          .select(col("user_id"), lit(2L).as("ver"),
+            lit(t0 + 10 * day).as("valid_from")))
+        .unionByName(users.filter(col("user_id") % 5 === 0)
+          .select(col("user_id"), lit(3L).as("ver"),
+            lit(t0 + 20 * day).as("valid_from")))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
+      val dim = log.select(col("user_id").as("d_user"), col("ver"),
+        col("valid_from"), lead(col("valid_from"), 1).over(w).as("valid_to"))
+      ev.join(dim,
+          ev("user_id") === dim("d_user") &&
+            col("us") >= col("valid_from") &&
+            (col("valid_to").isNull || col("us") < col("valid_to")),
+          "left")
+        .select(col("event_id"), col("user_id"), col("ver"))
+    })
   )
 
   /** j13's kernel on any (event_id, ts, user_id, event_type) frame —
@@ -704,6 +744,33 @@ object Joins {
         |    ON p.user_id = c.user_id
         |   AND c.ts >= p.ts - INTERVAL 1 HOUR
         |   AND c.ts <= p.ts + INTERVAL 1 HOUR
-        |) WHERE rn = 1""".stripMargin
+        |) WHERE rn = 1""".stripMargin,
+
+    // j14: 1704067200000000 = 2024-01-01 00:00:00 UTC in epoch µs;
+    // 86400000000 = one day
+    "j14_temporal_join" ->
+      """WITH u AS (
+        |  SELECT DISTINCT user_id FROM events
+        |), chlog AS (
+        |  SELECT user_id, CAST(1 AS BIGINT) AS ver,
+        |    1704067200000000 + 1 * 86400000000 AS valid_from FROM u
+        |  UNION ALL
+        |  SELECT user_id, 2, 1704067200000000 + 10 * 86400000000
+        |  FROM u WHERE user_id % 2 = 0
+        |  UNION ALL
+        |  SELECT user_id, 3, 1704067200000000 + 20 * 86400000000
+        |  FROM u WHERE user_id % 5 = 0
+        |), dim AS (
+        |  SELECT user_id AS d_user, ver, valid_from,
+        |    LEAD(valid_from) OVER (PARTITION BY user_id
+        |                           ORDER BY valid_from) AS valid_to
+        |  FROM chlog
+        |)
+        |SELECT e.event_id, e.user_id, d.ver
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS us FROM events) e
+        |LEFT JOIN dim d
+        |  ON e.user_id = d.d_user
+        | AND e.us >= d.valid_from
+        | AND (d.valid_to IS NULL OR e.us < d.valid_to)""".stripMargin
   )
 }

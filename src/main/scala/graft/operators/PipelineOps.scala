@@ -685,6 +685,15 @@ object PipelineOps {
     // 1-row agg job (bounded driver materialization, the dimBounds
     // precedent); day keys are integer µs division, not date_trunc
     // (engine-neutral).
+    "m23_incremental_rollup" -> ((s, d) => {
+      val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
+      val snap = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_m23_rollup_$tag").toString
+      val ev = Tables.events(s, d)
+      val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      incrementalRollup(ev, maxUs - 7L * 86400000000L, snap)
+    }),
+
     // M24: GAP-FILL + FORWARD FILL — the time-series resample/ffill
     // pass every metrics/feature pipeline runs before modeling: bucket
     // the stream onto a regular grid (hourly, over the sparse error/
@@ -708,13 +717,37 @@ object PipelineOps {
         .agg(count(lit(1)).as("n_events"),
           sum(graft.Exprs.slong(col("value"), 2)).as("sv")))),
 
-    "m23_incremental_rollup" -> ((s, d) => {
+    // M25: DYNAMIC PARTITION OVERWRITE — the incremental-backfill write
+    // pattern (reprocess two bad days, touch nothing else): the first
+    // write lays the table out partitioned by day; the corrected delta
+    // is then written with mode=overwrite + partitionOverwriteMode=
+    // dynamic, which must replace ONLY the partitions present in the
+    // delta — a static overwrite would truncate the whole table, and a
+    // plain append would double-count. The read-back aggregate proves
+    // both failure modes absent: untouched days keep their original
+    // sums (not wiped), the two reprocessed days carry exactly the
+    // bumped values (not doubled). At 100 TB the daily backfill bill is
+    // the delta's size, never the table's. Target days derive from the
+    // data's own min-day (one 1-row agg job, the dimBounds class) in
+    // both engines.
+    "m25_partition_overwrite" -> ((s, d) => {
       val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
-      val snap = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), s"graft_m23_rollup_$tag").toString
-      val ev = Tables.events(s, d)
-      val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
-      incrementalRollup(ev, maxUs - 7L * 86400000000L, snap)
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_m25_pow_$tag").toString
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("value"), expr("unix_micros(ts) div 86400000000").as("day_no"))
+      ev.write.mode("overwrite").partitionBy("day_no").parquet(path)
+      val d0 = ev.agg(min(col("day_no"))).head().getLong(0)
+      ev.filter(col("day_no").isin(d0 + 3, d0 + 5))
+        .withColumn("value", round(col("value") + 1, 2))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day_no").parquet(path)
+      s.read.parquet(path)
+        .select(col("day_no").cast(LongType).as("day_no"), col("value"))
+        .groupBy(col("day_no"))
+        .agg(count(lit(1)).as("n"),
+          graft.Exprs.dsum(col("value")).as("sum_value"))
     }),
 
     // M14: Z-ORDER layout — multi-dimensional clustering for scan
@@ -1297,6 +1330,25 @@ object PipelineOps {
         |  LEAD(eff) OVER w - 1 AS valid_to,
         |  LEAD(eff) OVER w IS NULL AS is_current
         |FROM chlog WINDOW w AS (PARTITION BY k ORDER BY eff)""".stripMargin,
+
+    // m25: the oracle recomputes the expected FINAL table state from
+    // the source — original values everywhere except the two derived
+    // backfill days, which carry the +1 bump; any dynamic-overwrite
+    // failure (whole-table truncate, or append double-count) breaks
+    // rows or sums
+    "m25_partition_overwrite" ->
+      """WITH src AS (
+        |  SELECT event_id, value,
+        |    epoch_us(ts) // 86400000000 AS day_no
+        |  FROM events
+        |), b AS (
+        |  SELECT MIN(day_no) AS d0 FROM src
+        |)
+        |SELECT day_no, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND((CASE WHEN day_no IN (d0 + 3, d0 + 5)
+        |    THEN ROUND(value + 1, 2) ELSE value END) * 1e2, 0) AS BIGINT))
+        |    AS DOUBLE) / 1e2 AS sum_value
+        |FROM src, b GROUP BY day_no""".stripMargin,
 
     // m23: the oracle is a COLD FULL RECOMPUTE over the fact table — the
     // engine's snapshot-merge path must be indistinguishable from it.

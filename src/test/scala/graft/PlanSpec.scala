@@ -342,6 +342,22 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("Join"), p.take(3000))
   }
 
+  test("j14 temporal join plans as an equi join with interval residual, no nested loop") {
+    // the point-in-time test (valid_from <= us < valid_to) must ride as
+    // a RESIDUAL on the user_id equi join — a nested-loop plan here
+    // would pair every event with every dimension version at 100 TB
+    val df = graft.operators.Joins
+      .queries("j14_temporal_join")(spark, sf("sf0.001"))
+    val rows = df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoop"), p.take(3000))
+    // day-0 events predate history (v1 starts day 1): NULL version kept
+    assert(rows.exists(_.isNullAt(2)), "expected predates-history NULLs")
+    assert(rows.exists(r => !r.isNullAt(2) && r.getLong(2) >= 2L),
+      "expected later-version matches")
+  }
+
   test("m14 z-order width law: fixture floor 16, 100 TB growth, capped") {
     // zOrderWrite's partition count is stats-derived via the same
     // doubling law as s11Buckets (VERDICT r9 next #3) — a fixed 16

@@ -752,6 +752,35 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("m25 dynamic overwrite rewrites ONLY the delta's partitions (file law)") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_m25_spec").toString
+    Seq((1L, 0L, 1.0), (2L, 1L, 2.0), (3L, 2L, 3.0), (4L, 1L, 4.0))
+      .toDF("id", "day_no", "v")
+      .write.mode("overwrite").partitionBy("day_no").parquet(path)
+    def files(day: Long): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      val dir = java.nio.file.Paths.get(path, s"day_no=$day")
+      val s = java.nio.file.Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSet
+      finally s.close()
+    }
+    val before = Map(0L -> files(0), 1L -> files(1), 2L -> files(2))
+    // backfill day 1 only: fewer rows, bumped values
+    Seq((9L, 1L, 20.0)).toDF("id", "day_no", "v")
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day_no").parquet(path)
+    // untouched partitions keep their exact files; day 1 was replaced
+    assert(files(0) === before(0) && files(2) === before(2))
+    assert(files(1).nonEmpty && files(1) != before(1))
+    val got = spark.read.parquet(path)
+      .select(col("id"), col("day_no").cast("long"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === Set((1L, 0L, 1.0), (3L, 2L, 3.0), (9L, 1L, 20.0)))
+  }
+
   test("m23 merged rollup ≡ cold recompute at ANY cutoff (boundary law)") {
     val events = Tables.events(spark, sf("sf0.001"))
     val snap = java.nio.file.Files
