@@ -750,6 +750,23 @@ object PipelineOps {
           graft.Exprs.dsum(col("value")).as("sum_value"))
     }),
 
+    // M26: TIME-WEIGHTED AVERAGE — the metrics/feature primitive for
+    // irregularly-sampled signals (TWAP, sensor state, feature-store
+    // "average value while in effect"): each observation holds from its
+    // own timestamp until the user's next event (lead), and the mean
+    // weighs by that holding duration, not by row count. Exactness:
+    // durations floor to whole SECONDS ((Δus) div 1e6 — both engines
+    // floor non-negative integer division identically) and values are
+    // 2-dp scaled longs, so the weighted sum is an exact long
+    // (≤3e4 × ≤2.6e6 s per product — overflow at ~4e6 rows/user-month,
+    // far past any per-user stream) and the final double division is a
+    // deterministic function of two exact integers. The lead window is
+    // the w2 per-key-offset class; the aggregate after collapses
+    // map-side. Single-observation users (zero observed span) are
+    // dropped by the same HAVING in both engines.
+    "m26_time_weighted_avg" -> ((s, d) =>
+      timeWeightedAvg(Tables.events(s, d))),
+
     // M14: Z-ORDER layout — multi-dimensional clustering for scan
     // pruning, the lakehouse technique for fact tables queried by MORE
     // THAN ONE dimension (events by user AND by time): a sort by one
@@ -926,6 +943,28 @@ object PipelineOps {
     * cross-join stitching the FK count to its table's row count is
     * the j8 broadcast-1-row-totals shape, never a real cartesian.
     */
+  /** m26 kernel: time-weighted average on any (user_id, event_id, ts,
+    * value) frame — exposed for PropertySpec's brute-force law.
+    */
+  private[graft] def timeWeightedAvg(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        graft.Exprs.slong(col("value"), 2).as("vs"))
+      .select(col("user_id"), col("vs"),
+        lead(col("us"), 1).over(w).as("next_us"), col("us"))
+      .filter(col("next_us").isNotNull)
+      .select(col("user_id"), col("vs"),
+        expr("(next_us - us) div 1000000").as("dur_s"))
+      .groupBy(col("user_id"))
+      .agg((sum(col("vs") * col("dur_s")).cast(DoubleType) / 100.0 /
+        sum(col("dur_s"))).as("twa"),
+        sum(col("dur_s")).as("obs_s"))
+      .filter(col("obs_s") > 0)
+  }
+
   /** m24 kernel: gap-fill + forward fill over an already-aggregated grid
     * carrying (event_type, hr, n_events, sv) with `sv` the exact
     * scaled-long cell sum. Generates the dense per-type spine from each
@@ -1349,6 +1388,23 @@ object PipelineOps {
         |    THEN ROUND(value + 1, 2) ELSE value END) * 1e2, 0) AS BIGINT))
         |    AS DOUBLE) / 1e2 AS sum_value
         |FROM src, b GROUP BY day_no""".stripMargin,
+
+    "m26_time_weighted_avg" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CAST(ROUND(value * 1e2, 0) AS BIGINT) AS vs
+        |  FROM events
+        |), f AS (
+        |  SELECT user_id, vs,
+        |    (LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      - us) // 1000000 AS dur_s
+        |  FROM e
+        |)
+        |SELECT user_id,
+        |  CAST(SUM(vs * dur_s) AS DOUBLE) / 1e2 / SUM(dur_s) AS twa,
+        |  SUM(dur_s) AS obs_s
+        |FROM f WHERE dur_s IS NOT NULL
+        |GROUP BY user_id HAVING SUM(dur_s) > 0""".stripMargin,
 
     // m23: the oracle is a COLD FULL RECOMPUTE over the fact table — the
     // engine's snapshot-merge path must be indistinguishable from it.

@@ -170,6 +170,20 @@ object Windows {
     // scale.
     "w10_event_transitions" -> ((s, d) => transitions(Tables.events(s, d))),
 
+    // W11: STAGED FUNNEL — the order-constrained 3-stage sequence
+    // (first view, then first click AFTER that view, then first
+    // purchase AFTER that click) that MATCH_RECOGNIZE engines
+    // special-case; w8's 2-stage funnel generalized with the stage
+    // order as a constraint, not just a time window. Same scale
+    // posture as w8: each stage is a per-user AGGREGATE (min over a
+    // filtered side — partial agg collapses a hot user map-side) plus
+    // a key equi join carrying ONE row per user, so no per-user window
+    // ever buffers the corpus; the three stages chain left-to-right
+    // exactly like the plan a MATCH_RECOGNIZE compiler would emit.
+    // Strict > at each hop makes the stage order unambiguous; times
+    // are exact epoch-µs longs.
+    "w11_staged_funnel" -> ((s, d) => stagedFunnel(Tables.events(s, d))),
+
     // W9: COHORT RETENTION — the other half of the product-analytics
     // pair (w8 answers "did they convert"; this answers "did they come
     // back"): users are cohorted by the week of their first signup, and
@@ -199,6 +213,28 @@ object Windows {
         .agg(countDistinct(col("user_id")).as("n_active"))
     })
   )
+
+  /** w11's kernel on any (ts, user_id, event_type) frame — exposed for
+    * PropertySpec's brute-force law.
+    */
+  private[graft] def stagedFunnel(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ev = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("us") > col("v_us"))
+      .groupBy(col("user_id"))
+      .agg(min(col("v_us")).as("v_us"), min(col("us")).as("c_us"))
+    ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("us") > col("c_us"))
+      .groupBy(col("user_id"))
+      .agg(min(col("v_us")).as("v_us"), min(col("c_us")).as("c_us"),
+        min(col("us")).as("p_us"))
+      .select(col("user_id"), col("v_us"), col("c_us"), col("p_us"),
+        (col("p_us") - col("v_us")).as("funnel_us"))
+  }
 
   /** w10's kernel on any (ts, event_id, user_id, event_type) frame —
     * exposed for PropertySpec's brute-force law.
@@ -333,6 +369,24 @@ object Windows {
         |SELECT prev_type, event_type, COUNT(*) AS n,
         |  COUNT(DISTINCT user_id) AS n_users
         |FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    "w11_staged_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        |), v AS (
+        |  SELECT user_id, MIN(us) AS v_us FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, MIN(v.v_us) AS v_us, MIN(e.us) AS c_us
+        |  FROM e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.us > v.v_us
+        |  GROUP BY e.user_id
+        |)
+        |SELECT e.user_id, MIN(c.v_us) AS v_us, MIN(c.c_us) AS c_us,
+        |  MIN(e.us) AS p_us, MIN(e.us) - MIN(c.v_us) AS funnel_us
+        |FROM e JOIN c ON e.user_id = c.user_id
+        |WHERE e.event_type = 'purchase' AND e.us > c.c_us
+        |GROUP BY e.user_id""".stripMargin,
 
     // w9: `//` is DuckDB's integer floor division ≡ Spark's `div` on
     // non-negative BIGINTs

@@ -752,6 +752,72 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("w11 staged funnel ≡ brute-force ordered 3-stage walk (W11 law)") {
+    import spark.implicits._
+    for (seed <- 1L to 3L) {
+      // coarse clock + small user pool: orderings where the only click
+      // precedes the first view (stage fails) and purchases between
+      // view and click (must NOT count) both arise
+      val gen = Gen.listOfN(150, Gen.zip(
+        Gen.choose(1L, 5L), Gen.choose(0L, 60L),
+        Gen.oneOf("view", "click", "purchase")))
+      val rows = sample(gen, seed).zipWithIndex.map { case ((u, hr, t), i) =>
+        (i.toLong, new java.sql.Timestamp(hr * 3600000L), u, t, 1.0)
+      }
+      val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val got = graft.operators.Windows.stagedFunnel(df)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val want = rows.groupBy(_._3).flatMap { case (u, evs) =>
+        def us(t: java.sql.Timestamp) = t.getTime * 1000L
+        val views = evs.filter(_._4 == "view").map(e => us(e._2))
+        if (views.isEmpty) None else {
+          val v = views.min
+          val clicks = evs.filter(e => e._4 == "click" && us(e._2) > v)
+            .map(e => us(e._2))
+          if (clicks.isEmpty) None else {
+            val c = clicks.min
+            val purch = evs.filter(e => e._4 == "purchase" && us(e._2) > c)
+              .map(e => us(e._2))
+            if (purch.isEmpty) None
+            else Some(u -> (v, c, purch.min, purch.min - v))
+          }
+        }
+      }
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
+  test("m26 time-weighted average ≡ brute-force interval sum (M26 law)") {
+    import spark.implicits._
+    for (seed <- 1L to 3L) {
+      // second-grained clock with ts TIES per user (tie broken by
+      // event_id; the tied row holds for 0 s) and sub-second gaps that
+      // must floor away identically
+      val gen = Gen.listOfN(80, Gen.zip(
+        Gen.choose(1L, 4L), Gen.choose(0L, 4000L), Gen.choose(-300, 300)))
+      val rows = sample(gen, seed).zipWithIndex.map { case ((u, ds, v), i) =>
+        (i.toLong, new java.sql.Timestamp(ds * 250L), u, v / 4.0)
+      }
+      val df = rows.toDF("event_id", "ts", "user_id", "value")
+      val kernelGot = graft.operators.PipelineOps.timeWeightedAvg(df)
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2)))
+        .toMap
+      val want = rows.groupBy(_._3).flatMap { case (u, evs) =>
+        val ord = evs.sortBy(e => (e._2.getTime, e._1))
+        val pairs = ord.sliding(2).collect { case Seq(a, b) =>
+          val durS = (b._2.getTime - a._2.getTime) * 1000L / 1000000L
+          (math.round(a._4 * 100), durS)
+        }.toSeq
+        val tot = pairs.map(_._2).sum
+        if (tot <= 0) None
+        else Some(u -> (pairs.map(p => p._1 * p._2).sum.toDouble / 100.0 / tot,
+          tot))
+      }
+      assert(kernelGot === want, s"seed=$seed")
+    }
+  }
+
   test("m25 dynamic overwrite rewrites ONLY the delta's partitions (file law)") {
     import spark.implicits._
     val path = java.nio.file.Files
