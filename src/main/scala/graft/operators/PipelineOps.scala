@@ -767,6 +767,42 @@ object PipelineOps {
     "m26_time_weighted_avg" -> ((s, d) =>
       timeWeightedAvg(Tables.events(s, d))),
 
+    // M27: QUARANTINE ROUTING — the dead-letter pattern for RULE
+    // violations (s12 quarantines rows that don't PARSE; this
+    // quarantines rows that parse fine but violate declared
+    // expectations — m19's report made actionable): rows failing any
+    // rule route to a quarantine table with their first-matching
+    // reason, clean rows flow on to the aggregate. One scan tags, one
+    // filtered write materializes the quarantine, and the summary
+    // joins the CLEAN per-type aggregate with per-reason counts read
+    // BACK from the quarantine file — so the check covers the routing
+    // round trip, not just the split predicate. The fixture violates
+    // the value-range rule (1316 rows at sf0.01) so both branches
+    // carry rows; at 100 TB the quarantine write is violation-sized,
+    // never table-sized.
+    "m27_quarantine_route" -> ((s, d) => {
+      val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
+      val qpath = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_m27_quar_$tag").toString
+      val reason = when(col("value") > 100, "value_gt_100")
+        .when(!col("event_type").isin(
+          "click", "view", "purchase", "signup", "error"), "unknown_type")
+      val tagged = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"),
+          reason.as("reason"))
+      tagged.filter(col("reason").isNotNull)
+        .write.mode("overwrite").parquet(qpath)
+      val clean = tagged.filter(col("reason").isNull)
+        .groupBy(concat(lit("clean:"), col("event_type")).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          graft.Exprs.dsum(col("value")).as("sum_value"))
+      val quarantined = s.read.parquet(qpath)
+        .groupBy(concat(lit("quarantine:"), col("reason")).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          graft.Exprs.dsum(col("value")).as("sum_value"))
+      clean.unionByName(quarantined)
+    }),
+
     // M14: Z-ORDER layout — multi-dimensional clustering for scan
     // pruning, the lakehouse technique for fact tables queried by MORE
     // THAN ONE dimension (events by user AND by time): a sort by one
@@ -1388,6 +1424,27 @@ object PipelineOps {
         |    THEN ROUND(value + 1, 2) ELSE value END) * 1e2, 0) AS BIGINT))
         |    AS DOUBLE) / 1e2 AS sum_value
         |FROM src, b GROUP BY day_no""".stripMargin,
+
+    // m27: the oracle recomputes both routes from the source; a routing
+    // bug (row in both branches, or dropped) breaks a count or a sum
+    "m27_quarantine_route" ->
+      """WITH t AS (
+        |  SELECT event_id, event_type, value,
+        |    CASE WHEN value > 100 THEN 'value_gt_100'
+        |         WHEN event_type NOT IN
+        |           ('click','view','purchase','signup','error')
+        |           THEN 'unknown_type'
+        |    END AS reason
+        |  FROM events
+        |)
+        |SELECT 'clean:' || event_type AS bucket, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value * 1e2, 0) AS BIGINT)) AS DOUBLE) / 1e2
+        |    AS sum_value
+        |FROM t WHERE reason IS NULL GROUP BY event_type
+        |UNION ALL
+        |SELECT 'quarantine:' || reason, COUNT(*),
+        |  CAST(SUM(CAST(ROUND(value * 1e2, 0) AS BIGINT)) AS DOUBLE) / 1e2
+        |FROM t WHERE reason IS NOT NULL GROUP BY reason""".stripMargin,
 
     "m26_time_weighted_avg" ->
       """WITH e AS (

@@ -144,6 +144,32 @@ object TextAnalysis {
         .filter(col("src") =!= col("dst")).distinct(), iters = 3)
     }),
 
+    // L21: TRIANGLE COUNT on the host link graph — the density signal
+    // spam/link-farm detection runs next to l20's authority rank (a
+    // farm's hosts interlink into unusually many triangles; organic
+    // link neighborhoods are sparse). Exact and hash-checkable by
+    // construction: edges canonicalize undirected as (a=least, b=
+    // greatest), and each triangle enumerates exactly once through the
+    // a<b<c orientation (e1(a,b) ⋈ e2(b,c) ⋈ closing edge (a,c)) — no
+    // distinct, no double counting. Per-host participation is the
+    // corners' explode + count. Scale: the edge list is host-
+    // cardinality (never doc-cardinality — the same reduction l20
+    // rides), and both joins are host-keyed equi joins; the skew
+    // hazard (a celebrity host's neighborhood squaring) is bounded by
+    // the closing-edge probe, which drops non-triangle wedges before
+    // any aggregation.
+    "l21_host_triangles" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val src = concat(lower(col("source")), lit("-"),
+        (col("doc_id") % 7).cast(StringType), lit(".example.org"))
+      val dst = concat(lit("src"),
+        ((col("doc_id") + col("n_chars")) % 20).cast(StringType), lit("-"),
+        (col("n_chars") % 7).cast(StringType), lit(".example.org"))
+      hostTriangles(docs
+        .select(least(src, dst).as("a"), greatest(src, dst).as("b"))
+        .filter(col("a") =!= col("b")).distinct())
+    }),
+
     // L5: per-document text statistics.
     "l5_text_stats" -> ((s, d) => {
       Tables.documents(s, d).select(
@@ -527,6 +553,22 @@ object TextAnalysis {
     * lineage stays shallow — deep fixpoints belong to m5's
     * checkpointed machinery, not here.
     */
+  /** l21's kernel on a canonical undirected edge list (a < b, distinct):
+    * per-host triangle participation via the a<b<c wedge join + closing
+    * edge. Exposed for PropertySpec's brute-force law.
+    */
+  private[graft] def hostTriangles(und: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val tri = und
+      .join(und.select(col("a").as("b2"), col("b").as("c")),
+        col("b") === col("b2"))
+      .join(und.select(col("a").as("a3"), col("b").as("c3")),
+        col("a") === col("a3") && col("c") === col("c3"))
+      .select(col("a"), col("b"), col("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("host"))
+      .groupBy(col("host")).agg(count(lit(1)).as("n_triangles"))
+  }
+
   private[graft] def hostRank(edges0: org.apache.spark.sql.DataFrame,
       iters: Int): org.apache.spark.sql.DataFrame = {
     val Scale = 1000000000000L
@@ -583,6 +625,26 @@ object TextAnalysis {
         |FROM h JOIN st USING (host)
         |WHERE st.host_docs >= 3 AND st.host_mean_chars >= 220.0
         |  AND NOT starts_with(h.host, 'src19-')""".stripMargin,
+
+    // l21: same canonical a<b<c enumeration; UNNEST explodes the corners
+    "l21_host_triangles" ->
+      """WITH d0 AS (
+        |  SELECT lower(source) || '-' || (doc_id % 7) || '.example.org' AS src,
+        |    'src' || ((doc_id + n_chars) % 20) || '-' || (n_chars % 7)
+        |      || '.example.org' AS dst
+        |  FROM documents
+        |), e AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM d0 WHERE src <> dst
+        |), tri AS (
+        |  SELECT e1.a, e1.b, e2.b AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        |)
+        |SELECT host, COUNT(*) AS n_triangles FROM (
+        |  SELECT UNNEST([a, b, c]) AS host FROM tri
+        |) GROUP BY host""".stripMargin,
 
     // l20: the same three integer fixed-point sweeps unrolled as CTEs.
     // CASTs to BIGINT because DuckDB's SUM(BIGINT) widens to HUGEINT;

@@ -847,6 +847,30 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     assert(got === Set((1L, 0L, 1.0), (3L, 2L, 3.0), (9L, 1L, 20.0)))
   }
 
+  test("l21 per-host triangles ≡ brute-force enumeration (L21 law)") {
+    import spark.implicits._
+    for (seed <- 1L to 4L) {
+      val nV = 10
+      val raw = sample(Gen.listOfN(45, for {
+        a <- Gen.choose(0, nV - 1); b <- Gen.choose(0, nV - 1)
+      } yield (s"h$a", s"h$b")), seed)
+      val edges = raw.filter(p => p._1 != p._2)
+        .map(p => if (p._1 < p._2) p else p.swap).distinct
+      val df = edges.toDF("a", "b")
+      val got = graft.operators.TextAnalysis.hostTriangles(df)
+        .as[(String, Long)].collect().toMap
+      val es = edges.toSet
+      val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+      val tris = for {
+        i <- verts; j <- verts if i < j && es((i, j))
+        k <- verts if j < k && es((j, k)) && es((i, k))
+      } yield (i, j, k)
+      val want = tris.flatMap(t => Seq(t._1, t._2, t._3))
+        .groupBy(identity).map { case (h, xs) => h -> xs.size.toLong }
+      assert(got === want, s"seed=$seed tris=${tris.size}")
+    }
+  }
+
   test("m23 merged rollup ≡ cold recompute at ANY cutoff (boundary law)") {
     val events = Tables.events(spark, sf("sf0.001"))
     val snap = java.nio.file.Files
