@@ -411,6 +411,28 @@ object StreamCheck {
         rows, batches)
     }
 
+    scenario("t17_stream_distinct_sketch") {
+      // k5's 24/7 twin: per-(window, type) theta sketches as streaming
+      // state. Batch 1 feeds users 1-30 (click); batch 2 re-feeds users
+      // 21-30 (must NOT re-count — the sketch state absorbs them) plus
+      // users 31-40 and a second type. Exact mode ⇒ deterministic.
+      val in = MemoryStream[Ev](spark)
+      val (rows, batches) = run(
+        Streams.streamingDistinct(in.toDF(), "1 minute"),
+        "sc_t17", "complete", Seq(
+          () => in.addData((1 to 30).map(u =>
+            ev(u.toLong, 0, user = u.toLong)): _*),
+          () => in.addData(((21 to 40).map(u =>
+            ev(100L + u, 0, user = u.toLong)) :+
+            ev(200L, 0, user = 7L, typ = "view")): _*)))
+      val got = spark.table("sc_t17")
+        .select(date_format($"w_start", "HH:mm"), $"event_type", $"n_users")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+        .toSet
+      Res(got == Set(("10:00", "click", 40.0), ("10:00", "view", 1.0)),
+        rows, batches)
+    }
+
     scenario("t10_stream_static_enrich") {
       val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
       val in = MemoryStream[Ev](spark)

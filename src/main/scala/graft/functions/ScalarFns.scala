@@ -111,6 +111,27 @@ object ScalarFns {
         to_json(struct(col("user_id").as("u"))).as("user_json"))
     }),
 
+    // F14: VARIANT — Spark 4's semi-structured type (the shredded-JSON
+    // path the lakehouse format war converged on): parse once into the
+    // binary variant encoding, then typed field extraction without
+    // re-parsing the JSON text per access — at 100 TB the parse happens
+    // once per row at ingest, and every downstream projection reads the
+    // typed value. Exercises parse_json → variant_get (typed path
+    // extraction), try_variant_get (type-mismatch → NULL instead of
+    // failing the scan: a string cast asked of an int field), and
+    // schema_of_variant (the inference surface). The oracle re-derives
+    // the same values from the raw JSON text — variant must be a
+    // faithful, lossless re-encoding.
+    "f14_variant" -> ((s, d) => {
+      val v = parse_json(col("props"))
+      Tables.events(s, d).select(
+        col("event_id"),
+        variant_get(v, "$.k", "int").as("k_int"),
+        variant_get(v, "$.k", "string").as("k_str"),
+        try_variant_get(v, "$.missing", "int").as("k_missing"),
+        schema_of_variant(v).as("v_schema"))
+    }),
+
     // F8: explode / posexplode (Generator / UDTF surface) — word rows.
     "f8_explode" -> ((s, d) => {
       Tables.documents(s, d)
@@ -282,6 +303,18 @@ object ScalarFns {
         |SELECT doc_id, CAST(unnest(range(len(toks))) AS INT) AS pos,
         |  unnest(toks) AS word
         |FROM t""".stripMargin,
+
+    // f14: the oracle re-derives the typed values from the raw JSON
+    // text (variant must be a lossless re-encoding); the props fixture
+    // is uniformly {"k": <int>} so the inferred schema is the constant
+    // OBJECT<k: BIGINT> — asserted as the literal it should be
+    "f14_variant" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(NULL AS INT) AS k_missing,
+        |  'OBJECT<k: BIGINT>' AS v_schema
+        |FROM events""".stripMargin,
 
     "f9_hash_fns" ->
       """SELECT c_custkey,

@@ -101,6 +101,21 @@ object Streams {
       .select(col("window.start").as("w_start"), col("n"),
         graft.functions.SketchOps.kllQuantile(col("sk"), 0.5).as("p50"))
 
+  /** T17: STREAMING distinct-user sketch — k5's 24/7 twin the way T16
+    * is k4's: per-(window, event_type) THETA sketches as streaming
+    * aggregation state, so "distinct users this minute per type" is
+    * maintained incrementally with ~KB per-group state, and the stored
+    * sketch column still supports the k5 set algebra downstream
+    * (intersect/difference across types or windows) — which an exact
+    * streaming countDistinct (full key set in the state store) or a
+    * streaming HLL (union-only) could not.
+    */
+  def streamingDistinct(events: DataFrame, width: String = "1 minute"): DataFrame =
+    events.groupBy(window(col("ts"), width), col("event_type"))
+      .agg(graft.functions.SketchOps.thetaSketchAgg(col("user_id")).as("sk"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        graft.functions.SketchOps.thetaEstimate(col("sk")).as("n_users"))
+
   /** T8: stream-stream interval join — purchases matched to clicks of
     * the same user within the preceding `interval`. Both sides carry
     * watermarks so the join state is bounded (Spark drops buffered rows

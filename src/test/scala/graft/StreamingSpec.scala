@@ -166,6 +166,28 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       got.toString)
   }
 
+  test("T17: streaming theta sketch state absorbs re-fed users exactly once") {
+    import spark.implicits._
+    val in = MemoryStream[Ev](spark)
+    val q = Streams.streamingDistinct(in.toDF(), "1 minute")
+      .writeStream.format("memory").queryName("t17_out")
+      .outputMode("complete").start()
+    in.addData((1 to 30).map(u => ev(u.toLong, 0, user = u.toLong)): _*)
+    q.processAllAvailable()
+    // overlap 21-30 must not re-count; 31-40 extend; second type is its
+    // own group
+    in.addData(((21 to 40).map(u => ev(100L + u, 0, user = u.toLong)) :+
+      ev(200L, 0, user = 7L, typ = "view")): _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("t17_out")
+      .select(date_format(col("w_start"), "HH:mm"), col("event_type"),
+        col("n_users"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    assert(got === Set(("10:00", "click", 40.0), ("10:00", "view", 1.0)),
+      got.toString)
+  }
+
   test("T8: stream-stream interval join matches clicks within the window") {
     import spark.implicits._
     val pIn = MemoryStream[Ev](spark)

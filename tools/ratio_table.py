@@ -39,7 +39,12 @@ FILE_WRITERS = {"s4_csv_roundtrip", "s5_ndjson_roundtrip",
                 "s7_pgn_sink", "s7b_pgn_roundtrip", "s9_orc_roundtrip",
                 "s10_schema_merge", "s11_bucketed_join",
                 "s12_corrupt_ndjson", "s13_dynamic_pruning",
-                "m7_compact", "m14_zorder_layout"}
+                "m7_compact", "m14_zorder_layout",
+                # late-r11 physical-write round-trips (l8e/s14/sql11
+                # never met the 50 ms DuckDB cut; listed for rule purity)
+                "m23_incremental_rollup", "m25_partition_overwrite",
+                "m27_quarantine_route", "sql11_ctas",
+                "l8e_multimodal_binaryfile", "s14_stats_skipping"}
 PINNED_SUBSET_R10 = [
     "a13_minmax_by", "a14_mode", "a1_ungrouped_agg", "a2_group_agg",
     "a7_collect_list", "f10_casts", "f11_url_fns", "f1_string_fns",
