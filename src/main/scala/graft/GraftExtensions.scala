@@ -105,7 +105,21 @@ object GraftExtensions {
       info("theta_a_not_b",
         "theta_a_not_b(a, b) - sketch of the set difference a MINUS b"),
       (exprs: Seq[Expression]) =>
-        graft.functions.ThetaANotB(exprs.head, exprs(1))))
+        graft.functions.ThetaANotB(exprs.head, exprs(1))),
+    // mergeable heavy-hitters sketches (k6) — frequency with bounds
+    (FunctionIdentifier("freq_sketch_agg"),
+      info("freq_sketch_agg",
+        "freq_sketch_agg(longCol) - mergeable frequent-items sketch (BINARY)"),
+      (exprs: Seq[Expression]) => graft.functions.FreqSketchAgg(exprs.head)),
+    (FunctionIdentifier("freq_union_agg"),
+      info("freq_union_agg",
+        "freq_union_agg(sketchBinary) - union of stored frequent-items sketches"),
+      (exprs: Seq[Expression]) => graft.functions.FreqUnionAgg(exprs.head)),
+    (FunctionIdentifier("freq_top_items"),
+      info("freq_top_items",
+        "freq_top_items(sketchBinary, threshold) - items provably reaching threshold"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.FreqTopItems(exprs.head, exprs(1))))
 
   /** Register the SQL functions into an ALREADY-BUILT session (no-op if
     * present). Session-scoped state like the temp-view registry, so the

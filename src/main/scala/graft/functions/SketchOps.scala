@@ -74,4 +74,21 @@ object SketchOps {
   def thetaANotB(a: Column, b: Column): Column =
     ColumnBridge.column(ThetaANotB(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Mergeable frequent-items sketch of a LONG key column (k6; see
+    * [[graft.functions.FreqSketchAgg]]). Result is a storable BINARY.
+    */
+  def freqSketchAgg(value: Column, maxMapSize: Int = 1024): Column =
+    ColumnBridge.column(FreqSketchAgg(
+      ColumnBridge.expression(value), maxMapSize).toAggregateExpression())
+
+  /** Union of stored frequent-items sketch binaries. */
+  def freqUnionAgg(sketch: Column): Column =
+    ColumnBridge.column(
+      FreqUnionAgg(ColumnBridge.expression(sketch)).toAggregateExpression())
+
+  /** Items provably reaching `threshold`, as ARRAY<STRUCT<item, n>>. */
+  def freqTopItems(sketch: Column, threshold: Column): Column =
+    ColumnBridge.column(FreqTopItems(
+      ColumnBridge.expression(sketch), ColumnBridge.expression(threshold)))
 }

@@ -85,6 +85,26 @@ object Sketches {
           kllQuantile(col("merged"), 0.95).as("p95"))
     }),
 
+    // K6: mergeable HEAVY HITTERS — "which keys are hot" from one pass
+    // + per-day summary merges, the question a 100 TB planner asks
+    // BEFORE committing to a join strategy (salt or not, broadcast or
+    // not): per-day frequent-items sketches of user_id, unioned, then
+    // the users provably reaching 80 events extracted with
+    // NO_FALSE_POSITIVES bounds. The fixture's ≤1.5k active keys never
+    // purge the 1024-slot map, so estimates are EXACT and the entry is
+    // hash-checked against DuckDB's exact GROUP BY/HAVING (1/13/104
+    // heavy hitters at the three sfs); at 100 TB the same plan degrades
+    // to the N·(3.5/m) bound — SketchSpec owns that purge-regime law.
+    "k6_freq_heavy_hitters" -> ((s, d) => {
+      import graft.functions.SketchOps._
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(freqSketchAgg(col("user_id")).as("sk"))
+      daily.agg(freqUnionAgg(col("sk")).as("m"))
+        .select(explode(freqTopItems(col("m"), lit(80L))).as("r"))
+        .select(col("r.item").as("user_id"), col("r.n").as("n_events"))
+    }),
+
     // K5: theta distinct-count sketches with SET ALGEBRA — the overlap
     // question HLL (k3) cannot answer from stored summaries: "how many
     // users BOTH clicked and purchased, and how many only clicked",
@@ -126,6 +146,10 @@ object Sketches {
     * against DuckDB's exact distinct joins at every fixture sf.
     */
   val oracles: Map[String, String] = Map(
+    "k6_freq_heavy_hitters" ->
+      """SELECT user_id, COUNT(*) AS n_events
+        |FROM events GROUP BY user_id HAVING COUNT(*) >= 80""".stripMargin,
+
     "k5_theta_set_ops" ->
       """WITH c AS (
         |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'

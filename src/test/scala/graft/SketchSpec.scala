@@ -150,6 +150,52 @@ class SketchSpec extends AnyFunSuite with SparkTestBase {
     assert(merged === whole, s"merged=$merged whole=$whole")
   }
 
+  test("k6 freq exact regime: top items ≡ exact HAVING set on random keys") {
+    import spark.implicits._
+    import graft.functions.SketchOps._
+    for (seed <- 1L to 3L) {
+      val rng = new scala.util.Random(seed)
+      // ~40 distinct keys, zipf-ish multiplicities; map 1024 never purges
+      val rows = (0 until 2000).map(_ => (rng.nextInt(40) + 1).toLong)
+      val df = rows.map(k => (k, k % 8)).toDF("k", "shard")
+      val thr = 60L
+      val got = df.groupBy(col("shard")).agg(freqSketchAgg(col("k")).as("sk"))
+        .agg(freqUnionAgg(col("sk")).as("m"))
+        .select(explode(freqTopItems(col("m"), lit(thr))).as("r"))
+        .select(col("r.item"), col("r.n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = rows.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter(_._2 >= thr).toMap
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
+  test("k6 freq purge regime: planted heavies found, bounds hold at 50k keys") {
+    import spark.implicits._
+    import graft.functions.SketchOps._
+    // 50k distinct singletons force purging in a 256-slot map; 5 planted
+    // keys at 2000 occurrences tower over the N*(3.5/256) ≈ 820 error
+    val heavy = (1L to 5L).flatMap(k => Seq.fill(2000)(900000L + k))
+    val noise = (1L to 50000L)
+    val df = (heavy ++ noise).toDF("k")
+    val skBytes = df.agg(freqSketchAgg(col("k"), maxMapSize = 256).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val sk = org.apache.datasketches.frequencies.LongsSketch
+      .getInstance(org.apache.datasketches.memory.Memory.wrap(skBytes))
+    assert(sk.getMaximumError <= ((heavy.size + noise.size) * 3.5 / 256).toLong + 1)
+    val rows = sk.getFrequentItems(1000L,
+      org.apache.datasketches.frequencies.ErrorType.NO_FALSE_POSITIVES)
+    val found = rows.map(_.getItem).toSet
+    assert((1L to 5L).forall(k => found.contains(900000L + k)), found.toString)
+    // NO_FALSE_POSITIVES: every reported item's true count clears the
+    // threshold minus the sketch's own error bound
+    rows.foreach { r =>
+      val truth = if (r.getItem > 900000L) 2000L else 1L
+      assert(r.getLowerBound <= truth && truth <= r.getUpperBound,
+        s"item=${r.getItem} lb=${r.getLowerBound} ub=${r.getUpperBound}")
+    }
+  }
+
   test("Tuning.recommended applies cleanly to a session builder") {
     // shared session exists; just validate every key/value is accepted
     // by the conf machinery (no typos / removed confs)
