@@ -111,6 +111,31 @@ object ScalarFns {
         to_json(struct(col("user_id").as("u"))).as("user_json"))
     }),
 
+    // F15: HIGHER-ORDER FUNCTIONS — the lambda family (transform /
+    // filter / exists / forall / aggregate / zip_with) as a first-class
+    // surface (l5/l15 use these internally; this pins the family
+    // itself). All six stay inside whole-stage codegen — the reason
+    // they, not UDFs, are the engine's answer to per-row collection
+    // logic at 100 TB. zip_with is exercised as a dot product of the
+    // token-length vector with its reverse (integer-valued doubles —
+    // exact cross-engine).
+    "f15_higher_order" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(
+          col("doc_id"),
+          expr("aggregate(transform(toks, t -> length(t)), 0L, (a, x) -> a + x)")
+            .as("sum_len"),
+          expr("size(filter(toks, t -> length(t) > 4))").as("n_long"),
+          expr("exists(toks, t -> t = 'spark')").as("has_spark"),
+          expr("forall(toks, t -> length(t) > 0)").as("all_nonempty"),
+          expr("""aggregate(
+                    zip_with(transform(toks, t -> CAST(length(t) AS DOUBLE)),
+                             reverse(transform(toks, t -> CAST(length(t) AS DOUBLE))),
+                             (a, b) -> a * b),
+                    0D, (acc, x) -> acc + x)""").as("len_dot_rev"))
+    }),
+
     // F14: VARIANT — Spark 4's semi-structured type (the shredded-JSON
     // path the lakehouse format war converged on): parse once into the
     // binary variant encoding, then typed field extraction without
@@ -302,6 +327,27 @@ object ScalarFns {
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
         |SELECT doc_id, CAST(unnest(range(len(toks))) AS INT) AS pos,
         |  unnest(toks) AS word
+        |FROM t""".stripMargin,
+
+    // f15: integer-valued doubles make the zip_with dot product exact in
+    // any summation order, so DuckDB's list_dot_product matches Spark's
+    // sequential fold bit for bit
+    "f15_higher_order" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |)
+        |SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(toks, t -> CAST(length(t) AS BIGINT))),
+        |    (a, x) -> a + x) AS sum_len,
+        |  CAST(len(list_filter(toks, t -> length(t) > 4)) AS INT) AS n_long,
+        |  list_contains(toks, 'spark') AS has_spark,
+        |  len(list_filter(toks, t -> length(t) = 0)) = 0 AS all_nonempty,
+        |  list_dot_product(
+        |    list_transform(toks, t -> CAST(length(t) AS DOUBLE)),
+        |    list_reverse(list_transform(toks, t -> CAST(length(t) AS DOUBLE))))
+        |    AS len_dot_rev
         |FROM t""".stripMargin,
 
     // f14: the oracle re-derives the typed values from the raw JSON

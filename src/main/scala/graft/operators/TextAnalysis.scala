@@ -170,6 +170,28 @@ object TextAnalysis {
         .filter(col("a") =!= col("b")).distinct())
     }),
 
+    // L22: HASHED FEATURES — the hashing-trick featurizer (Weinberger
+    // et al. 2009; sklearn's HashingVectorizer): term frequencies
+    // hashed into a FIXED 1024-bucket space so the feature schema never
+    // depends on a corpus-wide vocabulary pass — the property that
+    // makes featurization embarrassingly parallel at 100 TB (no vocab
+    // broadcast, no dictionary shuffle; one explode + one (doc, bucket)
+    // partial agg). Emitted sparse as (doc_id, bucket, tf). The bucket
+    // hash is the engine's own codegen'd RollingHash on a 1-token
+    // array (≡ the token's inner fold), which l10's DuckDB list_reduce
+    // twin reproduces exactly — so the whole sparse matrix is
+    // hash-checked, collisions and all.
+    "l22_hashed_features" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"),
+          pmod(graft.functions.RollingHash.rollingHash(array(col("tok"))),
+            lit(1024L)).as("bucket"))
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(count(lit(1)).as("tf"))
+    }),
+
     // L5: per-document text statistics.
     "l5_text_stats" -> ((s, d) => {
       Tables.documents(s, d).select(
@@ -625,6 +647,24 @@ object TextAnalysis {
         |FROM h JOIN st USING (host)
         |WHERE st.host_docs >= 3 AND st.host_mean_chars >= 220.0
         |  AND NOT starts_with(h.host, 'src19-')""".stripMargin,
+
+    // l22: the token-hash fold is l10's inner list_reduce; single-token
+    // outer fold is the identity, so bucket = inner hash % 1024
+    "l22_hashed_features" ->
+      """WITH t AS (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(tok, ''),
+        |          c -> CAST(ascii(c) AS BIGINT))),
+        |      (th, b) -> (th * 131 + b) % 1000000007) % 1024 AS bucket
+        |  FROM t
+        |)
+        |SELECT doc_id, bucket, COUNT(*) AS tf
+        |FROM h GROUP BY 1, 2""".stripMargin,
 
     // l21: same canonical a<b<c enumeration; UNNEST explodes the corners
     "l21_host_triangles" ->
