@@ -433,6 +433,28 @@ object StreamCheck {
         rows, batches)
     }
 
+    scenario("t18_stream_heavy_hitters") {
+      // k6's 24/7 twin: user 7 accumulates 6 events ACROSS two batches
+      // (3+3 — only the merged sketch state sees it cross the ≥5
+      // threshold), user 8 gets 5 in one batch, everyone else stays
+      // below; never-purged map ⇒ exact, deterministic.
+      val in = MemoryStream[Ev](spark)
+      val (rows, batches) = run(
+        Streams.streamingHeavyHitters(in.toDF(), threshold = 5L, "1 minute"),
+        "sc_t18", "complete", Seq(
+          () => in.addData((1 to 3).map(i =>
+            ev(i.toLong, 0, user = 7L)) ++
+            (4 to 5).map(i => ev(i.toLong, 0, user = 1L)): _*),
+          () => in.addData((6 to 8).map(i =>
+            ev(i.toLong, 0, user = 7L)) ++
+            (9 to 13).map(i => ev(i.toLong, 0, user = 8L)): _*)))
+      val got = spark.table("sc_t18")
+        .select(date_format($"w_start", "HH:mm"), $"user_id", $"n_events")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      Res(got == Set(("10:00", 7L, 6L), ("10:00", 8L, 5L)), rows, batches)
+    }
+
     scenario("t10_stream_static_enrich") {
       val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
       val in = MemoryStream[Ev](spark)

@@ -95,6 +95,23 @@ object SqlFrontend {
       |ORDER BY numwait DESC, s_name
       |LIMIT 20""".stripMargin
 
+  /** TPC-H Q2 shape (r11): correlated AGGREGATE scalar subquery in
+    * WHERE — for each order, keep the lineitems priced at that order's
+    * own minimum. Deeper than sql2's uncorrelated scalar: the subquery
+    * aggregates PER OUTER ROW, so Catalyst must rewrite it into a
+    * grouped aggregate + equi join on the correlation key (never a
+    * per-row execution); the %3 residual keeps the output a strict
+    * subset so the filter ordering around the rewrite is exercised
+    * too. One dialect-neutral text, both engines.
+    */
+  private val q2Sql =
+    """SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice
+      |FROM lineitem l
+      |WHERE l.l_extendedprice = (SELECT MIN(l2.l_extendedprice)
+      |                           FROM lineitem l2
+      |                           WHERE l2.l_orderkey = l.l_orderkey)
+      |  AND l.l_orderkey % 3 = 0""".stripMargin
+
   /** Windowed SQL text (r11) — the frontend's window-planning path
     * (named WINDOW clause shared by three functions + an inline frame),
     * which the DSL w* entries never touch: one text, both engines.
@@ -268,6 +285,7 @@ object SqlFrontend {
     "sql3_grouping_sets" -> ((s, d) => { withViews(s, d); s.sql(groupingSetsSql) }),
     "sql4_exists_subquery" -> ((s, d) => { withViews(s, d); s.sql(existsSql) }),
     "sql5_q21_multi_exists" -> ((s, d) => { withViews(s, d); s.sql(q21Sql) }),
+    "sql12_q2_correlated_min" -> ((s, d) => { withViews(s, d); s.sql(q2Sql) }),
     "sql6_window_text" -> ((s, d) => { withViews(s, d); s.sql(windowSql) }),
     "sql8_recursive_cte" -> ((s, d) => { withViews(s, d); s.sql(recursiveSql) }),
     "sql9_lateral_topk" -> ((s, d) => { withViews(s, d); s.sql(lateralSql) }),
@@ -305,6 +323,7 @@ object SqlFrontend {
     "sql3_grouping_sets" -> groupingSetsSql,
     "sql4_exists_subquery" -> existsSql,
     "sql5_q21_multi_exists" -> q21Sql,
+    "sql12_q2_correlated_min" -> q2Sql,
     "sql6_window_text" -> windowSql,
     "sql7_native_fn" -> nativeFnOracleSql,
     "sql8_recursive_cte" -> recursiveSql,

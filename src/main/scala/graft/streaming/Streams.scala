@@ -116,6 +116,25 @@ object Streams {
       .select(col("window.start").as("w_start"), col("event_type"),
         graft.functions.SketchOps.thetaEstimate(col("sk")).as("n_users"))
 
+  /** T18: STREAMING heavy hitters — k6's 24/7 twin, completing the
+    * sketch-twin trilogy (t16 quantiles, t17 distinct, this
+    * frequency): a per-window frequent-items sketch as streaming
+    * aggregation state, with the provably-hot keys (NO_FALSE_POSITIVES
+    * threshold extraction) read back per trigger — the live "which
+    * keys are hot RIGHT NOW" feed a 24/7 skew monitor runs, with ~KB
+    * per-window state where an exact streaming groupBy would hold
+    * every key ever seen.
+    */
+  def streamingHeavyHitters(events: DataFrame, threshold: Long,
+      width: String = "1 minute"): DataFrame =
+    events.groupBy(window(col("ts"), width))
+      .agg(graft.functions.SketchOps.freqSketchAgg(col("user_id")).as("sk"))
+      .select(col("window.start").as("w_start"),
+        explode(graft.functions.SketchOps
+          .freqTopItems(col("sk"), lit(threshold))).as("r"))
+      .select(col("w_start"), col("r.item").as("user_id"),
+        col("r.n").as("n_events"))
+
   /** T8: stream-stream interval join — purchases matched to clicks of
     * the same user within the preceding `interval`. Both sides carry
     * watermarks so the join state is bounded (Spark drops buffered rows

@@ -188,6 +188,26 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       got.toString)
   }
 
+  test("T18: streaming heavy hitters cross the threshold only via merged state") {
+    import spark.implicits._
+    val in = MemoryStream[Ev](spark)
+    val q = Streams.streamingHeavyHitters(in.toDF(), threshold = 5L, "1 minute")
+      .writeStream.format("memory").queryName("t18_out")
+      .outputMode("complete").start()
+    in.addData((1 to 3).map(i => ev(i.toLong, 0, user = 7L)) ++
+      (4 to 5).map(i => ev(i.toLong, 0, user = 1L)): _*)
+    q.processAllAvailable()
+    // user 7 reaches 6 only when batch 2's 3 events merge into batch
+    // 1's sketch state; user 8's 5 arrive in one batch; user 1 stays at 2
+    in.addData((6 to 8).map(i => ev(i.toLong, 0, user = 7L)) ++
+      (9 to 13).map(i => ev(i.toLong, 0, user = 8L)): _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("t18_out")
+      .select(col("user_id"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((7L, 6L), (8L, 5L)), got.toString)
+  }
+
   test("T8: stream-stream interval join matches clicks within the window") {
     import spark.implicits._
     val pIn = MemoryStream[Ev](spark)
