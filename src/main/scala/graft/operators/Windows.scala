@@ -184,6 +184,32 @@ object Windows {
     // are exact epoch-µs longs.
     "w11_staged_funnel" -> ((s, d) => stagedFunnel(Tables.events(s, d))),
 
+    // W12: PERIOD-OVER-PERIOD — the day-over-day delta/percent-change
+    // report every metrics dashboard runs: daily exact sums per type,
+    // then lag(1) along the day axis for absolute and relative change.
+    // The lag window runs over the AGGREGATED (type, day) grid — w2's
+    // offset class but key-sized, never corpus-sized — so the only
+    // corpus-scale work is the partial-agg groupBy. Percent change is
+    // a deterministic function of two exact scaled-long sums (NULL on
+    // the first day and on a zero denominator in both engines via
+    // NULLIF semantics).
+    "w12_period_over_period" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day_no"))
+        .agg(sum(slong(col("value"), 2)).as("sv"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day_no"))
+      daily.select(col("event_type"), col("day_no"),
+          (col("sv").cast(DoubleType) / 100.0).as("sum_value"),
+          lag(col("sv"), 1).over(w).as("prev_sv"), col("sv"))
+        .select(col("event_type"), col("day_no"), col("sum_value"),
+          ((col("sv") - col("prev_sv")).cast(DoubleType) / 100.0)
+            .as("delta"),
+          round((col("sv") - col("prev_sv")).cast(DoubleType) * 100.0 /
+            nullif(col("prev_sv").cast(DoubleType), lit(0.0)), 4)
+            .as("pct_change"))
+    }),
+
     // W9: COHORT RETENTION — the other half of the product-analytics
     // pair (w8 answers "did they convert"; this answers "did they come
     // back"): users are cohorted by the week of their first signup, and
@@ -358,6 +384,20 @@ object Windows {
         |  COUNT(*) AS n_purchases_7d,
         |  epoch_us(MIN(ts)) - epoch_us(signup_ts) AS usecs_to_convert
         |FROM p GROUP BY user_id, signup_ts""".stripMargin,
+
+    "w12_period_over_period" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day_no,
+        |    SUM(CAST(ROUND(value * 1e2, 0) AS BIGINT)) AS sv
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, day_no,
+        |  CAST(sv AS DOUBLE) / 1e2 AS sum_value,
+        |  CAST(sv - LAG(sv) OVER w AS DOUBLE) / 1e2 AS delta,
+        |  ROUND(CAST(sv - LAG(sv) OVER w AS DOUBLE) * 1e2 /
+        |    NULLIF(CAST(LAG(sv) OVER w AS DOUBLE), 0.0), 4) AS pct_change
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day_no)""".stripMargin,
 
     "w10_event_transitions" ->
       """WITH t AS (
