@@ -155,7 +155,14 @@ object SkewCheck {
       // one row — the aggregate after collapses map-side); w9's cohort
       // cells face every hot-user event joining one signup row
       Run("w10_event_transitions", "w10_event_transitions"),
-      Run("w9_cohort_retention", "w9_cohort_retention"))
+      Run("w9_cohort_retention", "w9_cohort_retention"),
+      // m26's lead window and w11's staged aggregates face the same
+      // hot user; l22's (doc, bucket) agg faces the hot-shingle corpus
+      // (every near-dup copy hashes the same tokens into the same
+      // buckets — the partial agg must collapse them map-side)
+      Run("m26_time_weighted_avg", "m26_time_weighted_avg"),
+      Run("w11_staged_funnel", "w11_staged_funnel"),
+      Run("l22_hashed_features", "l22_hashed_features"))
 
     var allPass = true
     val entries = runs.map { r =>
