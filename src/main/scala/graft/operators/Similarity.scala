@@ -141,6 +141,22 @@ object Similarity {
         .select(col("id_a"), col("id_b"), col("sim"))
     }),
 
+    // L3E: INCREMENTAL INDEX MAINTENANCE — how a 100 TB ANN index
+    // actually lives: the coarse quantizer is trained ONCE on the
+    // standing corpus and FROZEN; each day's delta embeddings are
+    // assigned to existing cells by nearest-centroid (one broadcast +
+    // one map pass — no retraining, no all-pairs anything), and the
+    // index grows by appending the delta's postings. This entry is the
+    // assignment step's dump-and-recompute oracle (the l2g pattern
+    // applied to ANN): the engine dumps the frozen centroids to
+    // parquet, assigns the delta (vec_id % 10 — ~10% of the corpus),
+    // and DuckDB recomputes every assignment from the dumped centroids
+    // (argmax cosine, exact-tie → smaller cell) — hash-checked, so the
+    // quantizer-application math the whole IVF family rides (l3c's
+    // search probes the same cells) faces a cross-engine check.
+    "l3e_incremental_index" -> ((s, d) =>
+      incrementalIndex(Tables.embeddings(s, d))),
+
     // L12: SemDeDup — cluster-scoped semantic dedup over the embedding
     // space (vs l4b's exact global near-dup removal). Seeded k-means,
     // not SQL-expressible → rows-only + planted-duplicate spec
@@ -242,6 +258,49 @@ object Similarity {
       cNorms = centroids.map(normOf)
     }
     Some((centroids, cNorms))
+  }
+
+  /** l3e kernel: train the quantizer on the standing corpus (vec_id %
+    * 10 ≠ 0), dump it, assign the delta (vec_id % 10 = 0) to frozen
+    * cells. Assignment = argmax raw cosine with first-cell-wins on
+    * exact ties (the oracle's DESC-then-cell-ASC rank is the same
+    * rule); both engines evaluate the identical left-to-right dot /
+    * (‖a‖·‖c‖) expression over the identical parquet doubles, so the
+    * raw argmax agrees bit-for-bit and only the REPORTED sim is
+    * rounded (the l3 6-dp float convention).
+    */
+  private[graft] def incrementalIndex(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val standing = vecs(embeddings.filter(col("vec_id") % 10 =!= 0))
+      .select(col("vec_id"), col("emb"), col("norm")).as[VecRow]
+    val trained = trainQuantizer(standing, nlist = 16, iters = 5,
+      trainPerList = 64)
+    if (trained.isEmpty) return emptyHits(spark)
+    val (centroids, cNorms) = trained.get
+    val path = Dedup.policyDumpPath("l3e_centroids")
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    val bcC = spark.sparkContext.broadcast((centroids, cNorms))
+    vecs(embeddings.filter(col("vec_id") % 10 === 0))
+      .select(col("vec_id"), col("emb"), col("norm")).as[VecRow]
+      .mapPartitions { it =>
+        val (cs, ns) = bcC.value
+        it.map { r =>
+          var best = 0; var bestSim = Double.NegativeInfinity
+          var c = 0
+          while (c < cs.length) {
+            val s = cosine(r.emb, r.norm, cs(c), ns(c))
+            if (s > bestSim) { bestSim = s; best = c }
+            c += 1
+          }
+          (r.vec_id, best, bestSim)
+        }
+      }
+      .toDF("vec_id", "cell", "sim")
+      .select(col("vec_id"), col("cell"), round(col("sim"), 6).as("sim"))
   }
 
   private def emptyHits(spark: SparkSession): DataFrame = {
@@ -896,6 +955,30 @@ object Similarity {
       s"""$simSql
          |SELECT id_a, id_b, sim FROM p
          |WHERE id_a < id_b AND sim >= 0.45""".stripMargin,
+
+    // l3e: recompute every delta assignment from the engine's dumped
+    // frozen centroids — argmax cosine, exact-tie toward the smaller
+    // cell; sim rounded 6 (the l3 float convention)
+    "l3e_incremental_index" ->
+      s"""WITH c AS (
+         |  SELECT cell, centroid,
+         |    sqrt(list_dot_product(centroid, centroid)) AS cnrm
+         |  FROM read_parquet('${Dedup.policyDumpPath("l3e_centroids")}/*.parquet')
+         |), v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                          CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings WHERE vec_id % 10 = 0
+         |), s AS (
+         |  SELECT v.vec_id, c.cell,
+         |    list_dot_product(v.emb, c.centroid) / (v.nrm * c.cnrm) AS rawsim,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |      ORDER BY list_dot_product(v.emb, c.centroid)
+         |                 / (v.nrm * c.cnrm) DESC, c.cell) AS rn
+         |  FROM v, c
+         |)
+         |SELECT vec_id, cell, round(rawsim, 6) AS sim
+         |FROM s WHERE rn = 1""".stripMargin,
 
     "l4b_embedding_dedup" ->
       s"""$simSql

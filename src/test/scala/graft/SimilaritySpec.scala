@@ -85,6 +85,30 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(pruned2 === brute2)
   }
 
+  test("l3e delta assignment is the true nearest frozen centroid (brute check)") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val got = graft.operators.Similarity.incrementalIndex(emb)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.nonEmpty)
+    // re-read the dumped frozen quantizer and recompute every argmax
+    val cents = spark.read
+      .parquet(graft.operators.Dedup.policyDumpPath("l3e_centroids"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val deltas = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map(p => p._1 * p._2).sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    assert(deltas.nonEmpty && deltas.forall { case (id, v) =>
+      val best = cents.toSeq.map { case (c, ct) => (cos(v, ct), c) }
+        .maxBy(p => (p._1, -p._2))._2
+      got(id) == best
+    })
+  }
+
   test("quantizer-based operators return empty results on an empty corpus") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
