@@ -127,6 +127,26 @@ object StreamCheck {
       Res(got == Set(("10:00", 2L), ("10:05", 1L)), got.size.toLong, 1)
     }
 
+    scenario("t19_streaming_session_merge") {
+      // t4's true streaming form: batch 2's minute-2 event must MERGE
+      // into batch 1's open [minute 0..1] session (n=3 proves it);
+      // the minute-30 event closes it via the watermark, the minute-60
+      // event closes the 10:30 singleton, and its own session stays
+      // open (not emitted in append mode).
+      val in = MemoryStream[Ev](spark)
+      val (rows, batches) = run(
+        Streams.streamingSessions(in.toDF(), "2 minutes", "10 minutes"),
+        "sc_t19", "append", Seq(
+          () => in.addData(ev(1, 0), ev(2, 1)),
+          () => in.addData(ev(3, 2), ev(4, 30)),
+          () => in.addData(ev(5, 60))))
+      val got = spark.table("sc_t19")
+        .select(date_format($"s_start", "HH:mm"), $"user_id", $"n")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      Res(got == Set(("10:00", 1L, 3L), ("10:30", 1L, 1L)), rows, batches)
+    }
+
     scenario("t5_watermark_drops_late") {
       val in = MemoryStream[Ev](spark)
       val (rows, batches) = run(

@@ -83,6 +83,23 @@ object Streams {
       .dropDuplicatesWithinWatermark("text_md5")
       .join(corpusDigests, Seq("text_md5"), "left_anti")
 
+  /** T19: STREAMING session windows — T4's true streaming form: the
+    * session_window aggregate under a watermark, where the state store
+    * holds OPEN sessions and a new batch's events MERGE into them
+    * (extending a session across batches is the whole point — a
+    * tumbling window can't express "this visit is still going").
+    * Append mode emits a session only once its gap has provably passed
+    * the watermark — the exactly-once session feed a 24/7 sessionizer
+    * publishes downstream.
+    */
+  def streamingSessions(events: DataFrame, gap: String = "2 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("s_start"),
+        col("user_id"), col("n"))
+
   /** T16: STREAMING mergeable quantile rollup — k4's 24/7 twin: the
     * per-window KLL sketch IS the streaming aggregation state (the
     * TypedImperativeAggregate's buffer rides the state store between

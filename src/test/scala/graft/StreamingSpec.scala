@@ -208,6 +208,26 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got === Set((7L, 6L), (8L, 5L)), got.toString)
   }
 
+  test("T19: streaming session windows merge open sessions across batches") {
+    import spark.implicits._
+    val in = MemoryStream[Ev](spark)
+    val q = Streams.streamingSessions(in.toDF(), "2 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("t19_out")
+      .outputMode("append").start()
+    in.addData(ev(1, 0), ev(2, 1))
+    q.processAllAvailable()
+    // minute-2 extends the open session (cross-batch merge → n=3);
+    // minute-30 advances the watermark past its end and finalizes it
+    in.addData(ev(3, 2), ev(4, 30))
+    q.processAllAvailable()
+    in.addData(ev(5, 60)) // finalizes the 10:30 singleton; own stays open
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("t19_out")
+      .select(date_format(col("s_start"), "HH:mm"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === Set(("10:00", 3L), ("10:30", 1L)), got.toString)
+  }
+
   test("T8: stream-stream interval join matches clicks within the window") {
     import spark.implicits._
     val pIn = MemoryStream[Ev](spark)
