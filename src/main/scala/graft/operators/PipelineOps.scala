@@ -369,6 +369,28 @@ object PipelineOps {
           graft.Exprs.dsum(col("value")).as("sum_value"))
     }),
 
+    // M28: VACUUM — orphan-file GC, the lake-maintenance step after
+    // m7's compaction rewrites a table IN PLACE: the directory holds
+    // both the superseded small-file generation and the compacted one,
+    // a manifest (s14's pattern — the lake's live-file list) names the
+    // LIVE generation, and vacuum deletes every data file the manifest
+    // doesn't reference. A plain-parquet read trusts the directory, so
+    // the read-back aggregate catches both failure modes: vacuum too
+    // little → doubled counts (both generations visible), too much →
+    // missing rows. Cost is a listing diff + deletes — metadata-sized
+    // at any table size. PropertySpec pins the file law (post-vacuum
+    // directory ≡ the manifest, exactly).
+    "m28_vacuum" -> ((s, d) => {
+      val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_m28_table_$tag").toString
+      vacuumed(Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value")), dir)
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          graft.Exprs.dsum(col("value")).as("sum_value"))
+    }),
+
     // M8: column profiling, exact mode — DIAGNOSTIC-ONLY, opt-in
     // (SparkEntry.benchOptIn): per-column null rate, exact distinct,
     // min/max, from ONE scan of the table (no per-column jobs). "One
@@ -979,6 +1001,36 @@ object PipelineOps {
     * cross-join stitching the FK count to its table's row count is
     * the j8 broadcast-1-row-totals shape, never a real cartesian.
     */
+  /** m28 kernel: lay the table out as a small-file generation, compact
+    * it IN PLACE (append the compacted generation to the same dir),
+    * manifest the live files, vacuum everything the manifest doesn't
+    * name, and return the post-vacuum read. Exposed so PropertySpec can
+    * pin the file law on a synthetic frame.
+    */
+  private[graft] def vacuumed(df: DataFrame, dir: String): DataFrame = {
+    val s = df.sparkSession
+    def parquetFiles(): Set[String] = {
+      val fs = new java.io.File(dir).listFiles()
+      if (fs == null) Set.empty
+      else fs.map(_.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    // generation 0: fragmented layout (fresh dir per run)
+    df.repartition(16).write.mode("overwrite").parquet(dir)
+    val gen0 = parquetFiles()
+    // compaction appends generation 1 into the SAME directory, reading
+    // gen0 by EXPLICIT file paths (a bare read of `dir` during an
+    // append into `dir` races the lister against the writer's new
+    // part files); the manifest (listing diff) is the live-file set
+    s.read.parquet(gen0.toSeq.sorted.map(f => s"$dir/$f"): _*)
+      .repartition(2).write.mode("append").parquet(dir)
+    val manifest = parquetFiles() -- gen0
+    // vacuum: delete every data file the manifest doesn't reference
+    (parquetFiles() -- manifest).foreach { f =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, f))
+    }
+    s.read.parquet(dir)
+  }
+
   /** m26 kernel: time-weighted average on any (user_id, event_id, ts,
     * value) frame — exposed for PropertySpec's brute-force law.
     */
@@ -1445,6 +1497,14 @@ object PipelineOps {
         |SELECT 'quarantine:' || reason, COUNT(*),
         |  CAST(SUM(CAST(ROUND(value * 1e2, 0) AS BIGINT)) AS DOUBLE) / 1e2
         |FROM t WHERE reason IS NOT NULL GROUP BY reason""".stripMargin,
+
+    // m28: oracle recomputes from source — vacuum-too-little doubles
+    // counts, vacuum-too-much drops rows
+    "m28_vacuum" ->
+      """SELECT COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(ROUND(value * 1e2, 0) AS BIGINT)) AS DOUBLE) / 1e2
+        |    AS sum_value
+        |FROM events""".stripMargin,
 
     "m26_time_weighted_avg" ->
       """WITH e AS (

@@ -56,7 +56,24 @@ object SetOps {
     "o5_intersect" -> ((s, d) => splitA(s, d).intersect(splitB(s, d))),
 
     // O5b: EXCEPT.
-    "o5b_except" -> ((s, d) => splitA(s, d).except(splitB(s, d)))
+    "o5b_except" -> ((s, d) => splitA(s, d).except(splitB(s, d))),
+
+    // O7: MULTISET set ops — intersectAll / exceptAll, the
+    // bag-semantics variants o5/o5b's set forms silently differ from
+    // whenever rows repeat (here the non-unique (nation, segment)
+    // projection: INTERSECT ALL keeps min-multiplicity copies, EXCEPT
+    // ALL subtracts occurrence counts instead of erasing the value).
+    // Both plan as count-aggregated joins, not row-pair matching, so
+    // the shuffle bill is distinct-value-sized at any scale. Tagged
+    // union so one frame carries both results.
+    "o7_multiset_ops" -> ((s, d) => {
+      def proj(f: org.apache.spark.sql.DataFrame) =
+        f.select(col("c_nationkey"), col("c_mktsegment"))
+      val a = proj(Tables.customer(s, d).filter(col("c_acctbal") > 5000))
+      val b = proj(Tables.customer(s, d).filter(col("c_acctbal") > 7500))
+      a.intersectAll(b).withColumn("op", lit("intersect_all"))
+        .unionByName(a.exceptAll(b).withColumn("op", lit("except_all")))
+    })
   )
 
   private val aSql = "SELECT c_custkey FROM customer WHERE c_acctbal > 5000"
@@ -77,6 +94,20 @@ object SetOps {
     "o4_union_all" -> s"$aSql UNION ALL $bSql",
     "o4b_union_distinct" -> s"$aSql UNION $bSql",
     "o5_intersect" -> s"$aSql INTERSECT $bSql",
-    "o5b_except" -> s"$aSql EXCEPT $bSql"
+    "o5b_except" -> s"$aSql EXCEPT $bSql",
+
+    "o7_multiset_ops" ->
+      """WITH a AS (
+        |  SELECT c_nationkey, c_mktsegment FROM customer
+        |  WHERE c_acctbal > 5000
+        |), b AS (
+        |  SELECT c_nationkey, c_mktsegment FROM customer
+        |  WHERE c_acctbal > 7500
+        |)
+        |SELECT *, 'intersect_all' AS op FROM (
+        |  SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        |UNION ALL
+        |SELECT *, 'except_all' AS op FROM (
+        |  SELECT * FROM a EXCEPT ALL SELECT * FROM b)""".stripMargin
   )
 }

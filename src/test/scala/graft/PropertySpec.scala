@@ -871,6 +871,26 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("m28 vacuum leaves EXACTLY the manifest's files; values intact (file law)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_m28_spec").resolve("t").toString
+    val df = (1L to 300L).map(i => (i, i % 7, i / 4.0))
+      .toDF("event_id", "user_id", "value")
+    val got = graft.operators.PipelineOps.vacuumed(df, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // values: post-vacuum read ≡ the source rows, no dups, no losses
+    assert(got === (1L to 300L).map(i => (i, i % 7, i / 4.0)).toSet)
+    // file law: only the compacted generation (2 part files) remains
+    val left = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet"))
+    assert(left.length === 2, left.mkString(","))
+    // idempotence: vacuuming an already-clean layout changes nothing
+    val again = graft.operators.PipelineOps.vacuumed(df, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(again === got)
+  }
+
   test("m23 merged rollup ≡ cold recompute at ANY cutoff (boundary law)") {
     val events = Tables.events(spark, sf("sf0.001"))
     val snap = java.nio.file.Files
