@@ -224,6 +224,34 @@ object PipelineOps {
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
+    // M29: QUALITY-WEIGHTED SAMPLING — the CCNet/RefinedWeb curation
+    // move after per-document scoring: keep probability varies with the
+    // quality TIER (high keeps everything, mid half, tail a tenth)
+    // instead of m3's per-language flat rates, so the corpus skews
+    // toward its best documents without hard-dropping the tail
+    // (diversity survives at reduced weight). Same content-addressed
+    // determinism as m3 — the keep decision is md5-bucketed on doc_id,
+    // reproducible across engines/runs/partitionings, zero RNG state —
+    // and the tier is l13's quality-score class (stopword share +
+    // length band), computed per-row in the scan. One filter, zero
+    // shuffles at any scale.
+    "m29_quality_sampling" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val sw = size(filter(toks, t =>
+        t.isin(graft.operators.TextAnalysis.Stopwords: _*)))
+      val tier = when(sw * 4 >= size(toks), lit("high")) // ≥25 % stopwords
+        .when(sw * 10 >= size(toks), lit("mid"))         // ≥10 %
+        .otherwise(lit("tail"))
+      val bucket = substring(md5(concat(lit("qs:"),
+        col("doc_id").cast(StringType)).cast(BinaryType)), 1, 4)
+      val rate = when(tier === "high", lit("ffff"))      // keep all
+        .when(tier === "mid", lit("8000"))               // ~50 %
+        .otherwise(lit("199a"))                          // ~10 %
+      Tables.documents(s, d)
+        .filter(bucket < rate)
+        .select(col("doc_id"), tier.as("tier"), col("n_chars"))
+    }),
+
     // M4: per-stratum token budgeting — order each source's docs by a
     // deterministic priority (longer first, id tiebreak) and keep docs
     // while the stratum's running token total stays within budget.
@@ -1522,6 +1550,28 @@ object PipelineOps {
         |  SUM(dur_s) AS obs_s
         |FROM f WHERE dur_s IS NOT NULL
         |GROUP BY user_id HAVING SUM(dur_s) > 0""".stripMargin,
+
+    // m29: same stopword list as l5/l13; the keep decision re-derives
+    // from md5('qs:' || doc_id) in both engines
+    "m29_quality_sampling" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |    len(list_filter(string_split(text, ' '),
+        |      x -> list_contains(['the','a','of','and','to','in','is'], x)))
+        |      AS sw,
+        |    len(string_split(text, ' ')) AS nt
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN sw * 4 >= nt THEN 'high'
+        |         WHEN sw * 10 >= nt THEN 'mid'
+        |         ELSE 'tail' END AS tier
+        |  FROM t
+        |)
+        |SELECT doc_id, tier, n_chars FROM s
+        |WHERE substring(md5('qs:' || CAST(doc_id AS VARCHAR)), 1, 4) <
+        |  CASE tier WHEN 'high' THEN 'ffff'
+        |            WHEN 'mid' THEN '8000' ELSE '199a' END""".stripMargin,
 
     // m23: the oracle is a COLD FULL RECOMPUTE over the fact table — the
     // engine's snapshot-merge path must be indistinguishable from it.
