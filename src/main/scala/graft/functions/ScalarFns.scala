@@ -136,6 +136,23 @@ object ScalarFns {
                     0D, (acc, x) -> acc + x)""").as("len_dot_rev"))
     }),
 
+    // F16: REGEXP-EXTRACT family — multi-match extraction over text
+    // (regexp_extract_all / regexp_count / the single-match form),
+    // completing the regex surface f1's replace/like leave open. Both
+    // engines run the same pattern text; the digit class is
+    // engine-neutral (no lookaround, no flags). All per-row in the
+    // scan, zero shuffle.
+    "f16_regexp_extract" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        expr("""regexp_extract_all(text, '[a-z]+[0-9]+', 0)""")
+          .as("tagged_toks"),
+        expr("""size(regexp_extract_all(text, '[0-9]', 0))""")
+          .as("n_digits"),
+        regexp_extract(col("text"), "([a-z]+)[0-9]+", 1)
+          .as("first_tag_stem"))
+    }),
+
     // F14: VARIANT — Spark 4's semi-structured type (the shredded-JSON
     // path the lakehouse format war converged on): parse once into the
     // binary variant encoding, then typed field extraction without
@@ -328,6 +345,17 @@ object ScalarFns {
         |SELECT doc_id, CAST(unnest(range(len(toks))) AS INT) AS pos,
         |  unnest(toks) AS word
         |FROM t""".stripMargin,
+
+    // f16: DuckDB's regexp_extract_all(text, re) ≡ Spark's group-0 form;
+    // the single-match stem uses group 1 in both; a no-match stem is ''
+    // in Spark and NULL in DuckDB — coalesce pins the Spark convention
+    "f16_regexp_extract" ->
+      """SELECT doc_id,
+        |  regexp_extract_all(text, '[a-z]+[0-9]+') AS tagged_toks,
+        |  CAST(len(regexp_extract_all(text, '[0-9]')) AS INT) AS n_digits,
+        |  COALESCE(regexp_extract(text, '([a-z]+)[0-9]+', 1), '')
+        |    AS first_tag_stem
+        |FROM documents""".stripMargin,
 
     // f15: integer-valued doubles make the zip_with dot product exact in
     // any summation order, so DuckDB's list_dot_product matches Spark's

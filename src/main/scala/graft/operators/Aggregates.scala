@@ -229,6 +229,21 @@ object Aggregates {
         .withColumn("total_weight",
           (col("total_weight").cast(DoubleType) / 100.0))),
 
+    // A16: HISTOGRAM — the fixed-grid distribution summary dashboards
+    // and data-profiling passes draw (equi-width buckets over value,
+    // count + exact mass per bucket). Bucketing is integer floor
+    // division on the scaled-long value (exact, engine-neutral — no
+    // float boundary can disagree), and the whole thing is one
+    // partial-agg groupBy: bucket cardinality is fixed by the grid, so
+    // the shuffle is ~20 rows at any corpus size.
+    "a16_histogram" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(expr("CAST(ROUND(value * 1e2, 0) AS BIGINT) div 2500")
+          .as("bucket")) // 25.00-wide buckets
+        .agg(count(lit(1)).as("n"),
+          dsum(col("value")).as("bucket_mass"))
+    }),
+
     // A12: statistical aggregate family — sample stddev/variance and the
     // two-column moments (correlation, covariance) over the price/
     // quantity pair. All single-pass partial+final aggregates (Spark's
@@ -348,6 +363,15 @@ object Aggregates {
         |FROM (SELECT user_id, event_type, COUNT(*) AS cnt
         |      FROM events GROUP BY 1, 2)
         |GROUP BY user_id""".stripMargin,
+
+    // a16: `//` = DuckDB integer floor div ≡ Spark `div` on the
+    // non-negative scaled longs
+    "a16_histogram" ->
+      """SELECT CAST(ROUND(value * 1e2, 0) AS BIGINT) // 2500 AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value * 1e2, 0) AS BIGINT)) AS DOUBLE) / 1e2
+        |    AS bucket_mass
+        |FROM events GROUP BY 1""".stripMargin,
 
     "a15_weighted_median" ->
       """WITH g AS (
