@@ -76,6 +76,13 @@ object Bench {
   // latest parseable compact line; the shutdown hook replays it if the
   // normal path never got to print a final one
   @volatile private var lastLine: String = ""
+  // short aggregates-only line printed AFTER the compact line: at ~190
+  // queries the compact line (~2.3 kB) outgrew the driver's 2000-char
+  // stdout tail (BENCH_r11 parsed=null, the r1/r2 failure at the new
+  // inventory size). Tail truncation keeps the END of stdout, so a
+  // ≤300-char summary printed LAST always survives at any inventory
+  // size; per-query detail lives in the full record file.
+  @volatile private var shortLine: String = ""
   @volatile private var cleanExit: Boolean = false
 
   private def f3(d: Double): String = String.format(Locale.ROOT, "%.3f", d)
@@ -114,7 +121,11 @@ object Bench {
     def remaining: Double = deadline - elapsed
 
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      if (!cleanExit && lastLine.nonEmpty) { println(lastLine); System.out.flush() }
+      if (!cleanExit && lastLine.nonEmpty) {
+        println(lastLine)
+        if (shortLine.nonEmpty) println(shortLine)
+        System.out.flush()
+      }
     }))
 
     val spark = Tuning(SparkSession.builder()
@@ -214,6 +225,18 @@ object Bench {
         s""""load_gate":${gateEvents.mkString("[", ",", "]")},""" +
         s""""queries":$qs,"sf":"$sfDir"}"""
       println(lastLine)
+      // ≤300-char summary printed LAST (see shortLine doc): total, count,
+      // worst external-CPU stamp, hot count, and a fixed 6-query headline
+      // subset so the line still satisfies the driver's schema shape.
+      val headline = med.filter(_._2 >= 0).sortBy(_._1).take(6)
+        .map { case (k, v, _) => "\"" + k.takeWhile(_ != '_') + "\":" + f3(v) }
+        .mkString("{", ",", "}")
+      val extPeak = perPass.flatMap(_.values.map(_.ext)).foldLeft(0.0)(math.max)
+      shortLine =
+        s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":$runs,""" +
+        s""""n":${med.count(_._2 >= 0)},"ext_peak":${f3(extPeak)},""" +
+        s""""hot_n":${hotAll.size},"queries":$headline,"sf":"$sfDir"}"""
+      println(shortLine)
       System.out.flush()
       val passJson = perPass.map(p =>
         names.map(n => s""""$n":${p(n).sec}""").mkString("{", ",", "}"))

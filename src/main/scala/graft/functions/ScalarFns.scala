@@ -137,20 +137,83 @@ object ScalarFns {
     }),
 
     // F16: REGEXP-EXTRACT family — multi-match extraction over text
-    // (regexp_extract_all / regexp_count / the single-match form),
+    // (regexp_extract_all / the counting form / the single-group form),
     // completing the regex surface f1's replace/like leave open. Both
-    // engines run the same pattern text; the digit class is
-    // engine-neutral (no lookaround, no flags). All per-row in the
-    // scan, zero shuffle.
+    // engines run the same pattern text; basic classes + greedy
+    // quantifiers behave identically under Java regex and RE2 (no
+    // lookaround, no flags). Patterns target the fixture's actual
+    // vocabulary (lowercase words — r12: the original digit-class
+    // patterns matched NOTHING in the fixture, a vacuous pin; and the
+    // raw array output crashed the driver canonicalizer, hence the f5
+    // array_join convention). All per-row in the scan, zero shuffle.
     "f16_regexp_extract" -> ((s, d) => {
       Tables.documents(s, d).select(
         col("doc_id"),
-        expr("""regexp_extract_all(text, '[a-z]+[0-9]+', 0)""")
-          .as("tagged_toks"),
-        expr("""size(regexp_extract_all(text, '[0-9]', 0))""")
-          .as("n_digits"),
-        regexp_extract(col("text"), "([a-z]+)[0-9]+", 1)
-          .as("first_tag_stem"))
+        expr("""array_join(regexp_extract_all(text, '[a-z]{6,}', 0), ' ')""")
+          .as("long_toks"),
+        expr("""size(regexp_extract_all(text, '[a-z]*a[a-z]*', 0))""")
+          .as("n_a_toks"),
+        regexp_extract(col("text"), "([a-z]+)le", 1)
+          .as("first_le_stem"))
+    }),
+
+    // F17: DECIMAL(12,2) END TO END — the declared money type (§1.2)
+    // exercised as exact fixed-point arithmetic, not the scaled-long
+    // detour: cast → multiply → ROUND (HALF_UP in both engines, pinned
+    // empirically on literal ties 1.005/2.675) → subtract → SUM/MAX.
+    // The decimal is DERIVED from the scaled-long cents convention
+    // (exact in both engines) rather than a raw double→decimal cast,
+    // whose tie-breaking differs between Spark's shortest-repr
+    // BigDecimal and DuckDB's multiply-and-round. Every decimal result
+    // is cast to an EXPLICIT final type then STRING: engines disagree
+    // on result precision/scale inference (Spark SUM(DECIMAL(12,2)) →
+    // (22,2), DuckDB → (38,2)), but the digits must match exactly —
+    // the string pins them. All arithmetic is codegen'd UnsafeRow
+    // Decimal ops; the groupBy is one partial-agg shuffle on o_custkey.
+    "f17_decimal_math" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_custkey"),
+          expr("""CAST(CAST(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)
+                 |  AS DECIMAL(14,2)) * CAST(0.01 AS DECIMAL(3,2))
+                 |  AS DECIMAL(12,2))""".stripMargin).as("p"))
+        .select(col("o_custkey"), col("p"),
+          expr("CAST(ROUND(p * CAST(0.0725 AS DECIMAL(6,4)), 2) AS DECIMAL(12,2))")
+            .as("tax"))
+        .groupBy(col("o_custkey"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          expr("CAST(CAST(SUM(p) AS DECIMAL(18,2)) AS STRING)").as("sum_p"),
+          expr("CAST(CAST(SUM(tax) AS DECIMAL(18,2)) AS STRING)").as("sum_tax"),
+          expr("CAST(CAST(MAX(p - tax) AS DECIMAL(18,2)) AS STRING)").as("max_net"))
+    }),
+
+    // F18: MAP HIGHER-ORDER FUNCTIONS — transform_keys /
+    // transform_values / map_filter / map_zip_with, the lambda surface
+    // f15 (array HOFs) and f6 (map read fns) left open. DuckDB has no
+    // map lambdas, so the oracle recomputes each transformed map's
+    // to_json rendering by string construction from the same scalar
+    // inputs — the hash pins entry ORDER (Spark map HOFs preserve it;
+    // map_zip_with emits m1's keys then m2-only keys) as well as
+    // values. Map values ride as BIGINT so to_json renders bare
+    // numbers identically. Per-row in the scan, zero shuffle, all four
+    // HOFs codegen-friendly catalyst builtins.
+    "f18_map_hof" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("map('chars', n_chars, 'words', CAST(size(split(text, ' ')) AS BIGINT))")
+            .as("m"))
+        .select(
+          col("doc_id"),
+          expr("to_json(transform_values(m, (k, v) -> v * 2))").as("doubled"),
+          expr("""to_json(transform_keys(m,
+                 |  (k, v) -> concat(k, '_', CAST(v % 10 AS STRING))))""".stripMargin)
+            .as("rekeyed"),
+          expr("to_json(map_filter(m, (k, v) -> v % 2 = 0))").as("evens"),
+          expr("""to_json(map_zip_with(m, map('chars', CAST(1 AS BIGINT),
+                 |    'extra', CAST(5 AS BIGINT)),
+                 |  (k, v1, v2) -> coalesce(v1, CAST(0 AS BIGINT))
+                 |    + coalesce(v2, CAST(0 AS BIGINT))))""".stripMargin)
+            .as("zipped"))
     }),
 
     // F14: VARIANT — Spark 4's semi-structured type (the shredded-JSON
@@ -347,15 +410,57 @@ object ScalarFns {
         |FROM t""".stripMargin,
 
     // f16: DuckDB's regexp_extract_all(text, re) ≡ Spark's group-0 form;
-    // the single-match stem uses group 1 in both; a no-match stem is ''
-    // in Spark and NULL in DuckDB — coalesce pins the Spark convention
+    // the single-match stem uses group 1 in both; no-match results are
+    // '' in Spark and NULL in DuckDB (array_to_string of an empty list
+    // is NULL too) — COALESCE pins the Spark convention
     "f16_regexp_extract" ->
       """SELECT doc_id,
-        |  regexp_extract_all(text, '[a-z]+[0-9]+') AS tagged_toks,
-        |  CAST(len(regexp_extract_all(text, '[0-9]')) AS INT) AS n_digits,
-        |  COALESCE(regexp_extract(text, '([a-z]+)[0-9]+', 1), '')
-        |    AS first_tag_stem
+        |  COALESCE(array_to_string(regexp_extract_all(text, '[a-z]{6,}'), ' '), '')
+        |    AS long_toks,
+        |  CAST(len(regexp_extract_all(text, '[a-z]*a[a-z]*')) AS INT) AS n_a_toks,
+        |  COALESCE(regexp_extract(text, '([a-z]+)le', 1), '')
+        |    AS first_le_stem
         |FROM documents""".stripMargin,
+
+    // f17: same cents→decimal derivation, same explicit final casts;
+    // DuckDB ROUND on DECIMAL is HALF_UP like Spark (pinned on literal
+    // ties before this entry shipped)
+    "f17_decimal_math" ->
+      """WITH t AS (
+        |  SELECT o_custkey,
+        |    CAST(CAST(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)
+        |      AS DECIMAL(14,2)) * CAST(0.01 AS DECIMAL(3,2))
+        |      AS DECIMAL(12,2)) AS p
+        |  FROM orders
+        |), u AS (
+        |  SELECT o_custkey, p,
+        |    CAST(ROUND(p * CAST(0.0725 AS DECIMAL(6,4)), 2) AS DECIMAL(12,2)) AS tax
+        |  FROM t
+        |)
+        |SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(CAST(SUM(p) AS DECIMAL(18,2)) AS VARCHAR) AS sum_p,
+        |  CAST(CAST(SUM(tax) AS DECIMAL(18,2)) AS VARCHAR) AS sum_tax,
+        |  CAST(CAST(MAX(p - tax) AS DECIMAL(18,2)) AS VARCHAR) AS max_net
+        |FROM u GROUP BY o_custkey""".stripMargin,
+
+    // f18: DuckDB has no map lambdas — the oracle rebuilds each
+    // transformed map's exact to_json text from the same scalars
+    // (empty-filter case renders '{}' because concat_ws drops NULLs)
+    "f18_map_hof" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars AS c,
+        |    len(string_split(text, ' ')) AS w
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  '{"chars":' || (c*2) || ',"words":' || (w*2) || '}' AS doubled,
+        |  '{"chars_' || (c%10) || '":' || c ||
+        |    ',"words_' || (w%10) || '":' || w || '}' AS rekeyed,
+        |  '{' || concat_ws(',',
+        |    CASE WHEN c%2=0 THEN '"chars":'||c END,
+        |    CASE WHEN w%2=0 THEN '"words":'||w END) || '}' AS evens,
+        |  '{"chars":' || (c+1) || ',"words":' || w || ',"extra":5}' AS zipped
+        |FROM t""".stripMargin,
 
     // f15: integer-valued doubles make the zip_with dot product exact in
     // any summation order, so DuckDB's list_dot_product matches Spark's

@@ -236,8 +236,15 @@ object Aggregates {
     // float boundary can disagree), and the whole thing is one
     // partial-agg groupBy: bucket cardinality is fixed by the grid, so
     // the shuffle is ~20 rows at any corpus size.
+    // The WHERE value >= 0 guard is load-bearing for cross-engine
+    // equivalence, not just fixture hygiene: Spark `div` truncates
+    // toward zero while DuckDB `//` floors, and they diverge on
+    // negative operands — the guard makes the domain where they agree
+    // EXPLICIT on both sides instead of an assumed fixture invariant
+    // (ADVICE r11).
     "a16_histogram" -> ((s, d) => {
       Tables.events(s, d)
+        .where(col("value") >= 0)
         .groupBy(expr("CAST(ROUND(value * 1e2, 0) AS BIGINT) div 2500")
           .as("bucket")) // 25.00-wide buckets
         .agg(count(lit(1)).as("n"),
@@ -364,14 +371,15 @@ object Aggregates {
         |      FROM events GROUP BY 1, 2)
         |GROUP BY user_id""".stripMargin,
 
-    // a16: `//` = DuckDB integer floor div ≡ Spark `div` on the
-    // non-negative scaled longs
+    // a16: `//` = DuckDB integer floor div ≡ Spark `div` ONLY on
+    // non-negative operands — the WHERE guard pins that domain on both
+    // sides rather than assuming it of the fixture
     "a16_histogram" ->
       """SELECT CAST(ROUND(value * 1e2, 0) AS BIGINT) // 2500 AS bucket,
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(ROUND(value * 1e2, 0) AS BIGINT)) AS DOUBLE) / 1e2
         |    AS bucket_mass
-        |FROM events GROUP BY 1""".stripMargin,
+        |FROM events WHERE value >= 0 GROUP BY 1""".stripMargin,
 
     "a15_weighted_median" ->
       """WITH g AS (

@@ -1547,7 +1547,7 @@ object PipelineOps {
         |)
         |SELECT user_id,
         |  CAST(SUM(vs * dur_s) AS DOUBLE) / 1e2 / SUM(dur_s) AS twa,
-        |  SUM(dur_s) AS obs_s
+        |  CAST(SUM(dur_s) AS BIGINT) AS obs_s
         |FROM f WHERE dur_s IS NOT NULL
         |GROUP BY user_id HAVING SUM(dur_s) > 0""".stripMargin,
 

@@ -14,18 +14,42 @@ import duckdb
 import pandas as pd
 import numpy as np
 
+class UnserializedNested(Exception):
+    """An output column still contains arrays/structs/maps.
+
+    The driver's canonicalizer CRASHES on these (pandas sort_values:
+    'unhashable type: numpy.ndarray' — the f16 r11 escape), so the local
+    mirror must fail the query loudly instead of stringifying it away.
+    Entries must serialize nested output (array_join / to_json) per the
+    repo convention (SURVEY §5.2).
+    """
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-faithful canonicalization: sort columns by name, sort rows
+    on the RAW columns, then FORMAT every value to a string and compare
+    the string frames exactly. String formatting is what the driver
+    hashes, so it (a) absorbs integer WIDTH differences (int32 vs int64
+    both format as '5') but (b) keeps integer-vs-float distinct
+    ('2555821' != '2555821.0' — the m26 r11 escape that the old
+    check_dtype=False compare silently absorbed).
+    """
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         s = df[c]
-        if pd.api.types.is_float_dtype(s):
-            df[c] = s.round(6)
-        elif pd.api.types.is_datetime64_any_dtype(s):
-            df[c] = s.dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
-        elif s.dtype == object:
-            df[c] = s.apply(lambda v: str(sorted(v)) if isinstance(v, (list, np.ndarray)) else v)
+        if s.dtype == object and s.apply(
+                lambda v: isinstance(v, (list, np.ndarray, dict))).any():
+            raise UnserializedNested(c)
     df = df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
-    return df
+    def fmt(s: pd.Series) -> pd.Series:
+        if pd.api.types.is_float_dtype(s):
+            return s.round(6).map(lambda v: "NULL" if pd.isna(v) else f"{v:.6f}")
+        if pd.api.types.is_datetime64_any_dtype(s):
+            out = s.dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
+            return out.where(s.notna(), "NULL")
+        if pd.api.types.is_integer_dtype(s) or pd.api.types.is_bool_dtype(s):
+            return s.map(lambda v: "NULL" if pd.isna(v) else str(v))
+        return s.map(lambda v: "NULL" if pd.isna(v) is True else str(v))
+    return pd.DataFrame({c: fmt(df[c]) for c in df.columns})
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -55,14 +79,18 @@ def main():
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR: {e}"
             continue
-        g, e = canon(got), canon(exp)
+        try:
+            g, e = canon(got), canon(exp)
+        except UnserializedNested as ex:
+            results[name] = f"UNSERIALIZED_NESTED_COLUMN: {ex} (driver canonicalizer would crash — array_join/to_json it)"
+            continue
         if list(g.columns) != list(e.columns):
             results[name] = f"SCHEMA_MISMATCH spark={list(g.columns)} duck={list(e.columns)}"
         elif len(g) != len(e):
             results[name] = f"ROWCOUNT spark={len(g)} duck={len(e)}"
         else:
             try:
-                pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=False, atol=1e-6, rtol=0)
+                pd.testing.assert_frame_equal(g, e, check_exact=True)
                 results[name] = "OK"
             except AssertionError as ex:
                 results[name] = "VALUE_MISMATCH: " + str(ex).split("\n")[0][:200]
