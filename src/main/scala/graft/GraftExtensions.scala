@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // bounded-interval range joins plan as bucketed equi joins by default
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    // MERGE INTO over plain-parquet catalog tables: swap the resolved
+    // MergeIntoTable for the copy-on-write command before CheckAnalysis
+    // rejects it (v1 tables have no row-level-operation support)
+    e.injectResolutionRule(_ => graft.plans.MergeIntoParquetRewrite)
     GraftExtensions.functions.foreach(e.injectFunction)
   }
 }

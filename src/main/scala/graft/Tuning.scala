@@ -11,6 +11,12 @@ object Tuning {
 
   /** Confs that hold from local[32] to a 1000-executor cluster. */
   val recommended: Map[String, String] = Map(
+    // the engine's extension point: native SQL functions, the as-of-join
+    // strategy, the range-join rewrite, and the MERGE INTO resolution
+    // rule (the last one has NO late-attach path — analyzer rules can
+    // only be injected at session build, unlike the optimizer rules and
+    // functions which ensureRegistered/ensureFunctions can add later)
+    "spark.sql.extensions" -> "graft.GraftExtensions",
     // AQE: runtime re-planning is the first line against skew and stale
     // size estimates; coalescing keeps reducer counts matched to data.
     "spark.sql.adaptive.enabled" -> "true",

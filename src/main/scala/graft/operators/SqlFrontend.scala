@@ -278,8 +278,53 @@ object SqlFrontend {
     s.sql(s"SELECT * FROM $tbl")
   }
 
+  /** MERGE INTO as SQL text (r12) — the one DML statement the frontend
+    * left open (m2's CDC upsert is DSL-only). The target is a
+    * parquet-backed catalog table (sql11's CTAS machinery) seeded from
+    * the 'F' orders per customer; the source batch is the 'O' orders
+    * aggregated the same way. All four clause classes fire at both
+    * fixture SFs: conditional MATCHED DELETE, MATCHED UPDATE,
+    * NOT MATCHED INSERT, and conditional NOT MATCHED BY SOURCE DELETE.
+    * Executed by [[graft.plans.MergeIntoParquetRewrite]]'s copy-on-write
+    * command (vanilla Spark rejects MERGE on non-row-level v1 tables);
+    * the oracle recomputes the post-merge state from the source rows
+    * with a FULL JOIN + CASE, so the hash pins clause precedence and
+    * all three row classes, not just the happy path.
+    */
+  private def mergeInto(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    withViews(s, d)
+    val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
+    val tbl = s"sql13_balance_$tag"
+    val path = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_$tbl").toString
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(path))
+    s.sql(
+      s"""CREATE TABLE $tbl USING parquet LOCATION '$path' AS
+         |SELECT o_custkey AS custkey, COUNT(*) AS n,
+         |  SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS cents
+         |FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey""".stripMargin)
+    s.sql(
+      s"""MERGE INTO $tbl t
+         |USING (SELECT o_custkey AS custkey, COUNT(*) AS n,
+         |         SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS cents
+         |       FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey) u
+         |ON t.custkey = u.custkey
+         |WHEN MATCHED AND u.n >= 5 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET n = t.n + u.n, cents = t.cents + u.cents
+         |WHEN NOT MATCHED THEN INSERT (custkey, n, cents)
+         |  VALUES (u.custkey, u.n, u.cents)
+         |WHEN NOT MATCHED BY SOURCE AND t.n >= 3 THEN DELETE""".stripMargin)
+    s.sql(s"SELECT custkey, n, cents FROM $tbl")
+  }
+
   val queries: Map[String, Q] = Map(
     "sql11_ctas" -> ((s, d) => ctas(s, d)),
+    "sql13_merge_into" -> ((s, d) => mergeInto(s, d)),
     "sql1_tpch_q3" -> ((s, d) => { withViews(s, d); s.sql(q3Sql) }),
     "sql2_scalar_subquery" -> ((s, d) => { withViews(s, d); s.sql(scalarSubSql) }),
     "sql3_grouping_sets" -> ((s, d) => { withViews(s, d); s.sql(groupingSetsSql) }),
@@ -333,6 +378,34 @@ object SqlFrontend {
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS DOUBLE) / 1e2 AS total
         |FROM orders GROUP BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    // sql13: post-merge state recomputed from the raw orders — FULL JOIN
+    // of the two per-customer aggregates, clause precedence as CASE
+    // order, DELETEs as WHERE exclusions (SUMs cast to BIGINT: DuckDB
+    // SUM(BIGINT) is HUGEINT and hashes as float downstream)
+    "sql13_merge_into" ->
+      """WITH t AS (
+        |  SELECT o_custkey AS custkey, COUNT(*) AS n,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+        |), u AS (
+        |  SELECT o_custkey AS custkey, COUNT(*) AS n,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderstatus = 'O' GROUP BY 1
+        |), j AS (
+        |  SELECT COALESCE(t.custkey, u.custkey) AS custkey,
+        |    t.custkey IS NOT NULL AS has_t, u.custkey IS NOT NULL AS has_u,
+        |    t.n AS tn, t.cents AS tc, u.n AS un, u.cents AS uc
+        |  FROM t FULL JOIN u ON t.custkey = u.custkey
+        |)
+        |SELECT custkey,
+        |  CASE WHEN has_t AND has_u THEN tn + un
+        |       WHEN has_t THEN tn ELSE un END AS n,
+        |  CASE WHEN has_t AND has_u THEN tc + uc
+        |       WHEN has_t THEN tc ELSE uc END AS cents
+        |FROM j
+        |WHERE NOT (has_t AND has_u AND un >= 5)
+        |  AND NOT (has_t AND NOT has_u AND tn >= 3)""".stripMargin,
 
     "a10_pivot" ->
       """SELECT user_id,
