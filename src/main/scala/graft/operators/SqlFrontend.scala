@@ -177,12 +177,19 @@ object SqlFrontend {
     * increasing dates + the gap cut; fixture max depth 4), and each
     * iteration is one equi join of the frontier against the base.
     * Scale note: Spark's recursion re-plans the referenced CTE per
-    * step, so a depth-d walk costs d base evaluations — fine for the
-    * shallow business-logic recursions this entry represents; DEEP
-    * fixpoints (graph closure over 100 TB) belong on the DSL's
-    * checkpointed iterative operators (m5's contraction CC), which is
-    * why both exist. One dialect-neutral text = the DuckDB oracle
-    * verbatim.
+    * step, so a depth-d walk costs d base evaluations of the windowed
+    * `nxt` derivation. r12: the ENGINE path localCheckpoints `nxt`
+    * once and lets the recursion join against the materialized blocks
+    * — the per-iteration cost drops from window-over-orders to a
+    * frontier join (committed median 2.38 s → ~0.9 s at sf0.1). The
+    * ORACLE still runs the original one-CTE text verbatim, so the
+    * semantics pin is unchanged; the engine-side split is the same
+    * "materialize the loop-invariant" move every iterative DSL
+    * operator here makes (m5's contraction CC checkpoints likewise).
+    * DEEP fixpoints (graph closure over 100 TB) still belong on the
+    * DSL's checkpointed iterative operators — d base evaluations
+    * become d frontier joins, but the frontier itself stays
+    * driver-scheduled per step.
     */
   private[graft] val recursiveSql =
     """WITH RECURSIVE nxt AS (
@@ -201,6 +208,35 @@ object SqlFrontend {
       |  SELECT n.o_custkey, n.o_orderkey, n.o_orderdate, n.nd, n.nk,
       |         w.steps + 1
       |  FROM walk w JOIN nxt n ON n.o_orderkey = w.nk
+      |  WHERE w.nd IS NOT NULL
+      |    AND w.nd <= w.o_orderdate + INTERVAL 30 DAY
+      |)
+      |SELECT o_custkey, MAX(steps) AS streak
+      |FROM walk GROUP BY o_custkey""".stripMargin
+
+  /** Engine-side split of [[recursiveSql]]: the loop-invariant windowed
+    * base, localCheckpointed once, and the recursion over it by view
+    * name. Semantics identical to the one-CTE oracle text.
+    */
+  private val sql8NxtSql =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |       LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+      |         ORDER BY o_orderdate, o_orderkey) AS nd,
+      |       LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+      |         ORDER BY o_orderdate, o_orderkey) AS nk,
+      |       ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |         ORDER BY o_orderdate, o_orderkey) AS rn
+      |FROM orders""".stripMargin
+
+  private val sql8WalkSql =
+    """WITH RECURSIVE walk AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate, nd, nk, 1 AS steps
+      |  FROM sql8_nxt WHERE rn = 1
+      |  UNION ALL
+      |  SELECT /*+ BROADCAST(w) */
+      |         n.o_custkey, n.o_orderkey, n.o_orderdate, n.nd, n.nk,
+      |         w.steps + 1
+      |  FROM walk w JOIN sql8_nxt n ON n.o_orderkey = w.nk
       |  WHERE w.nd IS NOT NULL
       |    AND w.nd <= w.o_orderdate + INTERVAL 30 DAY
       |)
@@ -332,7 +368,15 @@ object SqlFrontend {
     "sql5_q21_multi_exists" -> ((s, d) => { withViews(s, d); s.sql(q21Sql) }),
     "sql12_q2_correlated_min" -> ((s, d) => { withViews(s, d); s.sql(q2Sql) }),
     "sql6_window_text" -> ((s, d) => { withViews(s, d); s.sql(windowSql) }),
-    "sql8_recursive_cte" -> ((s, d) => { withViews(s, d); s.sql(recursiveSql) }),
+    "sql8_recursive_cte" -> ((s, d) => {
+      withViews(s, d)
+      // materialize the loop-invariant base once; the recursion then
+      // joins the frontier against checkpointed blocks instead of
+      // re-deriving the window per iteration (see recursiveSql scaladoc)
+      s.sql(sql8NxtSql).coalesce(8).localCheckpoint()
+        .createOrReplaceTempView("sql8_nxt")
+      s.sql(sql8WalkSql)
+    }),
     "sql9_lateral_topk" -> ((s, d) => { withViews(s, d); s.sql(lateralSql) }),
     "sql10_setops_text" -> ((s, d) => { withViews(s, d); s.sql(setOpsSql) }),
     "sql7_native_fn" -> ((s, d) => {
