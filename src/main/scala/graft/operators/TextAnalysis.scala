@@ -267,6 +267,51 @@ object TextAnalysis {
           .as("bpe_tokens"))
     }),
 
+    // L23: WITHIN-DOCUMENT REPETITION stats — the Gopher/MassiveText
+    // repetition rules (fraction of tokens that are the single most
+    // frequent token; fraction of duplicate bigrams) that catch
+    // keyword-stuffed and loop-generated text the cross-doc dedup
+    // family (l2/l14/l16) structurally cannot: every signal here is a
+    // property of ONE row. Both metrics evaluate as higher-order
+    // functions inside the scan projection — the mode count is a
+    // longest-equal-run fold over the SORTED token array (aggregate
+    // with a (prev, run, best) struct accumulator), the duplicate-
+    // bigram fraction is 1 − distinct/total over zip_with bigrams — so
+    // the whole entry is ZERO-shuffle at any corpus size: no explode,
+    // no (doc, token) key ever leaves the row. That is the difference
+    // between this and the naive groupBy-token-per-doc form, whose
+    // shuffle is token-count-sized (the single largest key space a
+    // text pipeline can emit at 100 TB).
+    "l23_repetition_stats" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(
+          col("doc_id"),
+          size(col("t")).as("n_toks"),
+          expr(
+            """round(CAST(aggregate(
+              |  array_sort(t),
+              |  struct(CAST(NULL AS STRING) AS prev,
+              |         CAST(0 AS BIGINT) AS run, CAST(0 AS BIGINT) AS best),
+              |  (acc, x) -> struct(
+              |    x AS prev,
+              |    CAST(IF(acc.prev IS NOT NULL AND x = acc.prev,
+              |            acc.run + 1, 1) AS BIGINT) AS run,
+              |    GREATEST(acc.best,
+              |      CAST(IF(acc.prev IS NOT NULL AND x = acc.prev,
+              |              acc.run + 1, 1) AS BIGINT)) AS best),
+              |  acc -> acc.best) AS DOUBLE) / size(t), 6)""".stripMargin)
+            .as("top_tok_share"),
+          expr(
+            """CASE WHEN size(t) < 2 THEN CAST(0.0 AS DOUBLE) ELSE
+              |  round(1.0 - CAST(size(array_distinct(
+              |      zip_with(slice(t, 1, size(t) - 1),
+              |               slice(t, 2, size(t) - 1),
+              |               (a, b) -> concat(a, ' ', b)))) AS DOUBLE)
+              |    / (size(t) - 1), 6) END""".stripMargin)
+            .as("dup_bigram_frac"))
+    }),
+
     // L5c: unigram language-model scoring — mean log-probability of a
     // document under the corpus unigram distribution, the classic cheap
     // fluency/quality signal (gibberish and boilerplate both score off
@@ -941,6 +986,29 @@ object TextAnalysis {
         |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
         |    '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
         |FROM documents""".stripMargin,
+
+    // l23: the oracle recomputes the mode via the explode-and-count
+    // form the engine refuses (per-doc GROUP BY token + MAX) — the
+    // hash pins the run-length fold against it exactly; the bigram
+    // side mirrors zip_with with a range/list_transform
+    "l23_repetition_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), w AS (
+        |  SELECT doc_id, unnest(t) AS tok FROM t
+        |), mc AS (
+        |  SELECT doc_id, MAX(c) AS mx FROM (
+        |    SELECT doc_id, tok, COUNT(*) AS c FROM w GROUP BY 1, 2)
+        |  GROUP BY 1
+        |)
+        |SELECT t.doc_id, CAST(len(t.t) AS INT) AS n_toks,
+        |  round(CAST(mc.mx AS DOUBLE) / len(t.t), 6) AS top_tok_share,
+        |  CASE WHEN len(t.t) < 2 THEN 0.0 ELSE
+        |    round(1.0 - CAST(len(list_distinct(
+        |        list_transform(range(1, len(t.t)),
+        |          i -> t.t[i] || ' ' || t.t[i + 1]))) AS DOUBLE)
+        |      / (len(t.t) - 1), 6) END AS dup_bigram_frac
+        |FROM t JOIN mc ON mc.doc_id = t.doc_id""".stripMargin,
 
     "l7b_token_count" ->
       """SELECT doc_id,

@@ -350,6 +350,36 @@ object Ingest {
           dsum(col("l_extendedprice")).as("total"))
     }),
 
+    // S15: SCHEMA EVOLUTION read (r12) — a lake table whose later
+    // generations added a column, read back as ONE frame. Writers
+    // upgrade; the reader must not (the daily 100 TB reality Tables'
+    // events-timestamp canonicalization already handles for types —
+    // this pins the ADDED-column case). Two generations are written
+    // under one root (gen1: key + cents; gen2: + priority), then read
+    // with mergeSchema=true: parquet footers are reconciled per file,
+    // gen1 rows surface the new column as NULL — no rewrite of old
+    // data, which at 100 TB is the entire point (a backfill would cost
+    // a full-table pass). The merged-footer read costs one extra
+    // footer parse per file vs the first-file default; data pages are
+    // untouched. Oracle recomputes both generations from the source
+    // table, so the hash pins the NULL-fill semantics exactly.
+    "s15_schema_evolution" -> ((s, d) => {
+      val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
+      val out = tmp(s"graft_s15_evolved_$tag")
+      val orders = Tables.orders(s, d)
+        .withColumn("cents",
+          expr("CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)"))
+      orders.filter(year(col("o_orderdate")) === 1995)
+        .select(col("o_orderkey"), col("cents"))
+        .write.mode("overwrite").parquet(s"$out/gen=1")
+      orders.filter(year(col("o_orderdate")) === 1996)
+        .select(col("o_orderkey"), col("cents"),
+          col("o_orderpriority").as("priority"))
+        .write.mode("overwrite").parquet(s"$out/gen=2")
+      s.read.option("mergeSchema", "true").parquet(s"$out/gen=1", s"$out/gen=2")
+        .select(col("o_orderkey"), col("cents"), col("priority"))
+    }),
+
     // S8: in-memory source (unit-test seam).
     "s8_inmemory" -> ((s, _) => {
       import s.implicits._
@@ -454,6 +484,15 @@ object Ingest {
     "s8_inmemory" ->
       """SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'alpha', 1.5),
         |  (2, 'beta', 2.5), (3, 'gamma', 3.5)) t(id, name, score)""".stripMargin,
+
+    // s15: both generations recomputed straight from the source table;
+    // agreement pins mergeSchema's NULL-fill of the added column
+    "s15_schema_evolution" ->
+      """SELECT o_orderkey,
+        |  CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT) AS cents,
+        |  CASE WHEN year(o_orderdate) = 1996 THEN o_orderpriority END
+        |    AS priority
+        |FROM orders WHERE year(o_orderdate) IN (1995, 1996)""".stripMargin,
 
     // s14: the oracle scans the whole table — agreement proves the
     // manifest never skipped a file containing a matching row.

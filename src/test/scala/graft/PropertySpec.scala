@@ -169,6 +169,38 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("l23 repetition stats ≡ scala brute force (mode fold + bigram distinct)") {
+    import spark.implicits._
+    for (seed <- 1L to 8L) {
+      val docs = sample(Gen.listOfN(20, docGen), seed)
+      // evaluate the SAME fold/zip_with expressions the entry uses
+      val cols = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"),
+          expr("""CAST(aggregate(array_sort(t),
+                 |  struct(CAST(NULL AS STRING) AS prev,
+                 |         CAST(0 AS BIGINT) AS run, CAST(0 AS BIGINT) AS best),
+                 |  (acc, x) -> struct(x AS prev,
+                 |    CAST(IF(acc.prev IS NOT NULL AND x = acc.prev,
+                 |            acc.run + 1, 1) AS BIGINT) AS run,
+                 |    GREATEST(acc.best,
+                 |      CAST(IF(acc.prev IS NOT NULL AND x = acc.prev,
+                 |              acc.run + 1, 1) AS BIGINT)) AS best),
+                 |  acc -> acc.best) AS LONG)""".stripMargin).as("mode_cnt"),
+          expr("""size(array_distinct(
+                 |  zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+                 |    (a, b) -> concat(a, ' ', b))))""".stripMargin).as("d2"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+      docs.zipWithIndex.foreach { case (t, i) =>
+        val toks = t.split(" ").toSeq
+        val wantMode = toks.groupBy(identity).values.map(_.size).max.toLong
+        val wantD2 = toks.sliding(2).map(_.mkString(" ")).toSet.size
+        assert(cols(i.toLong) === ((wantMode, wantD2)), s"seed=$seed doc=$i")
+      }
+    }
+  }
+
   test("window running sum ≡ scala prefix sums (W3 law)") {
     import spark.implicits._
     for (seed <- 1L to 5L) {
