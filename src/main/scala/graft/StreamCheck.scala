@@ -147,6 +147,44 @@ object StreamCheck {
       Res(got == Set(("10:00", 1L, 3L), ("10:30", 1L, 1L)), rows, batches)
     }
 
+    scenario("t20_stream_cdc_merge_apply") {
+      // the Delta/Iceberg "streaming upsert" loop on plain parquet: a
+      // CDC change stream applied to a catalog table via foreachBatch +
+      // the engine's MERGE INTO command (plans/MergeInto.scala) — each
+      // micro-batch is one atomic-per-batch CoW merge, so the table is
+      // always a consistent post-batch state. Feeds exercise update,
+      // insert, delete, and a cross-batch re-upsert of an inserted key.
+      val tbl = "sc_t20_state"
+      val path = java.nio.file.Files.createTempDirectory("sc_t20_tbl")
+        .resolve("t").toString
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+        .write.option("path", path).saveAsTable(tbl)
+      val in = MemoryStream[(Long, Long, String)](spark)
+      val applyBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+        (batch, _) => {
+          batch.toDF("k", "v", "op").createOrReplaceTempView("sc_t20_changes")
+          batch.sparkSession.sql(
+            s"""MERGE INTO $tbl t USING sc_t20_changes s ON t.k = s.k
+               |WHEN MATCHED AND s.op = 'D' THEN DELETE
+               |WHEN MATCHED THEN UPDATE SET v = s.v
+               |WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT (k, v)
+               |  VALUES (s.k, s.v)""".stripMargin)
+        }
+      val q = in.toDF().writeStream.foreachBatch(applyBatch)
+        .outputMode("update").start()
+      def feed(rows: (Long, Long, String)*): Unit = {
+        in.addData(rows); q.processAllAvailable()
+      }
+      feed((2L, 200L, "U"), (3L, 30L, "U"))  // update k=2, insert k=3
+      feed((1L, 0L, "D"), (3L, 300L, "U"))   // delete k=1, re-upsert k=3
+      val batches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(0L)
+      q.stop()
+      val got = spark.table(tbl).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      Res(got == Set((2L, 200L), (3L, 300L)), got.size.toLong, batches)
+    }
+
     scenario("t5_watermark_drops_late") {
       val in = MemoryStream[Ev](spark)
       val (rows, batches) = run(

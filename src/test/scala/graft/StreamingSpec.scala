@@ -228,6 +228,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got === Set(("10:00", 3L), ("10:30", 1L)), got.toString)
   }
 
+  test("T20: CDC change stream applied to a parquet table via foreachBatch MERGE") {
+    import spark.implicits._
+    val tbl = "t20_state"
+    val path = java.nio.file.Files.createTempDirectory("t20_tbl")
+      .resolve("t").toString
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+      .write.option("path", path).saveAsTable(tbl)
+    val in = MemoryStream[(Long, Long, String)](spark)
+    val applyBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => {
+        batch.toDF("k", "v", "op").createOrReplaceTempView("t20_changes")
+        batch.sparkSession.sql(
+          s"""MERGE INTO $tbl t USING t20_changes s ON t.k = s.k
+             |WHEN MATCHED AND s.op = 'D' THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET v = s.v
+             |WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT (k, v)
+             |  VALUES (s.k, s.v)""".stripMargin)
+      }
+    val q = in.toDF().writeStream.foreachBatch(applyBatch)
+      .outputMode("update").start()
+    in.addData((2L, 200L, "U"), (3L, 30L, "U")); q.processAllAvailable()
+    in.addData((1L, 0L, "D"), (3L, 300L, "U")); q.processAllAvailable()
+    q.stop()
+    val got = spark.table(tbl).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((2L, 200L), (3L, 300L)), got.toString)
+  }
+
   test("T8: stream-stream interval join matches clicks within the window") {
     import spark.implicits._
     val pIn = MemoryStream[Ev](spark)
