@@ -628,6 +628,31 @@ object Dedup {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     }),
 
+    // L24: CROSS-SOURCE CONTAMINATION MATRIX (r12) — the corpus-
+    // governance report over l2e's exact pair machinery: for every
+    // unordered source pair, how many near-duplicate (token-jaccard ≥
+    // 0.9) doc pairs cross it. The diagonal is within-source redundancy;
+    // off-diagonal mass is inter-source contamination — the number a
+    // data-mixture owner checks before weighting sources as if they
+    // were independent. Pairs come COMPLETE from the prefix-filtered
+    // verify (recall 1.0 at the cut; the exact-set collapse is expanded
+    // back, see jaccardVerifiedPairsComplete), sources attach by two
+    // broadcastable id joins, and the matrix aggregate is |sources|²-
+    // bounded — the only corpus-sized stages are the ones l2e already
+    // carries. Oracle: DuckDB's quadratic pair join (the blow-up the
+    // prefix filter refuses), so the hash pins pair COMPLETENESS, not
+    // just the survivor policy.
+    "l24_cross_source_overlap" -> ((s, d) => {
+      val pairs = jaccardVerifiedPairsComplete(s, d, 0.9)
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("d1"), col("source").as("s1")), "d1")
+        .join(src.select(col("doc_id").as("d2"), col("source").as("s2")), "d2")
+        .groupBy(least(col("s1"), col("s2")).as("source_a"),
+          greatest(col("s1"), col("s2")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // L2d: asymmetric CONTAINMENT dedup — C(a→b) = |kept(a)∩kept(b)| /
     // |kept(a)|: "how much of a is inside b". Catches what symmetric
     // jaccard (l2c) structurally misses: a short document wrapped in
@@ -1042,6 +1067,52 @@ object Dedup {
     * the dedup family's DuckDB oracle.
     */
   def jaccardDedup(s: SparkSession, d: String, t: Double = 0.9): DataFrame = {
+    val (repPairs, members) = jaccardRepLevel(s, d, t)
+    // removal policy: doc b goes iff some a < b with jaccard ≥ t —
+    // rep-level pair targets (d2 is never the smaller of its pair) plus
+    // every non-rep member of an identical-set group (its rep is the
+    // group min, hence a smaller exact duplicate)
+    val removed = repPairs.select(col("d2").as("doc_id"))
+      .unionByName(members.filter(col("rep") =!= col("doc_id"))
+        .select(col("doc_id")))
+      .distinct()
+    Tables.documents(s, d).join(removed, Seq("doc_id"), "left_anti")
+  }
+
+  /** All verified token-set-jaccard ≥ t pairs (smaller doc_id first),
+    * COMPLETE over the corpus: [[jaccardRepLevel]]'s rep-level verify
+    * (recall 1.0 at the ≥t cut) expanded back through the exact-set
+    * collapse — every member of an identical-token-set group inherits
+    * each pair of its rep (identical sets ⇒ identical jaccard to any
+    * third doc), and each group contributes its internal pairs (jaccard
+    * exactly 1). The two unions are disjoint by construction (expanded
+    * pairs cross set groups, internal pairs stay within one), so no
+    * distinct is needed. Expansion joins are membership-keyed equi
+    * joins — group-count-sized, never corpus-quadratic.
+    */
+  def jaccardVerifiedPairsComplete(s: SparkSession, d: String,
+      t: Double = 0.9): DataFrame = {
+    val (repPairs, members) = jaccardRepLevel(s, d, t)
+    val expanded = repPairs
+      .join(members.select(col("rep").as("d1"), col("doc_id").as("m1")), "d1")
+      .join(members.select(col("rep").as("d2"), col("doc_id").as("m2")), "d2")
+      .select(least(col("m1"), col("m2")).as("d1"),
+        greatest(col("m1"), col("m2")).as("d2"))
+    val within = members.select(col("rep"), col("doc_id").as("m1"))
+      .join(members.select(col("rep"), col("doc_id").as("m2")), "rep")
+      .filter(col("m1") < col("m2"))
+      .select(col("m1").as("d1"), col("m2").as("d2"))
+    expanded.unionByName(within)
+  }
+
+  /** Shared engine of [[jaccardDedup]] / [[jaccardVerifiedPairsComplete]]:
+    * exact jaccard-threshold verify over set-distinct representatives.
+    * Returns (repPairs, members): repPairs = verified (d1 < d2, both
+    * reps, jaccard ≥ t); members = (rep, doc_id) for EVERY doc — a rep
+    * is its own member, so the map is total.
+    */
+  private def jaccardRepLevel(s: SparkSession, d: String,
+      t: Double): (DataFrame, DataFrame) = {
     val smallCorpus = Tables.documents(s, d)
       .queryExecution.optimizedPlan.stats.sizeInBytes <= (32L << 20)
     def hint(df: DataFrame): DataFrame = if (smallCorpus) broadcast(df) else df
@@ -1064,9 +1135,9 @@ object Dedup {
     val setReps = keyed.groupBy(col("k")).agg(min(col("doc_id")).as("rep"))
     val repArr = keyed.join(setReps.select(col("rep")), col("doc_id") === col("rep"))
       .select(col("k"), col("rep"), col("arr").as("rep_arr"))
-    val exactRemoved = keyed.join(hint(repArr), "k")
-      .filter(col("doc_id") =!= col("rep") && col("arr") === col("rep_arr"))
-      .select(col("doc_id"))
+    val membership = keyed.join(hint(repArr), "k")
+      .filter(col("arr") === col("rep_arr"))
+      .select(col("rep"), col("doc_id"))
     val arrs = keyed.join(hint(setReps.select(col("rep").as("doc_id"))), "doc_id")
       .select(col("doc_id"), col("arr"))
     val tk = arrs.select(col("doc_id"), explode(col("arr")).as("tok"))
@@ -1082,9 +1153,9 @@ object Dedup {
             .cast(IntegerType)).as("pfx"))
     val docSets = (if (smallCorpus) docSets0.coalesce(8) else docSets0).cache()
     docSets.count()
-    // pin the exact-dup removals (slim id column) before releasing the
-    // array cache both it and docSets derive from
-    val exactRemovedCk = exactRemoved.localCheckpoint()
+    // pin the membership map (slim two-long-column frame) before
+    // releasing the array cache both it and docSets derive from
+    val membershipCk = membership.localCheckpoint()
     arrsAll.unpersist()
     val pfx = docSets.select(col("doc_id"), col("nk"),
       posexplode(col("pfx")).as(Seq("pos0", "tok")))
@@ -1115,19 +1186,17 @@ object Dedup {
         candD.repartition(s.sparkContext.defaultParallelism, col("d1"))
       else candD
     val dim = hint(docSets.select(col("doc_id"), col("nk"), col("kept")))
-    val removed = cand
+    val repPairs = cand
       .join(dim, col("d1") === dim("doc_id"))
       .select(col("d1"), col("d2"), col("nk").as("n1"), col("kept").as("k1"))
       .join(dim, col("d2") === dim("doc_id"))
-      .select(col("d2"),
+      .select(col("d1"), col("d2"),
         graft.functions.TokenHashKernels.intersectCount(col("k1"), col("kept"))
           .cast(DoubleType).as("inter"),
         col("n1"), col("nk").as("n2"))
       .filter(col("inter") / (col("n1") + col("n2") - col("inter")) >= t)
-      .select(col("d2").as("doc_id")).distinct()
-    Tables.documents(s, d)
-      .join(removed.unionByName(exactRemovedCk).distinct(),
-        Seq("doc_id"), "left_anti")
+      .select(col("d1"), col("d2"))
+    (repPairs, membershipCk)
   }
 
   val oracles: Map[String, String] = Map(
@@ -1194,6 +1263,24 @@ object Dedup {
       """SELECT min(doc_id) AS doc_id, md5(text) AS text_md5,
         |  COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    // l24: same quadratic-oracle stance as l2e, aggregated per source
+    // pair — agreement proves the engine's expanded pair set is exactly
+    // the ≥t pair set, source labels included
+    "l24_cross_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS tk
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT least(a.source, b.source) AS source_a,
+        |         greatest(a.source, b.source) AS source_b
+        |  FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+        |        / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)))
+        |        >= 0.9
+        |)
+        |SELECT source_a, source_b, COUNT(*) AS n_pairs
+        |FROM pairs GROUP BY 1, 2""".stripMargin,
 
     // l2e: the quadratic pair join is the oracle-side blow-up the
     // engine's prefix filter refuses at scale (same stance as l2c/l2d's

@@ -80,12 +80,26 @@ object Similarity {
     * (31 s → ~1 s at sf0.1). Ranking matches the SQL oracle: rounded sim
     * desc, neighbor id asc.
     */
-  def bruteTopK(embeddings: DataFrame, k: Int): DataFrame = {
-    val spark = embeddings.sparkSession
+  def bruteTopK(embeddings: DataFrame, k: Int): DataFrame =
+    bruteTopKAgainst(embeddings, embeddings, k)
+
+  /** Exact top-k of CANDIDATES for every QUERY vector — the asymmetric
+    * form [[bruteTopK]] is the self-join special case of. This is the
+    * vector-database "filtered search" primitive: the candidate side is
+    * typically a metadata-filtered subset (lang, license, date), which
+    * makes it the SMALLER side — broadcast it, fan the queries out.
+    * Filter-then-search, not search-then-filter: post-filtering a
+    * full-corpus top-k returns fewer than k (possibly zero) survivors
+    * under a selective predicate, the classic filtered-ANN bug.
+    */
+  def bruteTopKAgainst(queries: DataFrame, candidates: DataFrame,
+      k: Int): DataFrame = {
+    val spark = queries.sparkSession
     import spark.implicits._
-    val v = vecs(embeddings)
+    val v = vecs(queries)
       .select(col("vec_id"), col("emb"), col("norm")).as[VecRow]
-    val bc = spark.sparkContext.broadcast(v.collect())
+    val bc = spark.sparkContext.broadcast(vecs(candidates)
+      .select(col("vec_id"), col("emb"), col("norm")).as[VecRow].collect())
     // HALF_UP (away from zero) at 6dp without per-pair BigDecimal churn —
     // same convention as Spark's round() and DuckDB's round().
     def round6(x: Double): Double =
@@ -190,6 +204,22 @@ object Similarity {
     // L3b: ANN — random-hyperplane LSH buckets, then exact top-3 within
     // bucket. Not SQL-expressible (seeded hyperplanes) → rows-only +
     // recall spec against the l3 baseline.
+    // L3F: METADATA-FILTERED exact top-k (r12) — every vector's 3
+    // nearest neighbors among ONLY the English documents' embeddings
+    // (the vector-database "filtered search" pattern: restrict by
+    // lang/license/date, then search). Filter-then-search semantics —
+    // see bruteTopKAgainst's scaladoc for why post-filtering a
+    // full-corpus top-k is wrong. The metadata filter attaches by one
+    // broadcastable id join before the kernel; at 100 TB the candidate
+    // side is the filtered (smaller) set, exactly the side the kernel
+    // broadcasts.
+    "l3f_filtered_topk" -> ((s, d) => {
+      val en = Tables.documents(s, d).filter(col("lang") === "en")
+        .select(col("doc_id").as("vec_id"))
+      bruteTopKAgainst(Tables.embeddings(s, d),
+        Tables.embeddings(s, d).join(en, "vec_id"), 3)
+    }),
+
     "l3b_ann_lsh" -> ((s, d) => annTopK(Tables.embeddings(s, d), 3)),
 
     // L3c: IVF ANN — learned coarse quantizer + probed exact re-rank.
@@ -955,6 +985,27 @@ object Similarity {
       s"""$simSql
          |SELECT id_a, id_b, sim FROM p
          |WHERE id_a < id_b AND sim >= 0.45""".stripMargin,
+
+    // l3f: same pair CTE restricted to lang='en' candidates; ranking
+    // convention identical to l3 (sim desc, id asc, rounded 6dp)
+    "l3f_filtered_topk" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings
+        |), c AS (
+        |  SELECT v.* FROM v JOIN documents d ON d.doc_id = v.vec_id
+        |  WHERE d.lang = 'en'
+        |), p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS sim
+        |  FROM v a JOIN c b ON a.vec_id <> b.vec_id
+        |)
+        |SELECT id_a AS vec_id, id_b AS neighbor, sim, rn FROM (
+        |  SELECT id_a, id_b, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY sim DESC, id_b) AS rn
+        |  FROM p) WHERE rn <= 3""".stripMargin,
 
     // l3e: recompute every delta assignment from the engine's dumped
     // frozen centroids — argmax cosine, exact-tie toward the smaller
