@@ -118,6 +118,10 @@ object SkewCheck {
       Run("l2d_containment", "l2d_containment"),
       Run("l2_minhash_dedup", "l2_minhash_dedup"),
       Run("l2e_jaccard_dedup", "l2e_jaccard_dedup"),
+      // r12: the pair-completeness expansion (membership joins over the
+      // exact-set collapse) rides the same hot-shingle fixture as l2e;
+      // a giant identical-set group would concentrate on one rep key
+      Run("l24_cross_source_overlap", "l24_cross_source_overlap"),
       Run("l14_dup_passage", "l14_dup_passage"),
       Run("l15_bigram_logprob", "l15_bigram_logprob"),
       Run("m14_zorder_layout", "m14_zorder_layout"),
