@@ -33,7 +33,9 @@ import pyarrow.parquet as pq
 POLICY_TWINS = {"l2g_minhash_policy", "l2h_simhash_policy",
                 "m5b_cluster_policy", "l12b_semdedup_policy"}
 QUADRATIC_ORACLE = {"l2e_jaccard_dedup", "l2c_shingle_jaccard",
-                    "l2d_containment"}
+                    "l2d_containment",
+                    # r12: same quadratic-pair-join oracle stance as l2e
+                    "l24_cross_source_overlap"}
 FILE_WRITERS = {"s4_csv_roundtrip", "s5_ndjson_roundtrip",
                 "s6_partitioned_parquet", "s6b_partition_pruned_read",
                 "s7_pgn_sink", "s7b_pgn_roundtrip", "s9_orc_roundtrip",
@@ -44,7 +46,11 @@ FILE_WRITERS = {"s4_csv_roundtrip", "s5_ndjson_roundtrip",
                 # never met the 50 ms DuckDB cut; listed for rule purity)
                 "m23_incremental_rollup", "m25_partition_overwrite",
                 "m27_quarantine_route", "sql11_ctas",
-                "l8e_multimodal_binaryfile", "s14_stats_skipping"}
+                "l8e_multimodal_binaryfile", "s14_stats_skipping",
+                # r12 physical-write round-trips: s15 writes two parquet
+                # generations, sql13 CTASes the target then MERGEs (CoW
+                # rewrite) before the read-back
+                "s15_schema_evolution", "sql13_merge_into"}
 PINNED_SUBSET_R10 = [
     "a13_minmax_by", "a14_mode", "a1_ungrouped_agg", "a2_group_agg",
     "a7_collect_list", "f10_casts", "f11_url_fns", "f1_string_fns",
