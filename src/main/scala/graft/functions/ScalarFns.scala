@@ -168,8 +168,14 @@ object ScalarFns {
     // is cast to an EXPLICIT final type then STRING: engines disagree
     // on result precision/scale inference (Spark SUM(DECIMAL(12,2)) →
     // (22,2), DuckDB → (38,2)), but the digits must match exactly —
-    // the string pins them. All arithmetic is codegen'd UnsafeRow
-    // Decimal ops; the groupBy is one partial-agg shuffle on o_custkey.
+    // the string pins them. ANSI posture: Spark 4 defaults
+    // spark.sql.ansi.enabled=true, so decimal overflow would THROW
+    // rather than null out — matching DuckDB, which always errors on
+    // overflow; the explicit final precisions here are sized so the
+    // fixture can never reach either behavior (SUM of 15k values ≤
+    // 10^10 cents fits DECIMAL(18,2) with 6 digits of headroom). All
+    // arithmetic is codegen'd UnsafeRow Decimal ops; the groupBy is
+    // one partial-agg shuffle on o_custkey.
     "f17_decimal_math" -> ((s, d) => {
       Tables.orders(s, d)
         .select(col("o_custkey"),

@@ -182,6 +182,20 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  // r12: the pair-completeness expansion (membership joins) and the
+  // filtered top-k's metadata join must stay equi joins — a cartesian
+  // on either would be the quadratic blow-up these operators exist to
+  // refuse (l24 over documents², l3f over embeddings × documents)
+  test("l24/l3f plans contain no cartesian operator") {
+    for ((q, m) <- Seq(
+        "l24_cross_source_overlap" -> graft.operators.Dedup.queries,
+        "l3f_filtered_topk" -> graft.operators.Similarity.queries)) {
+      val p = plan(m(q)(spark, sf("sf0.001")))
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
+
   test("M7 compaction collapses the fragmented file count") {
     graft.operators.PipelineOps.queries("m7_compact")(spark, sf("sf0.001")).collect()
     def parts(name: String): Long = java.nio.file.Files
