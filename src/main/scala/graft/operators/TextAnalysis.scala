@@ -312,6 +312,56 @@ object TextAnalysis {
             .as("dup_bigram_frac"))
     }),
 
+    // L25: SPAN CORRUPTION sample prep (r12) — the T5/UL2 denoising
+    // objective's data transform: mask fixed-length token spans on a
+    // deterministic grid and emit the (input, target) pair — input
+    // keeps unmasked tokens with one sentinel per span, target lists
+    // each sentinel followed by the tokens it hides. Everything is
+    // per-row HOFs over the token array (transform over a position
+    // sequence + filter + array_join): ZERO shuffle at any corpus
+    // size, the only honest shape for a transform that runs over every
+    // training document. Determinism is content-addressed like m3/m29:
+    // the span grid's phase is a hex-prefix integer of md5(doc_id)
+    // (conv(...,16,10) ≡ DuckDB's '0x'-cast — pinned equal before this
+    // entry shipped), so the corruption is reproducible across
+    // engines, runs, and partitionings with zero RNG state. Spans
+    // start at phase h%7, stride 20, length 3 (truncated at the doc
+    // end); docs under 8 tokens pass through unmasked.
+    "l25_span_corruption" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), split(col("text"), " ").as("t"))
+        .withColumn("off", expr(
+          "CAST(conv(substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 4), 16, 10) AS INT) % 7"))
+        .select(
+          col("doc_id"),
+          size(col("t")).as("n_toks"),
+          expr(
+            """CASE WHEN size(t) < 8 THEN CAST(0 AS INT) ELSE
+              |  size(filter(sequence(0, size(t) - 1),
+              |    p -> p >= off AND (p - off) % 20 < 3)) END""".stripMargin)
+            .as("n_masked"),
+          expr(
+            """CASE WHEN size(t) < 8 THEN text ELSE
+              |  array_join(filter(transform(sequence(0, size(t) - 1), p ->
+              |    CASE WHEN p >= off AND (p - off) % 20 < 3 THEN
+              |      CASE WHEN (p - off) % 20 = 0 THEN
+              |        concat('<extra_id_',
+              |               CAST((p - off) div 20 AS STRING), '>') END
+              |    ELSE element_at(t, p + 1) END),
+              |    x -> x IS NOT NULL), ' ') END""".stripMargin).as("input"),
+          expr(
+            """CASE WHEN size(t) < 8 THEN '' ELSE
+              |  array_join(filter(transform(sequence(0, size(t) - 1), p ->
+              |    CASE WHEN p >= off AND (p - off) % 20 < 3 THEN
+              |      CASE WHEN (p - off) % 20 = 0 THEN
+              |        concat('<extra_id_',
+              |               CAST((p - off) div 20 AS STRING), '> ',
+              |               element_at(t, p + 1))
+              |      ELSE element_at(t, p + 1) END
+              |    END), x -> x IS NOT NULL), ' ') END""".stripMargin)
+            .as("target"))
+    }),
+
     // L5c: unigram language-model scoring — mean log-probability of a
     // document under the corpus unigram distribution, the classic cheap
     // fluency/quality signal (gibberish and boilerplate both score off
@@ -986,6 +1036,37 @@ object TextAnalysis {
         |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
         |    '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
         |FROM documents""".stripMargin,
+
+    // l25: same position-grid arithmetic over DuckDB's list lambdas;
+    // '0x'-hex cast ≡ Spark's conv(...,16,10); // ≡ div on the
+    // non-negative (p - off)
+    "l25_span_corruption" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS t,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |      AS INT) % 7 AS off
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(len(t) AS INT) AS n_toks,
+        |  CASE WHEN len(t) < 8 THEN 0 ELSE
+        |    CAST(len(list_filter(range(0, len(t)),
+        |      p -> p >= off AND (p - off) % 20 < 3)) AS INT) END AS n_masked,
+        |  CASE WHEN len(t) < 8 THEN text ELSE
+        |    array_to_string(list_filter(list_transform(range(0, len(t)), p ->
+        |      CASE WHEN p >= off AND (p - off) % 20 < 3 THEN
+        |        CASE WHEN (p - off) % 20 = 0 THEN
+        |          '<extra_id_' || CAST((p - off) // 20 AS VARCHAR) || '>' END
+        |      ELSE t[p + 1] END),
+        |      x -> x IS NOT NULL), ' ') END AS input,
+        |  CASE WHEN len(t) < 8 THEN '' ELSE
+        |    array_to_string(list_filter(list_transform(range(0, len(t)), p ->
+        |      CASE WHEN p >= off AND (p - off) % 20 < 3 THEN
+        |        CASE WHEN (p - off) % 20 = 0 THEN
+        |          '<extra_id_' || CAST((p - off) // 20 AS VARCHAR) || '> '
+        |            || t[p + 1]
+        |        ELSE t[p + 1] END
+        |      END), x -> x IS NOT NULL), ' ') END AS target
+        |FROM t""".stripMargin,
 
     // l23: the oracle recomputes the mode via the explode-and-count
     // form the engine refuses (per-doc GROUP BY token + MAX) — the

@@ -169,6 +169,42 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("l25 span corruption is lossless: input + target reassemble the doc") {
+    import spark.implicits._
+    for (seed <- 1L to 5L) {
+      val docs = sample(Gen.listOfN(15, Gen.choose(8, 60)
+        .flatMap(n => Gen.listOfN(n, tokenGen).map(_.mkString(" ")))), seed)
+      val rows = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      // run the SHIPPED entry against a scratch fixture dir so the law
+      // covers the real expressions, not a copy of them
+      val dir = java.nio.file.Files.createTempDirectory(s"l25_law_$seed")
+      rows.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length(col("text")))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = graft.operators.TextAnalysis
+        .queries("l25_span_corruption")(spark, dir.toString)
+        .collect().map(r => (r.getLong(0),
+          (r.getInt(2), r.getString(3), r.getString(4)))).toMap
+      docs.zipWithIndex.foreach { case (text, i) =>
+        val (nMasked, input, target) = got(i.toLong)
+        // parse target into sentinel -> span tokens
+        val spans = scala.collection.mutable.Map.empty[String, List[String]]
+        var cur: String = null
+        target.split(" ").filter(_.nonEmpty).foreach { tok =>
+          if (tok.startsWith("<extra_id_")) { cur = tok; spans(cur) = Nil }
+          else spans(cur) = spans(cur) :+ tok
+        }
+        val rebuilt = input.split(" ").filter(_.nonEmpty).flatMap { tok =>
+          if (tok.startsWith("<extra_id_")) spans(tok) else Seq(tok)
+        }.mkString(" ")
+        assert(rebuilt === text, s"seed=$seed doc=$i")
+        assert(nMasked === spans.values.map(_.size).sum, s"seed=$seed doc=$i")
+        assert(nMasked > 0, s"seed=$seed doc=$i (n>=8 must mask)")
+      }
+    }
+  }
+
   test("l23 repetition stats ≡ scala brute force (mode fold + bigram distinct)") {
     import spark.implicits._
     for (seed <- 1L to 8L) {
