@@ -400,6 +400,29 @@ object Joins {
     // version, no dedup is needed. At 100 TB the dimension is
     // key-cardinality (broadcast or key-clustered SMJ), the fact side
     // shuffles at most once on its own key.
+    // J15: NULL-SAFE EQUI JOIN (r12) — `<=>` / IS NOT DISTINCT FROM,
+    // the join-key NULL semantics the equality family leaves open: a
+    // plain equi join silently DROPS every NULL-keyed row (NULL = NULL
+    // is NULL), while null-safe equality matches the NULL group like
+    // any other value — the semantics a fact table with an "unknown"
+    // dimension key needs to keep its unknowns visible instead of
+    // vanishing from the report. The fixture has no NULL keys, so the
+    // 'en' majority is NULLIF'd into one (the biggest group becomes the
+    // NULL group — the drop would be maximally visible if it happened).
+    // Spark plans EqualNullSafe as a HASH join key (coalesce-wrapped
+    // internally), so the plan is the same broadcast/shuffled hash join
+    // as a plain equi join — no nested loop, scale shape unchanged.
+    "j15_nullsafe_join" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), expr("NULLIF(lang, 'en')").as("lk"),
+          col("n_chars"))
+      val dim = docs.groupBy(col("lk"))
+        .agg(count(lit(1)).as("grp_n"),
+          expr("CAST(SUM(n_chars) AS BIGINT)").as("grp_chars"))
+      docs.join(dim, docs("lk") <=> dim("lk"))
+        .select(col("doc_id"), col("grp_n"), col("grp_chars"))
+    }),
+
     "j14_temporal_join" -> ((s, d) => {
       val day = 86400000000L
       val t0 = 1704067200000000L // 2024-01-01 00:00:00 UTC, epoch µs
@@ -748,6 +771,20 @@ object Joins {
 
     // j14: 1704067200000000 = 2024-01-01 00:00:00 UTC in epoch µs;
     // 86400000000 = one day
+    // j15: IS NOT DISTINCT FROM ≡ Spark's <=>; the NULL group (the
+    // NULLIF'd 'en' majority) must appear in the output or the hash
+    // breaks — a plain-equality oracle would lose 44% of the rows
+    "j15_nullsafe_join" ->
+      """WITH d AS (
+        |  SELECT doc_id, NULLIF(lang, 'en') AS lk, n_chars FROM documents
+        |), g AS (
+        |  SELECT lk, COUNT(*) AS grp_n,
+        |    CAST(SUM(n_chars) AS BIGINT) AS grp_chars
+        |  FROM d GROUP BY lk
+        |)
+        |SELECT d.doc_id, g.grp_n, g.grp_chars
+        |FROM d JOIN g ON d.lk IS NOT DISTINCT FROM g.lk""".stripMargin,
+
     "j14_temporal_join" ->
       """WITH u AS (
         |  SELECT DISTINCT user_id FROM events

@@ -186,10 +186,13 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
   // filtered top-k's metadata join must stay equi joins — a cartesian
   // on either would be the quadratic blow-up these operators exist to
   // refuse (l24 over documents², l3f over embeddings × documents)
-  test("l24/l3f plans contain no cartesian operator") {
+  test("l24/l3f/j15 plans contain no cartesian operator") {
     for ((q, m) <- Seq(
         "l24_cross_source_overlap" -> graft.operators.Dedup.queries,
-        "l3f_filtered_topk" -> graft.operators.Similarity.queries)) {
+        "l3f_filtered_topk" -> graft.operators.Similarity.queries,
+        // j15: EqualNullSafe must plan as a HASH join key (Spark wraps
+        // it in coalesce internally), never a nested loop
+        "j15_nullsafe_join" -> graft.operators.Joins.queries)) {
       val p = plan(m(q)(spark, sf("sf0.001")))
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
