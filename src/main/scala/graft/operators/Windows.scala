@@ -193,6 +193,38 @@ object Windows {
     // a deterministic function of two exact scaled-long sums (NULL on
     // the first day and on a zero denominator in both engines via
     // NULLIF semantics).
+    // W13: EXACT ROLLING DISTINCT COUNT (r12) — 7-day rolling active
+    // users, the dashboard metric Spark has NO native form for
+    // (COUNT(DISTINCT) OVER is unsupported, and buffering each
+    // window's user set is memory-quadratic in window length). The
+    // scalable exact form is RANGE EXPANSION over the (user, day)
+    // grid: a user counts toward day D iff some visit day d ∈ [D−6, D]
+    // is their FIRST visit inside that window ⇔ prev_visit < D−6 ⇔
+    // D ∈ [max(d, prev+7), d+6] — so each grid row contributes a ≤7-day
+    // interval of report days, exploded and counted. Cost: one distinct
+    // to the grid (key-cardinality × days), one per-user lag window
+    // over the grid, one ≤7× grid-sized explode + partial-agg count —
+    // never a per-day rescan, never a distinct-set buffer. The dense
+    // day spine comes from the grid's own bounds so zero-activity days
+    // report 0.
+    "w13_rolling_distinct" -> ((s, d) => {
+      val ud = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day_no"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day_no"))
+      val contrib = ud.withColumn("pd", lag(col("day_no"), 1).over(w))
+        .select(explode(expr(
+          """sequence(CASE WHEN pd IS NULL THEN day_no
+            |         ELSE GREATEST(day_no, pd + 7) END,
+            |         day_no + 6)""".stripMargin)).as("day_no"))
+        .groupBy(col("day_no")).agg(count(lit(1)).as("au7"))
+      val spine = ud.agg(min(col("day_no")).as("lo"), max(col("day_no")).as("hi"))
+        .select(explode(expr("sequence(lo, hi)")).as("day_no"))
+      spine.join(contrib, Seq("day_no"), "left")
+        .select(col("day_no"), coalesce(col("au7"), lit(0L)).as("au7"))
+    }),
+
     "w12_period_over_period" -> ((s, d) => {
       val daily = Tables.events(s, d)
         .groupBy(col("event_type"),
@@ -384,6 +416,21 @@ object Windows {
         |  COUNT(*) AS n_purchases_7d,
         |  epoch_us(MIN(ts)) - epoch_us(signup_ts) AS usecs_to_convert
         |FROM p GROUP BY user_id, signup_ts""".stripMargin,
+
+    // w13: the oracle recomputes each day's window with the direct
+    // per-day COUNT(DISTINCT) rescan the engine's range expansion
+    // exists to avoid — day-count-sized correlation, fine at gate scale
+    "w13_rolling_distinct" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day_no
+        |  FROM events
+        |), b AS (SELECT MIN(day_no) AS lo, MAX(day_no) AS hi FROM ud),
+        |spine AS (SELECT unnest(range(lo, hi + 1)) AS day_no FROM b)
+        |SELECT s.day_no,
+        |  (SELECT COUNT(DISTINCT u.user_id) FROM ud u
+        |   WHERE u.day_no BETWEEN s.day_no - 6 AND s.day_no) AS au7
+        |FROM spine s""".stripMargin,
 
     "w12_period_over_period" ->
       """WITH daily AS (

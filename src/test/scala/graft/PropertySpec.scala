@@ -169,6 +169,36 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("w13 range expansion ≡ brute-force rolling distinct on random visit sets") {
+    import spark.implicits._
+    for (seed <- 1L to 6L) {
+      val visits = sample(Gen.listOfN(80, for {
+        u <- Gen.choose(1L, 8L); d <- Gen.choose(0L, 30L)
+      } yield (u, d)), seed).distinct
+      // the entry's exact algorithm, run on this grid (same expressions)
+      val ud = visits.toDF("user_id", "day_no")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"day_no")
+      val contrib = ud.withColumn("pd", lag($"day_no", 1).over(w))
+        .select(explode(expr(
+          """sequence(CASE WHEN pd IS NULL THEN day_no
+            |         ELSE GREATEST(day_no, pd + 7) END,
+            |         day_no + 6)""".stripMargin)).as("day_no"))
+        .groupBy($"day_no").agg(count(lit(1)).as("au7"))
+      val spine = ud.agg(min($"day_no").as("lo"), max($"day_no").as("hi"))
+        .select(explode(expr("sequence(lo, hi)")).as("day_no"))
+      val got = spine.join(contrib, Seq("day_no"), "left")
+        .select($"day_no", coalesce($"au7", lit(0L)).as("au7"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val lo = visits.map(_._2).min; val hi = visits.map(_._2).max
+      (lo to hi).foreach { day =>
+        val want = visits.filter { case (_, d) => d >= day - 6 && d <= day }
+          .map(_._1).distinct.size.toLong
+        assert(got(day) === want, s"seed=$seed day=$day")
+      }
+    }
+  }
+
   test("l25 span corruption is lossless: input + target reassemble the doc") {
     import spark.implicits._
     for (seed <- 1L to 5L) {
