@@ -239,8 +239,12 @@ object PipelineOps {
       val toks = split(col("text"), " ")
       val sw = size(filter(toks, t =>
         t.isin(graft.operators.TextAnalysis.Stopwords: _*)))
-      val tier = when(sw * 4 >= size(toks), lit("high")) // ≥25 % stopwords
-        .when(sw * 10 >= size(toks), lit("mid"))         // ≥10 %
+      // tier cuts sized to the FIXTURE's stopword-ratio distribution
+      // (median ~6%, p75 ~8.2% — the original ≥25%/≥10% cuts left the
+      // high tier EMPTY corpus-wide, a vacuous keep-all clause, the f16
+      // lesson): ≥1/12 ≈ top quartile, ≥1/25 ≈ median-and-up
+      val tier = when(sw * 12 >= size(toks), lit("high"))
+        .when(sw * 25 >= size(toks), lit("mid"))
         .otherwise(lit("tail"))
       val bucket = substring(md5(concat(lit("qs:"),
         col("doc_id").cast(StringType)).cast(BinaryType)), 1, 4)
@@ -250,6 +254,47 @@ object PipelineOps {
       Tables.documents(s, d)
         .filter(bucket < rate)
         .select(col("doc_id"), tier.as("tier"), col("n_chars"))
+    }),
+
+    // M30: CURRICULUM PACKING (r12) — the data-ORDERING knob the
+    // mixture/packing family (m9 packs, m10/m16 weight, m29 scores)
+    // left open: documents are globally ordered quality-tier-first
+    // (m29's stopword-ratio tiers, md5 tiebreak — content-addressed,
+    // zero RNG state) and greedily packed into fixed token-budget bins
+    // IN THAT ORDER, so early training bins hold the most fluent prose
+    // — the curriculum-learning schedule as a deterministic dataset
+    // transform. The global running sum is the same two-level sharded
+    // prefix machinery as m4/m9/m10 with the shard key = tier ||
+    // md5-hex-prefix: lexicographic shard order ≡ the (tier, pri)
+    // curriculum order, so parallelism scales with 3·16^k shards while
+    // a naive global window would serialize the corpus onto one task.
+    // Per-bin output (count, tokens, top-tier density) makes the
+    // curriculum gradient itself the hash-checked property.
+    "m30_curriculum_pack" -> ((s, d) => {
+      val toksC = split(col("text"), " ")
+      val sw = size(filter(toksC, t =>
+        t.isin(graft.operators.TextAnalysis.Stopwords: _*)))
+      val tier = when(sw * 12 >= size(toksC), lit("0")) // top fluency quartile
+        .when(sw * 25 >= size(toksC), lit("1"))          // median and up
+        .otherwise(lit("2"))
+      val docs = Tables.documents(s, d)
+      val k = hexShardChars(
+        docs.queryExecution.optimizedPlan.stats.sizeInBytes, 1, 64L << 20)
+      val t = docs.select(col("doc_id"),
+          size(toksC).cast(LongType).as("n_toks"),
+          tier.as("tier"),
+          md5(col("doc_id").cast(StringType).cast(BinaryType)).as("pri"))
+        .withColumn("__shard", concat(col("tier"), substring(col("pri"), 1, k)))
+        .withColumn("__g", lit("all"))
+      shardedRunningSum(t, "__g", "__shard",
+          Seq(col("pri"), col("doc_id")), "n_toks", "cum", 3L << (4 * k))
+        .select(expr("(cum - n_toks) div 8192").as("bin"),
+          col("n_toks"), col("tier"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("CAST(SUM(n_toks) AS BIGINT)").as("tokens"),
+          expr("CAST(SUM(CASE WHEN tier = '0' THEN 1 ELSE 0 END) AS BIGINT)")
+            .as("n_top_tier"))
     }),
 
     // M4: per-stratum token budgeting — order each source's docs by a
@@ -1551,6 +1596,36 @@ object PipelineOps {
         |FROM f WHERE dur_s IS NOT NULL
         |GROUP BY user_id HAVING SUM(dur_s) > 0""".stripMargin,
 
+    // m30: plain global window on the oracle side (the serialization
+    // the engine's sharded form exists to avoid); same stopword list
+    // and md5 tiebreak as m29/m3
+    "m30_curriculum_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |    len(list_filter(string_split(text, ' '),
+        |      x -> list_contains(['the','a','of','and','to','in','is'], x)))
+        |      AS sw,
+        |    md5(CAST(doc_id AS VARCHAR)) AS pri
+        |  FROM documents
+        |), u AS (
+        |  SELECT doc_id, n_toks, pri,
+        |    CASE WHEN sw * 12 >= n_toks THEN '0'
+        |         WHEN sw * 25 >= n_toks THEN '1' ELSE '2' END AS tier
+        |  FROM t
+        |), o AS (
+        |  SELECT tier, n_toks,
+        |    CAST(SUM(n_toks) OVER (ORDER BY tier, pri, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM u
+        |)
+        |SELECT (cum - n_toks) // 8192 AS bin, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_toks) AS BIGINT) AS tokens,
+        |  CAST(SUM(CASE WHEN tier = '0' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_top_tier
+        |FROM o GROUP BY 1""".stripMargin,
+
     // m29: same stopword list as l5/l13; the keep decision re-derives
     // from md5('qs:' || doc_id) in both engines
     "m29_quality_sampling" ->
@@ -1563,8 +1638,8 @@ object PipelineOps {
         |  FROM documents
         |), s AS (
         |  SELECT doc_id, n_chars,
-        |    CASE WHEN sw * 4 >= nt THEN 'high'
-        |         WHEN sw * 10 >= nt THEN 'mid'
+        |    CASE WHEN sw * 12 >= nt THEN 'high'
+        |         WHEN sw * 25 >= nt THEN 'mid'
         |         ELSE 'tail' END AS tier
         |  FROM t
         |)
