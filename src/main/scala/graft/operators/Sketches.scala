@@ -62,6 +62,30 @@ object Sketches {
           .as("est_users"))
     }),
 
+    // K7: SKETCHED ROLLING DISTINCT (r12) — w13's approximate twin,
+    // completing the exact/sketch pairing for the rolling-window class
+    // (a3/a4 pair it for plain distinct, k4/a8 for quantiles, k6/a14
+    // for frequency). One HLL sketch per day (key-sized), then each
+    // day's sketch REPLICATED to the ≤7 report days it covers and
+    // unioned per report day — at 100 TB the fact table is touched
+    // once; the rolling union runs over days × 7 sketches of ~KB each,
+    // which is the entire point: w13's exact form must rescan the
+    // (user, day) grid, this one re-aggregates nothing. Rows-only by
+    // necessity (estimates have no SQL oracle); SketchSpec pins the
+    // estimate within the HLL error band of w13's exact answer for
+    // every day.
+    "k7_rolling_distinct_hll" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("day_no"))
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      daily
+        .select(explode(expr("sequence(day_no, day_no + 6)")).as("day_no"),
+          col("sk"))
+        .groupBy(col("day_no"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("au7_est"))
+        .join(daily.select(col("day_no")), Seq("day_no"), "left_semi")
+    }),
+
     // K4: MERGEABLE QUANTILE sketches — k3's pattern for quantiles,
     // which Spark itself cannot do (percentile_approx's digest is not a
     // storable/unionable value): per-(event_type, day) KLL sketches of

@@ -58,6 +58,26 @@ class SketchSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("k7 sketched rolling distinct within HLL error band of w13's exact answer") {
+    val exact = graft.operators.Windows
+      .queries("w13_rolling_distinct")(spark, sf("sf0.001"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val est = graft.operators.Sketches
+      .queries("k7_rolling_distinct_hll")(spark, sf("sf0.001"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toDouble).toMap
+    assert(est.nonEmpty)
+    // lgConfigK=12 → rsd ≈ 1.625%; 3σ band. Fixture cardinalities sit
+    // in HLL's near-exact sparse regime, so this is a loose ceiling.
+    est.foreach { case (day, e) =>
+      val x = exact(day).toDouble
+      assert(x > 0 && math.abs(e - x) / x <= 0.05,
+        s"day=$day est=$e exact=$x")
+    }
+    // every estimated day is an exact-spine day with events (the k7
+    // report-day contract: days with >=1 event)
+    assert(est.keySet.subsetOf(exact.keySet))
+  }
+
   test("k4 KLL merge algebra: union of daily sketches holds every value; quantiles within rank error") {
     val d = sf("sf0.01")
     val ev = Tables.events(spark, d)
