@@ -99,11 +99,14 @@ object Aggregates {
     }),
 
     // A6: HAVING — post-aggregation filter on the aggregate value.
+    // (r12: threshold 20 exceeded every sf0.001 group's count — an
+    // empty, vacuous HAVING at the parity-gate SF; 14 keeps AND drops
+    // groups at every fixture SF, so both branches stay live)
     "a6_having" -> ((s, d) => {
       Tables.orders(s, d)
         .groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("n_orders"))
-        .filter(col("n_orders") > 20)
+        .filter(col("n_orders") > 14)
     }),
 
     // A7: collect_list, canonicalized to a sorted comma-joined string so
@@ -332,7 +335,7 @@ object Aggregates {
 
     "a6_having" ->
       """SELECT o_custkey, COUNT(*) AS n_orders FROM orders
-        |GROUP BY o_custkey HAVING COUNT(*) > 20""".stripMargin,
+        |GROUP BY o_custkey HAVING COUNT(*) > 14""".stripMargin,
 
     "a7_collect_list" ->
       """SELECT o_custkey,

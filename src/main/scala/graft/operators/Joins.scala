@@ -60,9 +60,14 @@ object Joins {
     }),
 
     // J5: left anti = NOT EXISTS.
+    // (r12: the original unfiltered form was VACUOUS — every fixture
+    // customer has an order, so the anti join returned zero rows and
+    // never exercised keep-the-unmatched; the big-order filter leaves
+    // 202 survivors at sf0.01, so both branches of the anti semantics
+    // are live in the hash)
     "j5_left_anti" -> ((s, d) => {
       val c = Tables.customer(s, d)
-      val o = Tables.orders(s, d)
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
     }),
@@ -681,7 +686,8 @@ object Joins {
 
     "j5_left_anti" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
 
     "j6_multiway" ->
       s"""SELECT r_name,

@@ -44,10 +44,13 @@ object Projections {
     }),
 
     // P4: range / comparison predicates on number + timestamp.
+    // (r12: the original < 1995-01-01 bound PREDATED the fixture's
+    // earliest shipdate, so the range filter matched nothing — a
+    // vacuous pushdown pin; the 1996 bound keeps 861 rows at sf0.01)
     "p4_filter_range" -> ((s, d) => {
       Tables.lineitem(s, d)
         .filter(col("l_quantity") > 45 &&
-          col("l_shipdate") < lit("1995-01-01").cast(TimestampType))
+          col("l_shipdate") < lit("1996-01-01").cast(TimestampType))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     }),
 
@@ -132,7 +135,7 @@ object Projections {
 
     "p4_filter_range" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        |WHERE l_quantity > 45 AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'""".stripMargin,
+        |WHERE l_quantity > 45 AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'""".stripMargin,
 
     "p5_filter_in" ->
       """SELECT c_custkey, c_mktsegment FROM customer
