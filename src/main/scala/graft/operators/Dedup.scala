@@ -555,8 +555,17 @@ object Dedup {
     // L1: exact dedup by content hash — keep the smallest doc_id per
     // md5(text). groupBy on the hash = one shuffle keyed by digest; at
     // 100 TB the digest groupBy is the canonical exact-dedup plan.
+    // The fixture corpus contains ZERO byte-identical texts (checked
+    // r12 — every n_copies was 1, so the collapse semantics never
+    // fired: a vacuous pin), so exact duplicates are SYNTHESIZED
+    // deterministically, the m2 updates precedent: every doc_id % 10
+    // == 0 doc re-enters under id + 1e6. The hash now pins multi-copy
+    // groups (min-id winner, true copy counts) at every SF.
     "l1_exact_dedup" -> ((s, d) => {
-      Tables.documents(s, d)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val copies = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      docs.unionByName(copies)
         .groupBy(md5(col("text").cast(BinaryType)).as("text_md5"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
         .select(col("doc_id"), col("text_md5"), col("n_copies"))
@@ -716,7 +725,10 @@ object Dedup {
     // groupBy keyed on the canonical URL — the l1 exact-dedup plan
     // shape, one shuffle at any corpus size.
     "l17_url_dedup" -> ((s, d) => {
-      val g = (col("doc_id") % 500).cast(StringType)
+      // g collides at EVERY fixture SF (r12: % 500 left each article id
+      // unique below 5000 docs, so the canon collapse never merged at
+      // the sf0.001/sf0.01 correctness gates — vacuous there)
+      val g = (col("doc_id") % 20).cast(StringType)
       val url = concat(lit("https://"),
         when(col("doc_id") % 3 === 0, "Crawl.Example.COM")
           .when(col("doc_id") % 3 === 1, "crawl.example.com")
@@ -1260,9 +1272,14 @@ object Dedup {
         |WHERE c.text_md5 IS NULL""".stripMargin,
 
     "l1_exact_dedup" ->
-      """SELECT min(doc_id) AS doc_id, md5(text) AS text_md5,
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+        |)
+        |SELECT min(doc_id) AS doc_id, md5(text) AS text_md5,
         |  COUNT(*) AS n_copies
-        |FROM documents GROUP BY md5(text)""".stripMargin,
+        |FROM all_docs GROUP BY md5(text)""".stripMargin,
 
     // l24: same quadratic-oracle stance as l2e, aggregated per source
     // pair — agreement proves the engine's expanded pair set is exactly
@@ -1340,10 +1357,10 @@ object Dedup {
         |         WHEN 1 THEN 'crawl.example.com'
         |         ELSE 'CRAWL.EXAMPLE.COM' END ||
         |    CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END ||
-        |    '/articles/' || (doc_id % 500) ||
+        |    '/articles/' || (doc_id % 20) ||
         |    CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END || '?' ||
-        |    CASE WHEN doc_id % 4 < 2 THEN 'id=' || (doc_id % 500) || '&ref=home'
-        |         ELSE 'ref=home&id=' || (doc_id % 500) END ||
+        |    CASE WHEN doc_id % 4 < 2 THEN 'id=' || (doc_id % 20) || '&ref=home'
+        |         ELSE 'ref=home&id=' || (doc_id % 20) END ||
         |    CASE WHEN doc_id % 2 = 1
         |         THEN '&utm_source=feed&utm_campaign=c' || (doc_id % 9)
         |         ELSE '' END ||

@@ -244,16 +244,24 @@ object TextAnalysis {
     }),
 
     // L7: composed quality filter — the document-retention predicate of
-    // a training-data pipeline (length, stopword ratio, charset, lang).
+    // a training-data pipeline (length band, stopword-ratio band, lang
+    // allowlist). r12 recut every predicate to the fixture's actual
+    // distributions — the originals (10..2000 tokens, ratio < 0.35, a
+    // charset regex the pre-cleaned corpus satisfies by construction,
+    // all five langs allowed) dropped ZERO documents at every SF, a
+    // fully vacuous retention pin. Now each clause drops rows on its
+    // own: length keeps the [15, 80] band (~120 drops at sf0.01), the
+    // stopword band [0.02, 0.15) drops both the non-natural low tail
+    // and the stuffed high tail (~70), and the latin-pipeline lang
+    // allowlist excludes zh (~75) — 329 of 500 survive.
     "l7_quality_filter" -> ((s, d) => {
       Tables.documents(s, d)
         .withColumn("n_toks", size(toks))
         .withColumn("stop_ratio",
           size(filter(toks, t => t.isin(Stopwords: _*))).cast(DoubleType) / col("n_toks"))
-        .filter(col("n_toks").between(10, 2000) &&
-          col("stop_ratio") < lit(0.35) &&
-          col("text").rlike("^[a-z0-9 ]+$") &&
-          col("lang").isin("en", "es", "zh", "fr", "de"))
+        .filter(col("n_toks").between(15, 80) &&
+          col("stop_ratio") >= lit(0.02) && col("stop_ratio") < lit(0.15) &&
+          col("lang").isin("en", "es", "fr", "de"))
         .select(col("doc_id"), col("n_toks"), round(col("stop_ratio"), 6).as("stop_ratio"))
     }),
 
@@ -984,10 +992,9 @@ object TextAnalysis {
          |)
          |SELECT doc_id, CAST(n_toks AS INT) AS n_toks, round(stop_ratio, 6) AS stop_ratio
          |FROM m
-         |WHERE n_toks BETWEEN 10 AND 2000
-         |  AND stop_ratio < 0.35
-         |  AND regexp_matches(text, '^[a-z0-9 ]+$$')
-         |  AND lang IN ('en', 'es', 'zh', 'fr', 'de')""".stripMargin,
+         |WHERE n_toks BETWEEN 15 AND 80
+         |  AND stop_ratio >= 0.02 AND stop_ratio < 0.15
+         |  AND lang IN ('en', 'es', 'fr', 'de')""".stripMargin,
 
     "l5c_unigram_logprob" ->
       """WITH words AS (
