@@ -662,17 +662,24 @@ object PipelineOps {
     // bill at any scale: one digest agg + the budget family's
     // source-clustered exchange — a fused curation pass over 100 TB
     // costs exactly its stages, not stages × materializations.
+    // (r12: the gate now uses l7's recut live predicates and the input
+    // carries l1's synthesized exact duplicates — the original gate
+    // dropped nothing and the corpus has no byte-identical texts, so
+    // two of the three fused stages were running vacuously)
     "m20_curation_pipeline" -> ((s, d) => {
       val toksM20 = split(col("text"), " ")
-      val gated = Tables.documents(s, d)
+      val baseM20 = Tables.documents(s, d)
+      val docsM20 = baseM20.unionByName(
+        baseM20.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      val gated = docsM20
         .withColumn("n_toks", size(toksM20).cast(LongType))
         .withColumn("stop_ratio",
           size(filter(toksM20, t => t.isin(TextAnalysis.Stopwords: _*)))
             .cast(DoubleType) / col("n_toks"))
-        .filter(col("n_toks").between(10, 2000) &&
-          col("stop_ratio") < lit(0.35) &&
-          col("text").rlike("^[a-z0-9 ]+$") &&
-          col("lang").isin("en", "es", "zh", "fr", "de"))
+        .filter(col("n_toks").between(15, 80) &&
+          col("stop_ratio") >= lit(0.02) && col("stop_ratio") < lit(0.15) &&
+          col("lang").isin("en", "es", "fr", "de"))
       val kept = gated
         .groupBy(md5(col("text").cast(BinaryType)).as("text_md5"))
         .agg(min(struct(col("doc_id"), col("source"), col("n_toks"))).as("r"))
@@ -701,17 +708,21 @@ object PipelineOps {
       val obsIn = Observation()
       val obsGate = Observation()
       val tk = split(col("text"), " ")
-      val input = Tables.documents(s, d).observe(obsIn,
-        count(lit(1)).as("n_input"), sum(col("n_chars")).as("chars_input"))
+      // same live gate + synthesized-duplicate input as m20 (r12)
+      val baseM22 = Tables.documents(s, d)
+      val input = baseM22.unionByName(
+          baseM22.filter(col("doc_id") % 10 === 0)
+            .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+        .observe(obsIn,
+          count(lit(1)).as("n_input"), sum(col("n_chars")).as("chars_input"))
       val gated = input
         .withColumn("n_toks", size(tk).cast(LongType))
         .withColumn("stop_ratio",
           size(filter(tk, t => t.isin(TextAnalysis.Stopwords: _*)))
             .cast(DoubleType) / col("n_toks"))
-        .filter(col("n_toks").between(10, 2000) &&
-          col("stop_ratio") < lit(0.35) &&
-          col("text").rlike("^[a-z0-9 ]+$") &&
-          col("lang").isin("en", "es", "zh", "fr", "de"))
+        .filter(col("n_toks").between(15, 80) &&
+          col("stop_ratio") >= lit(0.02) && col("stop_ratio") < lit(0.15) &&
+          col("lang").isin("en", "es", "fr", "de"))
         .observe(obsGate, count(lit(1)).as("n_after_gate"),
           sum(col("n_toks")).as("toks_after_gate"))
       val nDedup = gated
@@ -1440,19 +1451,24 @@ object PipelineOps {
         |WHERE cum_toks <= budget""".stripMargin,
 
     "m20_curation_pipeline" ->
-      s"""WITH t AS (
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, source, text, lang FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, source, text, lang FROM documents
+         |  WHERE doc_id % 10 = 0
+         |), t AS (
          |  SELECT doc_id, source, text, lang,
-         |    string_split(text, ' ') AS tk FROM documents
+         |    string_split(text, ' ') AS tk FROM all_docs
          |), g AS (
          |  SELECT doc_id, source, text,
          |    CAST(len(tk) AS BIGINT) AS n_toks,
          |    CAST(len(list_filter(tk, x -> list_contains(${TextAnalysis.stopSql}, x))) AS DOUBLE) / len(tk) AS stop_ratio
          |  FROM t
-         |  WHERE len(tk) BETWEEN 10 AND 2000
-         |    AND regexp_matches(text, '^[a-z0-9 ]+$$')
-         |    AND lang IN ('en', 'es', 'zh', 'fr', 'de')
+         |  WHERE len(tk) BETWEEN 15 AND 80
+         |    AND lang IN ('en', 'es', 'fr', 'de')
          |), gated AS (
-         |  SELECT doc_id, source, text, n_toks FROM g WHERE stop_ratio < 0.35
+         |  SELECT doc_id, source, text, n_toks FROM g
+         |  WHERE stop_ratio >= 0.02 AND stop_ratio < 0.15
          |), kept AS (
          |  SELECT doc_id, source, n_toks FROM (
          |    SELECT doc_id, source, n_toks,
@@ -1466,21 +1482,29 @@ object PipelineOps {
          |  FROM kept) WHERE cum_toks <= 5000""".stripMargin,
 
     "m22_observed_curation" ->
-      s"""WITH t AS (
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text, lang, n_chars FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text, lang, n_chars FROM documents
+         |  WHERE doc_id % 10 = 0
+         |), t AS (
          |  SELECT doc_id, text, lang, string_split(text, ' ') AS tk
-         |  FROM documents
+         |  FROM all_docs
          |), g AS (
-         |  SELECT doc_id, text, CAST(len(tk) AS BIGINT) AS n_toks
+         |  SELECT doc_id, text, CAST(len(tk) AS BIGINT) AS n_toks,
+         |    CAST(len(list_filter(tk, x -> list_contains(${TextAnalysis.stopSql}, x)))
+         |          AS DOUBLE) / len(tk) AS stop_ratio
          |  FROM t
-         |  WHERE len(tk) BETWEEN 10 AND 2000
+         |  WHERE len(tk) BETWEEN 15 AND 80
          |    AND CAST(len(list_filter(tk, x -> list_contains(${TextAnalysis.stopSql}, x)))
-         |          AS DOUBLE) / len(tk) < 0.35
-         |    AND regexp_matches(text, '^[a-z0-9 ]+$$')
-         |    AND lang IN ('en', 'es', 'zh', 'fr', 'de')
+         |          AS DOUBLE) / len(tk) >= 0.02
+         |    AND CAST(len(list_filter(tk, x -> list_contains(${TextAnalysis.stopSql}, x)))
+         |          AS DOUBLE) / len(tk) < 0.15
+         |    AND lang IN ('en', 'es', 'fr', 'de')
          |)
          |SELECT
-         |  (SELECT COUNT(*) FROM documents) AS n_input,
-         |  (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents) AS chars_input,
+         |  (SELECT COUNT(*) FROM all_docs) AS n_input,
+         |  (SELECT CAST(SUM(n_chars) AS BIGINT) FROM all_docs) AS chars_input,
          |  COUNT(*) AS n_after_gate,
          |  CAST(SUM(n_toks) AS BIGINT) AS toks_after_gate,
          |  COUNT(DISTINCT md5(text)) AS n_after_dedup
