@@ -73,6 +73,20 @@ class MergeIntoSpec extends AnyFunSuite with SparkTestBase {
     assert(result(tbl) === Set((1L, 10L, "a"), (2L, 20L, "stale")))
   }
 
+  test("star forms: UPDATE SET * / INSERT * resolve through the rewrite") {
+    val tbl = freshTarget(Seq((1L, 10L, "a"), (2L, 20L, "b")))
+    import spark.implicits._
+    // source schema matches the target column-for-column (star contract)
+    Seq((2L, 200L, "B"), (3L, 300L, "C")).toDF("k", "v", "tag")
+      .createOrReplaceTempView("merge_src")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING merge_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(result(tbl) === Set(
+      (1L, 10L, "a"), (2L, 200L, "B"), (3L, 300L, "C")))
+  }
+
   test("ambiguous match (two source rows per target row) errors") {
     val tbl = freshTarget(Seq((1L, 10L, "a")))
     import spark.implicits._
