@@ -559,12 +559,14 @@ object Dedup {
     // r12 — every n_copies was 1, so the collapse semantics never
     // fired: a vacuous pin), so exact duplicates are SYNTHESIZED
     // deterministically, the m2 updates precedent: every doc_id % 10
-    // == 0 doc re-enters under id + 1e6. The hash now pins multi-copy
-    // groups (min-id winner, true copy counts) at every SF.
+    // == 0 doc re-enters under id + 2^40 (an offset no fixture SF can
+    // reach, so synthetic ids can never collide with real doc_ids —
+    // ADVICE r12; m20/m22 use the same offset). The hash pins
+    // multi-copy groups (min-id winner, true copy counts) at every SF.
     "l1_exact_dedup" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val copies = docs.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .select((col("doc_id") + 1099511627776L).as("doc_id"), col("text"))
       docs.unionByName(copies)
         .groupBy(md5(col("text").cast(BinaryType)).as("text_md5"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
@@ -1275,7 +1277,7 @@ object Dedup {
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+        |  SELECT doc_id + 1099511627776, text FROM documents WHERE doc_id % 10 = 0
         |)
         |SELECT min(doc_id) AS doc_id, md5(text) AS text_md5,
         |  COUNT(*) AS n_copies

@@ -671,7 +671,7 @@ object PipelineOps {
       val baseM20 = Tables.documents(s, d)
       val docsM20 = baseM20.unionByName(
         baseM20.filter(col("doc_id") % 10 === 0)
-          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+          .withColumn("doc_id", col("doc_id") + lit(1099511627776L)))
       val gated = docsM20
         .withColumn("n_toks", size(toksM20).cast(LongType))
         .withColumn("stop_ratio",
@@ -712,7 +712,7 @@ object PipelineOps {
       val baseM22 = Tables.documents(s, d)
       val input = baseM22.unionByName(
           baseM22.filter(col("doc_id") % 10 === 0)
-            .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+            .withColumn("doc_id", col("doc_id") + lit(1099511627776L)))
         .observe(obsIn,
           count(lit(1)).as("n_input"), sum(col("n_chars")).as("chars_input"))
       val gated = input
@@ -1454,7 +1454,7 @@ object PipelineOps {
       s"""WITH all_docs AS (
          |  SELECT doc_id, source, text, lang FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 1000000, source, text, lang FROM documents
+         |  SELECT doc_id + 1099511627776, source, text, lang FROM documents
          |  WHERE doc_id % 10 = 0
          |), t AS (
          |  SELECT doc_id, source, text, lang,
@@ -1485,7 +1485,7 @@ object PipelineOps {
       s"""WITH all_docs AS (
          |  SELECT doc_id, text, lang, n_chars FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 1000000, text, lang, n_chars FROM documents
+         |  SELECT doc_id + 1099511627776, text, lang, n_chars FROM documents
          |  WHERE doc_id % 10 = 0
          |), t AS (
          |  SELECT doc_id, text, lang, string_split(text, ' ') AS tk

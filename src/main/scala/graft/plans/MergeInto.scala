@@ -3,12 +3,14 @@ package graft.plans
 import org.apache.spark.sql.{Row, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.{CatalogTable, HiveTableRelation}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.FullOuter
+import org.apache.spark.sql.catalyst.expressions.aggregate.Count
+import org.apache.spark.sql.catalyst.plans.{FullOuter, LeftAnti}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.LongType
 
 /** SQL `MERGE INTO` over plain-parquet catalog tables (SURVEY §2B SQL13).
   *
@@ -26,27 +28,47 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * Execution shape (all distributed, nothing driver-side but the job
   * orchestration):
   *
-  *  1. FULL OUTER join target × source on the merge condition, each
-  *     side carrying a presence marker — one shuffle pair (or broadcast
-  *     when the source is small, which is the common CDC-batch case:
-  *     AQE promotes it from measured sizes).
-  *  2. Every output column is a CASE over the WHEN clauses in declared
+  *  1. INSERT-ONLY merges (no MATCHED / NOT MATCHED BY SOURCE clauses —
+  *     the common CDC dedup-insert batch) take a fast path: target rows
+  *     are untouchable by construction, so the plan is target UNION
+  *     (source LEFT ANTI target → INSERT projections). No full-outer
+  *     join, no row-id window, and — per SQL:2016, which only rejects
+  *     multi-matches that would UPDATE/DELETE a target row — no
+  *     cardinality question: several source rows per existing key are
+  *     legal and simply not inserted (ADVICE r12; upstream's shape).
+  *  2. Otherwise: FULL OUTER join target × source on the merge
+  *     condition, each side carrying a presence marker and a side-local
+  *     row id — one shuffle pair (or broadcast when the source is
+  *     small; AQE promotes it from measured sizes).
+  *  3. ONE window pass over the join output, partitioned by the target
+  *     row id (source-only rows fall into singleton partitions keyed by
+  *     the source row id): a count of the matched rows that fire a
+  *     MATCHED clause drives the SQL:2016 ambiguous-match error
+  *     in-stream (an AssertTrue in the survival filter — no separate
+  *     cardinality job; r12 ran a second full target⋈source pass for
+  *     this), and a row_number (clause-firing rows first, then source
+  *     row id) deduplicates multi-matched target rows so the output
+  *     carries exactly one row per target row even when the check is
+  *     disabled (spark.graft.merge.cardinalityCheck=false previously
+  *     emitted one kept row per match — silent duplication, ADVICE
+  *     r12).
+  *  4. Every output column is a CASE over the WHEN clauses in declared
   *     order (first matching clause wins, per SQL:2016); a keep flag
   *     encodes DELETE and the drop of source-only rows no INSERT clause
   *     accepts. MATCHED / NOT MATCHED [BY SOURCE] classes are disjoint
   *     by the marker predicates.
-  *  3. The merged rows are written to a scratch dir, read back, and
+  *  5. The merged rows are written to a scratch dir, read back, and
   *     INSERT OVERWRITE'd into the target — the read-back breaks the
   *     self-overwrite lineage v1 refuses ("Cannot overwrite a path that
   *     is also being read from"). Non-atomic across the two steps, the
   *     declared v1-table deviation from Delta's transactional commit.
+  *     A cardinality violation throws during the SCRATCH write, so the
+  *     target is never touched on error.
   *
-  * Cardinality: SQL requires erroring when a target row matches more
-  * than one source row (the update would be ambiguous). Checked by a
-  * separate aggregation job over the inner join (count per target row
-  * id) — one extra pass, skippable for trusted-unique sources via
-  * `spark.graft.merge.cardinalityCheck=false`. Delta runs the same
-  * check inside its join; a bare parquet CoW has no place to hide it.
+  * Scale: one target scan + one source scan + the join's shuffle pair +
+  * one window shuffle keyed by the (unique) target row id — no second
+  * join, no driver-side materialization. The window key is unique per
+  * target row, so it cannot skew.
   */
 object MergeIntoParquetRewrite extends Rule[LogicalPlan] {
 
@@ -68,82 +90,16 @@ object MergeIntoParquetRewrite extends Rule[LogicalPlan] {
 case class GraftMergeIntoCommand(merge: MergeIntoTable)
   extends LeafRunnableCommand {
 
+  import GraftMergeIntoCommand._
+
   override def output: Seq[Attribute] = Seq.empty
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val tgt = merge.targetTable
-    val src = merge.sourceTable
-    val table = MergeIntoParquetRewrite.v1Table(tgt).getOrElse(
+    val table = MergeIntoParquetRewrite.v1Table(merge.targetTable).getOrElse(
       throw new IllegalStateException("MERGE target is not a v1 catalog table"))
-
-    // presence markers: non-null exactly when that side produced the row
-    val tMark = Alias(Literal(true), "__graft_t")()
-    val sMark = Alias(Literal(true), "__graft_s")()
-    val joined = Join(
-      Project(tgt.output :+ tMark, tgt),
-      Project(src.output :+ sMark, src),
-      FullOuter, Some(merge.mergeCondition), JoinHint.NONE)
-    val tRef = tMark.toAttribute.withNullability(true)
-    val sRef = sMark.toAttribute.withNullability(true)
-    val matched = And(IsNotNull(tRef), IsNotNull(sRef))
-    val tgtOnly = And(IsNotNull(tRef), IsNull(sRef))
-    val srcOnly = And(IsNull(tRef), IsNotNull(sRef))
-
-    // WHEN clauses in declared order, each guarded by its row class;
-    // classes are disjoint so cross-class order is immaterial, within a
-    // class the CASE gives first-match-wins
-    def guard(cls: Expression, cond: Option[Expression]): Expression =
-      cond.map(And(cls, _)).getOrElse(cls)
-    val branches: Seq[(Expression, MergeAction)] =
-      merge.matchedActions.map(a => (guard(matched, a.condition), a)) ++
-      merge.notMatchedActions.map(a => (guard(srcOnly, a.condition), a)) ++
-      merge.notMatchedBySourceActions.map(a => (guard(tgtOnly, a.condition), a))
-
-    // survival: DELETE drops, UPDATE/INSERT keep; unclaimed rows keep
-    // iff the target produced them (source-only rows need an INSERT)
-    val keep = CaseWhen(
-      branches.map { case (c, a) => (c, Literal(a.isInstanceOf[DeleteAction] == false)) },
-      Some(IsNotNull(tRef)))
-
-    def assigned(a: MergeAction, attr: Attribute): Option[Expression] = {
-      def find(as: Seq[Assignment]): Option[Expression] = as.collectFirst {
-        case Assignment(k: Attribute, v) if k.semanticEquals(attr) => v
-      }
-      a match {
-        case u: UpdateAction => find(u.assignments)
-        // INSERT: unassigned target columns become NULL
-        case i: InsertAction =>
-          Some(find(i.assignments).getOrElse(Literal(null, attr.dataType)))
-        case _ => None // DELETE rows are dropped by `keep`
-      }
-    }
-    val outCols: Seq[NamedExpression] = tgt.output.map { attr =>
-      val cases = branches.flatMap { case (c, a) =>
-        assigned(a, attr).map { v =>
-          (c, if (v.dataType == attr.dataType) v else Cast(v, attr.dataType))
-        }
-      }
-      val e = if (cases.isEmpty) attr else CaseWhen(cases, Some(attr))
-      Alias(e, attr.name)()
-    }
-    val mergedPlan = Project(outCols, Filter(keep, joined))
-
-    if (spark.conf.get("spark.graft.merge.cardinalityCheck", "true").toBoolean) {
-      // ambiguous-match guard: >1 source row per target row is an error
-      // (SQL:2016 14.12 GR 6). Inner join multiplicity per target row id;
-      // the id only has to be stable within this one job.
-      val tid = Alias(MonotonicallyIncreasingID(), "__graft_tid")()
-      val j2 = Join(Project(tgt.output :+ tid, tgt), src,
-        org.apache.spark.sql.catalyst.plans.Inner,
-        Some(merge.mergeCondition), JoinHint.NONE)
-      val dup = ColumnBridge.ofRows(spark, j2)
-        .groupBy(org.apache.spark.sql.functions.col(tid.name))
-        .count().where(org.apache.spark.sql.functions.col("count") > 1)
-        .limit(1).count()
-      if (dup > 0) throw new UnsupportedOperationException(
-        "MERGE: a target row matches more than one source row " +
-          "(set spark.graft.merge.cardinalityCheck=false to skip this check)")
-    }
+    val checkCardinality =
+      spark.conf.get("spark.graft.merge.cardinalityCheck", "true").toBoolean
+    val mergedPlan = mergedPlanFor(merge, checkCardinality)
 
     // copy-on-write: scratch-materialize, read back (breaks the
     // self-overwrite lineage), INSERT OVERWRITE by position
@@ -161,5 +117,180 @@ case class GraftMergeIntoCommand(merge: MergeIntoTable)
     }
     rm(new java.io.File(scratch).getParentFile)
     Seq.empty
+  }
+}
+
+object GraftMergeIntoCommand {
+
+  /** The value an action assigns to `attr`, if any. Non-Attribute
+    * assignment keys (a resolved `UPDATE SET structCol.field = …` has a
+    * GetStructField key) are rejected loudly in [[mergedPlanFor]] —
+    * silently missing them here kept the old column value with no error
+    * (ADVICE r12).
+    */
+  private def assigned(a: MergeAction, attr: Attribute): Option[Expression] = {
+    def find(as: Seq[Assignment]): Option[Expression] = as.collectFirst {
+      case Assignment(k: Attribute, v) if k.semanticEquals(attr) => v
+    }
+    a match {
+      case u: UpdateAction => find(u.assignments)
+      // INSERT: unassigned target columns become NULL
+      case i: InsertAction =>
+        Some(find(i.assignments).getOrElse(Literal(null, attr.dataType)))
+      case _ => None // DELETE rows are dropped by `keep`
+    }
+  }
+
+  /** One output column per target attribute: first-matching-clause-wins
+    * CASE over `branches`, falling back to `dflt` (the unchanged target
+    * value, or NULL for the insert-only path's source rows).
+    */
+  private def outputColumns(tgtOutput: Seq[Attribute],
+      branches: Seq[(Expression, MergeAction)],
+      dflt: Attribute => Option[Expression]): Seq[NamedExpression] =
+    tgtOutput.map { attr =>
+      val cases = branches.flatMap { case (c, a) =>
+        assigned(a, attr).map { v =>
+          (c, if (v.dataType == attr.dataType) v else Cast(v, attr.dataType))
+        }
+      }
+      val e = if (cases.isEmpty) dflt(attr).getOrElse(attr)
+      else CaseWhen(cases, dflt(attr))
+      Alias(e, attr.name)()
+    }
+
+  /** The complete merged-rows logical plan (public within the object for
+    * MergeIntoSpec, which pins the one-pass shape structurally: exactly
+    * one Join and at most one Window, so the cardinality check can never
+    * quietly regress into a second target⋈source pass).
+    */
+  private[graft] def mergedPlanFor(merge: MergeIntoTable,
+      checkCardinality: Boolean): LogicalPlan = {
+    val tgt = merge.targetTable
+    val src = merge.sourceTable
+
+    // reject nested-field assignments loudly: `assigned` only matches
+    // top-level Attribute keys, so a GetStructField key would silently
+    // keep the old column value (ADVICE r12)
+    (merge.matchedActions ++ merge.notMatchedActions ++
+      merge.notMatchedBySourceActions).foreach {
+      case u: UpdateAction => u.assignments.foreach(a => a.key match {
+        case _: Attribute => ()
+        case other => throw new UnsupportedOperationException(
+          s"MERGE: nested-field assignment (${other.sql}) is not supported " +
+            "for parquet targets")
+      })
+      case i: InsertAction => i.assignments.foreach(a => a.key match {
+        case _: Attribute => ()
+        case other => throw new UnsupportedOperationException(
+          s"MERGE: nested-field INSERT column (${other.sql}) is not " +
+            "supported for parquet targets")
+      })
+      case _ => ()
+    }
+
+    if (merge.matchedActions.isEmpty && merge.notMatchedBySourceActions.isEmpty) {
+      // INSERT-ONLY fast path: target rows untouchable → anti-join shape,
+      // no cardinality semantics to enforce (see the class scaladoc §1)
+      val anti = Join(src, tgt, LeftAnti, Some(merge.mergeCondition), JoinHint.NONE)
+      val branches: Seq[(Expression, MergeAction)] =
+        merge.notMatchedActions.map(a =>
+          (a.condition.getOrElse(Literal(true)), a))
+      val keep = CaseWhen(
+        branches.map { case (c, _) => (c, Literal(true)) }, Some(Literal(false)))
+      val inserted = Project(
+        outputColumns(tgt.output, branches,
+          attr => Some(Literal(null, attr.dataType))),
+        Filter(keep, anti))
+      return Union(Seq(tgt, inserted))
+    }
+
+    // presence markers: non-null exactly when that side produced the
+    // row; side-local row ids drive the cardinality window (unique
+    // within one evaluation is all they need to be)
+    val tMark = Alias(Literal(true), "__graft_t")()
+    val sMark = Alias(Literal(true), "__graft_s")()
+    val tid = Alias(MonotonicallyIncreasingID(), "__graft_tid")()
+    val sid = Alias(MonotonicallyIncreasingID(), "__graft_sid")()
+    val joined = Join(
+      Project(tgt.output :+ tMark :+ tid, tgt),
+      Project(src.output :+ sMark :+ sid, src),
+      FullOuter, Some(merge.mergeCondition), JoinHint.NONE)
+    val tRef = tMark.toAttribute.withNullability(true)
+    val sRef = sMark.toAttribute.withNullability(true)
+    val tidRef = tid.toAttribute.withNullability(true)
+    val sidRef = sid.toAttribute.withNullability(true)
+    val matched = And(IsNotNull(tRef), IsNotNull(sRef))
+    val tgtOnly = And(IsNotNull(tRef), IsNull(sRef))
+    val srcOnly = And(IsNull(tRef), IsNotNull(sRef))
+
+    // WHEN clauses in declared order, each guarded by its row class;
+    // classes are disjoint so cross-class order is immaterial, within a
+    // class the CASE gives first-match-wins
+    def guard(cls: Expression, cond: Option[Expression]): Expression =
+      cond.map(And(cls, _)).getOrElse(cls)
+    val matchedBranches: Seq[(Expression, MergeAction)] =
+      merge.matchedActions.map(a => (guard(matched, a.condition), a))
+    val branches: Seq[(Expression, MergeAction)] =
+      matchedBranches ++
+      merge.notMatchedActions.map(a => (guard(srcOnly, a.condition), a)) ++
+      merge.notMatchedBySourceActions.map(a => (guard(tgtOnly, a.condition), a))
+
+    // ONE window, keyed by the target row id (source-only rows become
+    // singleton partitions via their own id — a unique key can't skew):
+    //  - mc = how many matched rows fire a MATCHED clause on this target
+    //    row (the SQL:2016 14.12 GR 6 ambiguity count)
+    //  - rn = 1 on the single row that represents this target row in the
+    //    output: clause-firing rows first (so a lone UPDATE/DELETE always
+    //    wins over pass-through copies), then source row id for a
+    //    deterministic pick when the check is disabled
+    val fires = CaseWhen(
+      branches.map { case (c, _) => (c, Literal(true)) }, Some(Literal(false)))
+    val partKeys: Seq[Expression] =
+      Seq(tidRef, If(IsNull(tidRef), sidRef, Literal(null, LongType)))
+    val order = Seq(
+      SortOrder(fires, Descending), SortOrder(sidRef, Ascending))
+    val mcSpec = WindowSpecDefinition(partKeys, order,
+      SpecifiedWindowFrame(RowFrame, UnboundedPreceding, UnboundedFollowing))
+    val rnSpec = WindowSpecDefinition(partKeys, order,
+      SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))
+    // no MATCHED clauses (e.g. only NOT MATCHED BY SOURCE + INSERT):
+    // nothing can act on a multi-matched row, so no ambiguity exists —
+    // the count is a constant null and the guard below is skipped
+    val matchedFired =
+      if (matchedBranches.isEmpty) Literal(null, org.apache.spark.sql.types.IntegerType)
+      else CaseWhen(matchedBranches.map { case (c, _) => (c, Literal(1)) }, None)
+    val mc = Alias(WindowExpression(
+      Count(matchedFired).toAggregateExpression(), mcSpec), "__graft_mc")()
+    val rn = Alias(WindowExpression(RowNumber(), rnSpec), "__graft_rn")()
+    val windowed = Window(Seq(mc, rn), partKeys, order, joined)
+    val mcRef = mc.toAttribute
+    val rnRef = rn.toAttribute
+
+    // survival: DELETE drops, UPDATE/INSERT keep; unclaimed rows keep
+    // iff the target produced them (source-only rows need an INSERT);
+    // rn = 1 collapses multi-matched target rows to one output row
+    val keepCase = CaseWhen(
+      branches.map { case (c, a) =>
+        (c, Literal(a.isInstanceOf[DeleteAction] == false)) },
+      Some(IsNotNull(tRef)))
+    // ambiguous-match guard rides the same pass: AssertTrue throws from
+    // inside the scratch write the moment any target row has >1 firing
+    // matches. Leftmost conjunct so it is evaluated for every row,
+    // including rows a DELETE clause would drop (deleting one target row
+    // twice is still ambiguous per the standard). Predicates referencing
+    // window outputs cannot be pushed below the Window, so the check
+    // always sees the full match multiplicity.
+    val keepBase = And(keepCase, EqualTo(rnRef, Literal(1)))
+    val keep = if (checkCardinality && matchedBranches.nonEmpty) {
+      val guardExpr = new AssertTrue(
+        LessThanOrEqual(mcRef, Literal(1L)),
+        Literal("MERGE: a target row matches more than one source row " +
+          "(set spark.graft.merge.cardinalityCheck=false to skip this check)"))
+      And(IsNull(guardExpr), keepBase)
+    } else keepBase
+
+    Project(outputColumns(tgt.output, branches, attr => Some(attr)),
+      Filter(keep, windowed))
   }
 }

@@ -100,8 +100,101 @@ class MergeIntoSpec extends AnyFunSuite with SparkTestBase {
       if (t == null) Nil else t +: causes(t.getCause)
     assert(causes(e).exists(_.getMessage != null) &&
       causes(e).exists(c => Option(c.getMessage).exists(_.contains("more than one source row"))))
-    // and the table is untouched (the check ran before any write)
+    // and the table is untouched (the in-stream check throws during the
+    // SCRATCH write, before the target overwrite)
     assert(result(tbl) === Set((1L, 10L, "a")))
+  }
+
+  test("insert-only merge tolerates multiple source rows per existing key") {
+    // the CDC dedup-insert pattern (ADVICE r12): no MATCHED clause means
+    // no target row can be modified, so multi-matches are legal and the
+    // matched source rows are simply not inserted; unmatched duplicates
+    // are each inserted (SQL: every not-matched source row inserts)
+    val tbl = freshTarget(Seq((1L, 10L, "a")))
+    import spark.implicits._
+    Seq((1L, 100L), (1L, 200L), (9L, 900L), (9L, 901L))
+      .toDF("k", "nv").createOrReplaceTempView("merge_src")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING merge_src s ON t.k = s.k
+         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)""".stripMargin)
+    assert(result(tbl) === Set(
+      (1L, 10L, "a"), (9L, 900L, null), (9L, 901L, null)))
+  }
+
+  test("ambiguous matches that fire no clause keep one unchanged row") {
+    // only matches that would UPDATE/DELETE the target row are ambiguous;
+    // pass-through copies of a multi-matched row collapse to one output
+    val tbl = freshTarget(Seq((1L, 10L, "a")))
+    import spark.implicits._
+    Seq((1L, -5L), (1L, -6L)).toDF("k", "nv").createOrReplaceTempView("merge_src")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING merge_src s ON t.k = s.k
+         |WHEN MATCHED AND s.nv > 0 THEN UPDATE SET v = s.nv""".stripMargin)
+    assert(result(tbl) === Set((1L, 10L, "a")))
+  }
+
+  test("cardinalityCheck=false deduplicates multi-matched target rows") {
+    // with the guard off, the output must still carry exactly ONE row per
+    // target row — the first firing match by source row id (r12 emitted
+    // one kept row per match: silent duplication, ADVICE r12)
+    val tbl = freshTarget(Seq((1L, 10L, "a")))
+    import spark.implicits._
+    Seq((1L, 100L), (1L, 200L)).toDF("k", "nv").createOrReplaceTempView("merge_src")
+    spark.conf.set("spark.graft.merge.cardinalityCheck", "false")
+    try spark.sql(
+      s"""MERGE INTO $tbl t USING merge_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin)
+    finally spark.conf.unset("spark.graft.merge.cardinalityCheck")
+    assert(result(tbl) === Set((1L, 100L, "a")))
+  }
+
+  test("nested-field assignment is rejected loudly, not silently ignored") {
+    val tbl = s"merge_spec_nested"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_$tbl"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(path))
+    spark.sql(s"CREATE TABLE $tbl USING parquet LOCATION '$path' AS " +
+      "SELECT CAST(1 AS BIGINT) AS k, named_struct('f', 10L) AS s")
+    import spark.implicits._
+    Seq((1L, 99L)).toDF("k", "nv").createOrReplaceTempView("merge_src")
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $tbl t USING merge_src u ON t.k = u.k
+           |WHEN MATCHED THEN UPDATE SET t.s.f = u.nv""".stripMargin)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("nested-field"))))
+  }
+
+  test("one-pass plan shape: exactly one join, one window, no second pass") {
+    // structural pin for the r12 verdict item: the cardinality check must
+    // ride the merge's own full-outer join (an in-stream window + assert),
+    // never a second target⋈source job
+    import org.apache.spark.sql.catalyst.expressions.EqualTo
+    import org.apache.spark.sql.catalyst.plans.logical.{Assignment, Join => LJoin,
+      MergeIntoTable, UpdateAction, InsertAction, Window => LWindow}
+    import spark.implicits._
+    val tgtDf = Seq((1L, 10L)).toDF("k", "v")
+    val srcDf = Seq((1L, 100L)).toDF("k2", "nv")
+    val tgtPlan = tgtDf.queryExecution.analyzed
+    val srcPlan = srcDf.queryExecution.analyzed
+    val tk = tgtPlan.output.find(_.name == "k").get
+    val tv = tgtPlan.output.find(_.name == "v").get
+    val sk = srcPlan.output.find(_.name == "k2").get
+    val sv = srcPlan.output.find(_.name == "nv").get
+    val m = MergeIntoTable(tgtPlan, srcPlan, EqualTo(tk, sk),
+      Seq(UpdateAction(None, Seq(Assignment(tv, sv)))),
+      Seq(InsertAction(None, Seq(Assignment(tk, sk), Assignment(tv, sv)))),
+      Seq.empty, withSchemaEvolution = false)
+    val plan = graft.plans.GraftMergeIntoCommand.mergedPlanFor(m, checkCardinality = true)
+    assert(plan.collect { case j: LJoin => j }.size === 1)
+    assert(plan.collect { case w: LWindow => w }.size === 1)
   }
 
   test("merge result hash-stable across reruns (CoW rewrite deterministic)") {

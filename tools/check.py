@@ -42,13 +42,19 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
     def fmt(s: pd.Series) -> pd.Series:
         if pd.api.types.is_float_dtype(s):
-            return s.round(6).map(lambda v: "NULL" if pd.isna(v) else f"{v:.6f}")
+            # v + 0.0 normalizes -0.0 -> 0.0: one engine producing a
+            # negative-zero double (e.g. a rounded difference) would
+            # otherwise format '-0.000000' vs '0.000000' (ADVICE r12)
+            return s.round(6).map(
+                lambda v: "NULL" if pd.isna(v) else f"{v + 0.0:.6f}")
         if pd.api.types.is_datetime64_any_dtype(s):
             out = s.dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
             return out.where(s.notna(), "NULL")
         if pd.api.types.is_integer_dtype(s) or pd.api.types.is_bool_dtype(s):
             return s.map(lambda v: "NULL" if pd.isna(v) else str(v))
-        return s.map(lambda v: "NULL" if pd.isna(v) is True else str(v))
+        # bool(): pd.isna can return numpy.bool_ for numpy scalars, and
+        # `is True` misses it, stringifying NULLs as 'nan' (ADVICE r12)
+        return s.map(lambda v: "NULL" if bool(pd.isna(v)) else str(v))
     return pd.DataFrame({c: fmt(df[c]) for c in df.columns})
 
 def main():
