@@ -35,6 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // MergeIntoTable for the copy-on-write command before CheckAnalysis
     // rejects it (v1 tables have no row-level-operation support)
     e.injectResolutionRule(_ => graft.plans.MergeIntoParquetRewrite)
+    // UPDATE / DELETE over plain-parquet catalog tables: same contract
+    // (strict subsets of the MERGE copy-on-write machinery)
+    e.injectResolutionRule(_ => graft.plans.DmlParquetRewrite)
     GraftExtensions.functions.foreach(e.injectFunction)
   }
 }

@@ -358,9 +358,52 @@ object SqlFrontend {
     s.sql(s"SELECT custkey, n, cents FROM $tbl")
   }
 
+  /** Seed a parquet catalog table with the per-customer 'F'-order
+    * balance (the sql13 shape), run one DML statement against it, and
+    * read the post-state back — the sql14/sql15 harness.
+    */
+  private def dmlOn(s: SparkSession, d: String, name: String, dml: String => String)
+      : org.apache.spark.sql.DataFrame = {
+    withViews(s, d)
+    val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
+    val tbl = s"${name}_balance_$tag"
+    val path = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_$tbl").toString
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(path))
+    s.sql(
+      s"""CREATE TABLE $tbl USING parquet LOCATION '$path' AS
+         |SELECT o_custkey AS custkey, COUNT(*) AS n,
+         |  SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS cents
+         |FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey""".stripMargin)
+    s.sql(dml(tbl))
+    s.sql(s"SELECT custkey, n, cents FROM $tbl")
+  }
+
   val queries: Map[String, Q] = Map(
     "sql11_ctas" -> ((s, d) => ctas(s, d)),
     "sql13_merge_into" -> ((s, d) => mergeInto(s, d)),
+
+    // SQL14: UPDATE statement on a parquet catalog table (r13) — the
+    // backfill-fix DML vanilla Spark rejects on v1 tables; executed by
+    // [[graft.plans.DmlParquetRewrite]]'s copy-on-write command. The
+    // WHERE hits most but not all rows at every fixture SF (sf0.001:
+    // 123 of 145 customers have n >= 2), so both the assignment and the
+    // keep-old-value branch are live; the oracle recomputes the
+    // post-state from the raw orders.
+    "sql14_update" -> ((s, d) => dmlOn(s, d, "sql14", tbl =>
+      s"UPDATE $tbl SET cents = cents + n * 100, n = n + 1 WHERE n >= 2")),
+
+    // SQL15: DELETE statement on a parquet catalog table (r13) — the
+    // GDPR-scrub DML; same rewrite machinery, pure scan+filter+CoW. The
+    // threshold sits below the fixture median so the delete both fires
+    // and leaves survivors at every SF.
+    "sql15_delete" -> ((s, d) => dmlOn(s, d, "sql15", tbl =>
+      s"DELETE FROM $tbl WHERE cents < 50000000")),
     "sql1_tpch_q3" -> ((s, d) => { withViews(s, d); s.sql(q3Sql) }),
     "sql2_scalar_subquery" -> ((s, d) => { withViews(s, d); s.sql(scalarSubSql) }),
     "sql3_grouping_sets" -> ((s, d) => { withViews(s, d); s.sql(groupingSetsSql) }),
@@ -450,6 +493,28 @@ object SqlFrontend {
         |FROM j
         |WHERE NOT (has_t AND has_u AND un >= 5)
         |  AND NOT (has_t AND NOT has_u AND tn >= 3)""".stripMargin,
+
+    // sql14/sql15: post-DML state recomputed from the raw orders (SUMs
+    // cast to BIGINT — the DuckDB HUGEINT convention)
+    "sql14_update" ->
+      """WITH t AS (
+        |  SELECT o_custkey AS custkey, COUNT(*) AS n,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+        |)
+        |SELECT custkey,
+        |  CASE WHEN n >= 2 THEN n + 1 ELSE n END AS n,
+        |  CASE WHEN n >= 2 THEN cents + n * 100 ELSE cents END AS cents
+        |FROM t""".stripMargin,
+
+    "sql15_delete" ->
+      """WITH t AS (
+        |  SELECT o_custkey AS custkey, COUNT(*) AS n,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+        |)
+        |SELECT custkey, n, cents FROM t
+        |WHERE NOT (cents < 50000000)""".stripMargin,
 
     "a10_pivot" ->
       """SELECT user_id,

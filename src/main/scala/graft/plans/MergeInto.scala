@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.{Row, SaveMode, SparkSession}
+import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.{CatalogTable, HiveTableRelation}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.Count
@@ -9,7 +9,6 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.LogicalRelation
-import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.LongType
 
 /** SQL `MERGE INTO` over plain-parquet catalog tables (SURVEY §2B SQL13).
@@ -102,20 +101,9 @@ case class GraftMergeIntoCommand(merge: MergeIntoTable)
     val mergedPlan = mergedPlanFor(merge, checkCardinality)
 
     // copy-on-write: scratch-materialize, read back (breaks the
-    // self-overwrite lineage), INSERT OVERWRITE by position
-    val merged = ColumnBridge.ofRows(spark, mergedPlan)
-    val scratch = java.nio.file.Files
-      .createTempDirectory("graft_merge_").resolve("out").toString
-    merged.write.mode(SaveMode.Overwrite).parquet(scratch)
-    spark.read.schema(merged.schema).parquet(scratch)
-      .write.mode(SaveMode.Overwrite)
-      .insertInto(table.identifier.quotedString)
-    // scratch cleanup is best-effort; the table no longer references it
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-      f.delete()
-    }
-    rm(new java.io.File(scratch).getParentFile)
+    // self-overwrite lineage), INSERT OVERWRITE by position — shared
+    // with the UPDATE/DELETE commands
+    CopyOnWrite.overwrite(spark, table, mergedPlan)
     Seq.empty
   }
 }

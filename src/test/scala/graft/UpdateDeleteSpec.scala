@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL UPDATE / DELETE over plain-parquet catalog tables
+  * (graft.plans.DmlParquetRewrite + the CopyOnWrite commands). The
+  * oracle-facing entries are sql14/sql15; this spec pins the statement
+  * semantics the oracle can't isolate: WHERE-less forms, simultaneous
+  * assignment, three-valued DELETE predicates, and rerun determinism.
+  */
+class UpdateDeleteSpec extends AnyFunSuite with SparkTestBase {
+
+  private var n = 0
+  /** Fresh parquet catalog table with (k BIGINT, v BIGINT, tag STRING). */
+  private def freshTarget(rows: Seq[(Long, Long, String)]): String = {
+    n += 1
+    val tbl = s"dml_spec_t$n"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_$tbl"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(path))
+    import spark.implicits._
+    rows.toDF("k", "v", "tag").createOrReplaceTempView("dml_seed")
+    spark.sql(
+      s"CREATE TABLE $tbl USING parquet LOCATION '$path' AS SELECT * FROM dml_seed")
+    tbl
+  }
+
+  private def result(tbl: String): Set[(Long, Long, String)] =
+    spark.sql(s"SELECT k, v, tag FROM $tbl").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSet
+
+  test("UPDATE with WHERE touches only matching rows") {
+    val tbl = freshTarget(Seq((1L, 10L, "a"), (2L, 20L, "b")))
+    spark.sql(s"UPDATE $tbl SET v = v + 1 WHERE k = 1")
+    assert(result(tbl) === Set((1L, 11L, "a"), (2L, 20L, "b")))
+  }
+
+  test("WHERE-less UPDATE rewrites every row") {
+    val tbl = freshTarget(Seq((1L, 10L, "a"), (2L, 20L, "b")))
+    spark.sql(s"UPDATE $tbl SET tag = 'all'")
+    assert(result(tbl) === Set((1L, 10L, "all"), (2L, 20L, "all")))
+  }
+
+  test("assignments are simultaneous: every RHS sees the OLD row") {
+    // SQL semantics: UPDATE SET v = k, k = v swaps — the second
+    // assignment must not observe the first one's result
+    val tbl = freshTarget(Seq((3L, 30L, "a")))
+    spark.sql(s"UPDATE $tbl SET v = k, k = v")
+    assert(result(tbl) === Set((30L, 3L, "a")))
+  }
+
+  test("DELETE with WHERE removes only rows where the predicate is TRUE") {
+    // three-valued semantics: a NULL-evaluating predicate KEEPS the row
+    val tbl = freshTarget(Seq((1L, 10L, "drop"), (2L, 20L, "keep"), (3L, 30L, null)))
+    spark.sql(s"DELETE FROM $tbl WHERE tag = 'drop'")
+    assert(result(tbl) === Set((2L, 20L, "keep"), (3L, 30L, null)))
+  }
+
+  test("WHERE-less DELETE empties the table") {
+    val tbl = freshTarget(Seq((1L, 10L, "a"), (2L, 20L, "b")))
+    spark.sql(s"DELETE FROM $tbl")
+    assert(spark.sql(s"SELECT * FROM $tbl").count() === 0)
+  }
+
+  test("nested-field UPDATE assignment is rejected loudly") {
+    val tbl = "dml_spec_nested"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_$tbl"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(path))
+    spark.sql(s"CREATE TABLE $tbl USING parquet LOCATION '$path' AS " +
+      "SELECT CAST(1 AS BIGINT) AS k, named_struct('f', 10L) AS s")
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE $tbl SET s.f = 99")
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("nested-field"))))
+  }
+
+  test("UPDATE and DELETE are rerun-deterministic (CoW rewrite stable)") {
+    def run(): Set[(Long, Long, String)] = {
+      val tbl = freshTarget(Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c")))
+      spark.sql(s"UPDATE $tbl SET v = v * 2 WHERE k >= 2")
+      spark.sql(s"DELETE FROM $tbl WHERE v > 50")
+      result(tbl)
+    }
+    assert(run() === run())
+  }
+}
