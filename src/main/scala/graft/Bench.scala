@@ -225,17 +225,33 @@ object Bench {
         s""""load_gate":${gateEvents.mkString("[", ",", "]")},""" +
         s""""queries":$qs,"sf":"$sfDir"}"""
       println(lastLine)
-      // ≤300-char summary printed LAST (see shortLine doc): total, count,
-      // worst external-CPU stamp, hot count, and a fixed 6-query headline
-      // subset so the line still satisfies the driver's schema shape.
+      // FULL-INVENTORY line printed LAST, sized for the driver's
+      // 2000-char stdout tail (r12 verdict missing #5: only 6 of 203
+      // medians survived the tail; the 3-decimal compact line outgrew it
+      // at ~190 queries). Medians ride as INTEGER CENTISECONDS
+      // ("q_unit":"cs") — ~1.75 kB at 208 queries vs 2.4 kB at 3dp —
+      // with a decisecond fallback and, past that, the old 6-query
+      // headline, so the last line is ALWAYS parseable whole. Full
+      // 3-decimal per-query detail stays in the record file.
+      val extPeak = perPass.flatMap(_.values.map(_.ext)).foldLeft(0.0)(math.max)
+      def tail(unit: String, scale: Double): String = {
+        val qs = med.map { case (k, v, _) =>
+          "\"" + k.takeWhile(_ != '_') + "\":" +
+            (if (v >= 0) math.round(v * scale).toString else "-1")
+        }.mkString("{", ",", "}")
+        s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":$runs,""" +
+        s""""n":${med.count(_._2 >= 0)},"ext_peak":${f3(extPeak)},""" +
+        s""""hot_n":${hotAll.size},"q_unit":"$unit","queries":$qs,"sf":"$sfDir"}"""
+      }
       val headline = med.filter(_._2 >= 0).sortBy(_._1).take(6)
         .map { case (k, v, _) => "\"" + k.takeWhile(_ != '_') + "\":" + f3(v) }
         .mkString("{", ",", "}")
-      val extPeak = perPass.flatMap(_.values.map(_.ext)).foldLeft(0.0)(math.max)
-      shortLine =
+      val headLine =
         s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":$runs,""" +
         s""""n":${med.count(_._2 >= 0)},"ext_peak":${f3(extPeak)},""" +
         s""""hot_n":${hotAll.size},"queries":$headline,"sf":"$sfDir"}"""
+      shortLine = Seq(tail("cs", 100.0), tail("ds", 10.0), headLine)
+        .find(_.length <= 1950).getOrElse(headLine)
       println(shortLine)
       System.out.flush()
       val passJson = perPass.map(p =>

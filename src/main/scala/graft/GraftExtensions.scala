@@ -64,6 +64,13 @@ object GraftExtensions {
       info("normalize_nfc",
         "normalize_nfc(str) - Unicode NFC normalization (tokenizer-prep)"),
       (exprs: Seq[Expression]) => NormalizeNfc(exprs.head)),
+    // custom UDTF (Catalyst Generator): overlapping token windows —
+    // usable from SQL via LATERAL VIEW chunk_spans(tokens, size, stride)
+    (FunctionIdentifier("chunk_spans"),
+      info("chunk_spans",
+        "chunk_spans(tokens, size, stride) - UDTF emitting overlapping token windows as (chunk_idx, chunk) rows"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.ChunkSpans(exprs.head, exprs(1), exprs(2))),
     // Spark ships BloomFilterMightContain for its internal runtime
     // filters but exposes no SQL name for it; register one so a
     // serialized `df.stat.bloomFilter` can prefilter from plain SQL.

@@ -40,7 +40,8 @@ object SparkEntry {
     (SqlFrontend.queries, SqlFrontend.oracles),
     (Sketches.queries, Sketches.oracles),
     (PipelineOps.queries, PipelineOps.oracles),
-    (Pq.queries, Pq.oracles)
+    (Pq.queries, Pq.oracles),
+    (graft.streaming.Streams.queries, graft.streaming.Streams.oracles)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

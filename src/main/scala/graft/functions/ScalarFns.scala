@@ -222,6 +222,25 @@ object ScalarFns {
             .as("zipped"))
     }),
 
+    // F19: custom UDTF — the Catalyst Generator [[ChunkSpans]] invoked
+    // FROM SQL TEXT via LATERAL VIEW, resolved through the session
+    // FunctionRegistry (the one extension surface F8's built-in explode
+    // left unexercised; SURVEY §2B UDF summary). Overlapping token
+    // windows (size 30, stride 24 → 6-token overlap) over each doc; the
+    // oracle re-expresses the window arithmetic as DuckDB list slices
+    // (the m6 pattern at different dials), so the generator's emission
+    // order, chunk boundaries, and tail handling are all hash-pinned.
+    // FunctionsSpec additionally pins equality with the
+    // sequence+posexplode composition it replaces.
+    "f19_udtf_chunks" -> ((s, d) => {
+      graft.GraftExtensions.ensureFunctions(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .createOrReplaceTempView("f19_docs")
+      s.sql("""SELECT doc_id, chunk_idx, chunk FROM f19_docs
+              |LATERAL VIEW chunk_spans(t, 30, 24) AS chunk_idx, chunk""".stripMargin)
+    }),
+
     // F14: VARIANT — Spark 4's semi-structured type (the shredded-JSON
     // path the lakehouse format war converged on): parse once into the
     // binary variant encoding, then typed field extraction without
@@ -334,6 +353,20 @@ object ScalarFns {
   )
 
   val oracles: Map[String, String] = Map(
+    // f19: the generator's window arithmetic re-expressed as DuckDB
+    // list slices — ceil(len/stride) chunks, last tail short
+    "f19_udtf_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, CAST(ceil(len(tk) / 24.0) AS INT))) AS chunk_idx,
+        |    unnest(list_transform(range(0, CAST(ceil(len(tk) / 24.0) AS INT)),
+        |      i -> array_to_string(tk[i*24+1 : i*24+30], ' '))) AS chunk
+        |  FROM t
+        |)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk FROM c""".stripMargin,
+
     "f1_string_fns" ->
       """SELECT p_partkey,
         |  p_brand || '/' || p_type AS brand_type,

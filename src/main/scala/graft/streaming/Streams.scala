@@ -402,4 +402,55 @@ object Streams {
       .transformWithState(new RunningStats,
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
   }
+
+  /** T22 (r13): STREAM/BATCH PARITY under the external oracle — the one
+    * streaming scenario graded by DuckDB instead of the engine's own
+    * asserts (STREAM_r{N} scenarios t1–t21 check literal expected values,
+    * but the checker is still this codebase; VERDICT r12 missing #4).
+    * The fixture events feed a REAL incremental execution — NDJSON files
+    * consumed one per micro-batch (maxFilesPerTrigger=1, so the tumbling
+    * aggregation accumulates state across ≥4 triggers and the final
+    * table is the merge of per-batch increments, not a single batch in
+    * disguise) — and the finished table must equal what DuckDB computes
+    * from the same events with plain GROUP BY: Structured Streaming's
+    * core contract (the incremental execution of a query ≡ its batch
+    * execution on the same data). Times ride as epoch-µs longs end to
+    * end (the w7 convention), so the feed round-trip adds no
+    * format/timezone surface. Watermark late-drop stays t5's scenario —
+    * a dropped row is exactly what would break THIS parity.
+    */
+  val queries: Map[String, graft.Tables.Q] = Map(
+    "t22_stream_batch_parity" -> ((s, d) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val feed = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_t22_feed_${Integer.toHexString(d.hashCode)}").toString
+      graft.Tables.events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+        .repartition(4).write.mode("overwrite").json(feed)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("us", LongType),
+        StructField("event_type", StringType)))
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").json(feed)
+        .withColumn("ts", timestamp_micros(col("us")))
+      val q = stream
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName("t22_final")
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("t22_final")
+        .select(unix_micros(col("window.start")).as("win_us"),
+          col("event_type"), col("n"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // the batch side of the parity contract: plain GROUP BY over the
+    // same events, window start = epoch-aligned 5-minute floor in µs
+    "t22_stream_batch_parity" ->
+      """SELECT (epoch_us(ts) // 300000000) * 300000000 AS win_us,
+        |  event_type, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
 }

@@ -192,4 +192,43 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getLong(0) === 907060870L) // public CRC-32 of "hello"
     assert(r.getString(1) === "5d41402abc4b2a76b9719d911017c592")
   }
+
+  test("ChunkSpans UDTF ≡ the sequence+posexplode composition (F19 law)") {
+    // the generator must emit exactly what the built-in composition it
+    // replaces emits — same chunk boundaries, order, and tail handling
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    graft.GraftExtensions.ensureFunctions(spark)
+    docs.createOrReplaceTempView("fspec_docs")
+    val viaUdtf = spark.sql(
+      """SELECT doc_id, chunk_idx, chunk FROM fspec_docs
+        |LATERAL VIEW chunk_spans(t, 30, 24) AS chunk_idx, chunk""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val viaCompose = docs
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0),
+          ceil(size(col("t")).cast("double") / 24).cast("int") - 1),
+        i => concat_ws(" ", slice(col("t"), i * 24 + 1, lit(30))))))
+      .select(col("doc_id"), col("pos").cast("long"), col("col"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(viaUdtf === viaCompose)
+    assert(viaUdtf.nonEmpty)
+  }
+
+  test("ChunkSpans edges: null and empty arrays generate no rows; tail is short") {
+    import spark.implicits._
+    graft.GraftExtensions.ensureFunctions(spark)
+    Seq(
+      (1L, Some(Seq("a", "b", "c", "d", "e"))),
+      (2L, Some(Seq.empty[String])),
+      (3L, None)
+    ).toDF("id", "t").createOrReplaceTempView("fspec_edge")
+    val rows = spark.sql(
+      """SELECT id, chunk_idx, chunk FROM fspec_edge
+        |LATERAL VIEW chunk_spans(t, 3, 2) AS chunk_idx, chunk""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // id=1, len 5, stride 2 → ceil(5/2)=3 chunks; last starts at 4, one token
+    assert(rows === Set(
+      (1L, 0L, "a b c"), (1L, 1L, "c d e"), (1L, 2L, "e")))
+  }
 }

@@ -67,4 +67,25 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
     val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
     assert(Pq.pqTopK(empty, 3).count() === 0)
   }
+
+  test("codebooks train once, persist, and reload bit-identically") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    // cache transparency: a cached train returns the same centroids a
+    // fresh train would (the deterministic trainer makes this exact)
+    val fresh = Pq.train(emb, m = 8, ksub = 16).get
+    val cached = Pq.cachedTrain(emb, "pqspec-key", m = 8, ksub = 16).get
+    val cached2 = Pq.cachedTrain(emb, "pqspec-key", m = 8, ksub = 16).get
+    assert(cached2 eq cached) // second call is a cache HIT, no retrain
+    def flat(cb: Pq.Codebook): Seq[Double] =
+      cb.centroids.flatten.flatten.toSeq
+    assert(flat(cached) === flat(fresh))
+    // dump → reload round-trip (the fresh-process read path): every
+    // centroid double survives parquet bit-for-bit
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_pqspec_cb"
+    Pq.dumpCodebook(spark, fresh, path)
+    val loaded = Pq.loadCodebook(spark, path)
+    assert(loaded.m === fresh.m && loaded.ksub === fresh.ksub &&
+      loaded.dsub === fresh.dsub)
+    assert(flat(loaded) === flat(fresh))
+  }
 }

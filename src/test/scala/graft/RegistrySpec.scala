@@ -24,7 +24,8 @@ class RegistrySpec extends AnyFunSuite {
     ("SqlFrontend", operators.SqlFrontend.queries, operators.SqlFrontend.oracles),
     ("Sketches", operators.Sketches.queries, operators.Sketches.oracles),
     ("PipelineOps", operators.PipelineOps.queries, operators.PipelineOps.oracles),
-    ("Pq", operators.Pq.queries, operators.Pq.oracles))
+    ("Pq", operators.Pq.queries, operators.Pq.oracles),
+    ("Streams", streaming.Streams.queries, streaming.Streams.oracles))
 
   test("no query key is defined by two modules (shadowing)") {
     val all = modules.flatMap { case (m, qs, _) => qs.keys.map(_ -> m) }

@@ -180,4 +180,37 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     // a gate of 0 forces the block path; results still exact
     assert(asSet(Similarity.exactTopK(emb, 3, broadcastLimit = 0L)) === brute)
   }
+
+  test("topKAgainst: broadcast and block arms agree on a filtered side") {
+    // the l3f shape (VERDICT r12 finding 1): candidates = a metadata-
+    // filtered subset expressed as a LEFT SEMI join, queries = the corpus
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val ids = emb.filter(col("vec_id") % 3 =!= 0).select(col("vec_id"))
+    val cands = emb.join(ids, Seq("vec_id"), "left_semi")
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val bcastArm = Similarity.topKAgainst(emb, cands, 3)
+    val blockArm = Similarity.topKAgainst(emb, cands, 3, broadcastLimit = 0L)
+    assert(asSet(bcastArm) === asSet(blockArm))
+    assert(asSet(bcastArm).nonEmpty)
+  }
+
+  test("topKAgainst gate: arm selection is pinned at both sizes") {
+    // broadcast arm: candidates are collected driver-side, so the
+    // RETURNED plan has no Join at all; block arm: the block-pair
+    // machinery plans the pid equi-join (plus the semi join and the two
+    // broadcast pairIds joins). The semi-join candidate shape keeps the
+    // Catalyst size estimate at the corpus upper bound, so the fixture
+    // corpus sits under the default gate (broadcast), and a gate of 0
+    // provably selects the distributed arm.
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val ids = emb.select(col("vec_id"))
+    val cands = emb.join(ids, Seq("vec_id"), "left_semi")
+    def joins(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.size
+    assert(joins(Similarity.topKAgainst(emb, cands, 3)) === 0)
+    assert(joins(Similarity.topKAgainst(emb, cands, 3, broadcastLimit = 0L)) >= 2)
+  }
 }
