@@ -156,11 +156,7 @@ object Joins {
     // incident. At 100 TB both sides may be fact-sized; the bucketed
     // join shuffles on the cell key instead of building any broadcast.
     "j11_overlap_join" -> ((s, d) => {
-      // localCheckpoint: overlapJoin's span-stats pass consumes the
-      // session frame a second time; pinning the (session-grain, small)
-      // result keeps the sessionize window from running twice
       val sess = graft.operators.PipelineOps.queries("m1_sessionize")(s, d)
-        .localCheckpoint()
       // incident grid from the EVENT span (cheap scan agg — identical
       // to min(session_start)/max(session_end) by construction, without
       // consuming the session subtree twice)
@@ -172,8 +168,14 @@ object Joins {
         col("id").as("incident_id"),
         (lit(t0) + col("id") * lit(step)).as("inc_start"),
         (lit(t0) + col("id") * lit(step) + lit(TwoHoursUs)).as("inc_end"))
+      // every interval on either side lives inside the event span, so
+      // t1−t0 bounds all spans — overlapJoin's stats pass is skipped and
+      // the sessionize window runs exactly ONCE, inside the join itself
+      // (r13; this replaces the localCheckpoint that pinned the session
+      // frame against the stats pass's second consumption)
       overlapJoin(sess, incidents, "session_start", "session_end",
-          "inc_start", "inc_end", TwoHoursUs)
+          "inc_start", "inc_end", TwoHoursUs,
+          knownMaxSpanUs = Some(math.max(t1 - t0, TwoHoursUs)))
         .groupBy(col("incident_id"))
         .agg(count(lit(1)).as("n_sessions"),
           countDistinct(col("user_id")).as("n_users"))
@@ -519,13 +521,23 @@ object Joins {
   def overlapJoin(a: org.apache.spark.sql.DataFrame,
       b: org.apache.spark.sql.DataFrame,
       aS: String, aE: String, bS: String, bE: String,
-      widthUs: Long, maxCellsPerRow: Int = 1024): org.apache.spark.sql.DataFrame = {
-    val spanRow = a.select((col(aE) - col(aS)).as("__sp"))
-      .unionByName(b.select((col(bE) - col(bS)).as("__sp")))
-      .agg(max(col("__sp"))).head()
-    val w =
-      if (spanRow.isNullAt(0)) widthUs
-      else math.max(widthUs, spanRow.getLong(0) / maxCellsPerRow + 1)
+      widthUs: Long, maxCellsPerRow: Int = 1024,
+      knownMaxSpanUs: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    // cell width from the max interval span. A caller that KNOWS an
+    // upper bound on every span (e.g. the whole dataset's time range)
+    // passes it and skips the stats job — which otherwise consumes both
+    // inputs a second time, forcing callers to checkpoint expensive
+    // subtrees (j11's sessionize paid ~1 s for a pass whose answer the
+    // caller could bound for free). Any over-estimate of the span is
+    // safe: w only sizes the cells — a wider w means fewer, wider cells
+    // (more residual-filter work), never a wrong pair.
+    val maxSpan = knownMaxSpanUs.getOrElse {
+      val spanRow = a.select((col(aE) - col(aS)).as("__sp"))
+        .unionByName(b.select((col(bE) - col(bS)).as("__sp")))
+        .agg(max(col("__sp"))).head()
+      if (spanRow.isNullAt(0)) 0L else spanRow.getLong(0)
+    }
+    val w = math.max(widthUs, maxSpan / maxCellsPerRow + 1)
     val ab = a.withColumn("__cell",
       explode(sequence(expr(s"$aS DIV $w"), expr(s"$aE DIV $w"))))
     val bb = b.withColumn("__cell2",

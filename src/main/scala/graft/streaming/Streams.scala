@@ -426,19 +426,29 @@ object Streams {
         s"graft_t22_feed_${Integer.toHexString(d.hashCode)}").toString
       graft.Tables.events(s, d)
         .select(col("event_id"), unix_micros(col("ts")).as("us"), col("event_type"))
-        .repartition(4).write.mode("overwrite").json(feed)
+        .repartition(3).write.mode("overwrite").json(feed)
       val schema = StructType(Seq(
         StructField("event_id", LongType), StructField("us", LongType),
         StructField("event_type", StringType)))
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").json(feed)
         .withColumn("ts", timestamp_micros(col("us")))
-      val q = stream
-        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-        .writeStream.format("memory").queryName("t22_final")
-        .outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
+      // the state-store partition count is fixed by shuffle.partitions at
+      // the stream's FIRST checkpoint; ~25 (window, type) groups need 8
+      // state partitions, not 32 — at 32 each of the ≥3 triggers pays 32
+      // state-store commits of mostly-empty state (measured ~2× the whole
+      // entry). Session conf, restored after the stream stops; queries
+      // run sequentially under both Verify and Bench.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = stream
+          .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream.format("memory").queryName("t22_final")
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table("t22_final")
         .select(unix_micros(col("window.start")).as("win_us"),
           col("event_type"), col("n"))

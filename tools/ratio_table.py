@@ -31,7 +31,9 @@ import pyarrow.parquet as pq
 #    drift from subset composition; new entries never join it.
 # ---------------------------------------------------------------------------
 POLICY_TWINS = {"l2g_minhash_policy", "l2h_simhash_policy",
-                "m5b_cluster_policy", "l12b_semdedup_policy"}
+                "m5b_cluster_policy", "l12b_semdedup_policy",
+                # r13: PQ codebook dump-and-recompute (same stance)
+                "l3g_pq_codes"}
 QUADRATIC_ORACLE = {"l2e_jaccard_dedup", "l2c_shingle_jaccard",
                     "l2d_containment",
                     # r12: same quadratic-pair-join oracle stance as l2e
@@ -50,7 +52,11 @@ FILE_WRITERS = {"s4_csv_roundtrip", "s5_ndjson_roundtrip",
                 # r12 physical-write round-trips: s15 writes two parquet
                 # generations, sql13 CTASes the target then MERGEs (CoW
                 # rewrite) before the read-back
-                "s15_schema_evolution", "sql13_merge_into"}
+                "s15_schema_evolution", "sql13_merge_into",
+                # r13: sql14/sql15 CTAS the target then CoW-rewrite it;
+                # t22 writes its NDJSON feed and runs a multi-trigger
+                # streaming job before the final table exists
+                "sql14_update", "sql15_delete", "t22_stream_batch_parity"}
 PINNED_SUBSET_R10 = [
     "a13_minmax_by", "a14_mode", "a1_ungrouped_agg", "a2_group_agg",
     "a7_collect_list", "f10_casts", "f11_url_fns", "f1_string_fns",
