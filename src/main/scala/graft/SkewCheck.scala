@@ -166,7 +166,13 @@ object SkewCheck {
       // buckets — the partial agg must collapse them map-side)
       Run("m26_time_weighted_avg", "m26_time_weighted_avg"),
       Run("w11_staged_funnel", "w11_staged_funnel"),
-      Run("l22_hashed_features", "l22_hashed_features"))
+      Run("l22_hashed_features", "l22_hashed_features"),
+      // r13: the filtered-top-k BLOCK arm (topKAgainst above its gate,
+      // forced via the conf dial) at full width — the 100 TB shape where
+      // the candidate side can't broadcast; block-pair hashing on
+      // xxhash64(vec_id) must spread the hot-document corpus evenly
+      Run("l3f_filtered_topk_block", "l3f_filtered_topk",
+        wide + ("spark.graft.topk.broadcastLimit" -> "0")))
 
     var allPass = true
     val entries = runs.map { r =>

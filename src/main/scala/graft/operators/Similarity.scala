@@ -741,10 +741,16 @@ object Similarity {
     */
   def topKAgainst(queries: DataFrame, candidates: DataFrame, k: Int,
       broadcastLimit: Long = 2000000L): DataFrame = {
+    // session-conf override for the gate (ops dial + how the skew gate
+    // forces the block arm through a normal query entry); an explicit
+    // caller argument still applies when the conf is unset
+    val limit = queries.sparkSession.conf
+      .getOption("spark.graft.topk.broadcastLimit")
+      .map(_.toLong).getOrElse(broadcastLimit)
     val stats = candidates.queryExecution.optimizedPlan.stats
     val n = stats.rowCount.map(_.toLong)
       .getOrElse(stats.sizeInBytes.toLong / 64L)
-    if (n <= broadcastLimit) bruteTopKAgainst(queries, candidates, k)
+    if (n <= limit) bruteTopKAgainst(queries, candidates, k)
     else blockTopKAgainst(queries, candidates, k)
   }
 

@@ -157,6 +157,12 @@ object GraftMergeIntoCommand {
     val tgt = merge.targetTable
     val src = merge.sourceTable
 
+    // MERGE WITH SCHEMA EVOLUTION would need the CoW rewrite to widen
+    // the target schema; this rewrite projects tgt.output only, which
+    // would silently DROP evolved columns — reject loudly instead
+    if (merge.withSchemaEvolution) throw new UnsupportedOperationException(
+      "MERGE WITH SCHEMA EVOLUTION is not supported for parquet targets")
+
     // reject nested-field assignments loudly: `assigned` only matches
     // top-level Attribute keys, so a GetStructField key would silently
     // keep the old column value (ADVICE r12)

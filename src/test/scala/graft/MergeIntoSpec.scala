@@ -172,6 +172,21 @@ class MergeIntoSpec extends AnyFunSuite with SparkTestBase {
       Option(c.getMessage).exists(_.contains("nested-field"))))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION is rejected loudly (would drop columns)") {
+    val tbl = freshTarget(Seq((1L, 10L, "a")))
+    import spark.implicits._
+    Seq((1L, 100L)).toDF("k", "nv").createOrReplaceTempView("merge_src")
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO $tbl t USING merge_src s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("SCHEMA EVOLUTION"))))
+  }
+
   test("one-pass plan shape: exactly one join, one window, no second pass") {
     // structural pin for the r12 verdict item: the cardinality check must
     // ride the merge's own full-outer join (an in-stream window + assert),
