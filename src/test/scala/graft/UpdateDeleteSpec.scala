@@ -87,6 +87,23 @@ class UpdateDeleteSpec extends AnyFunSuite with SparkTestBase {
       Option(c.getMessage).exists(_.contains("nested-field"))))
   }
 
+  test("DELETE WHERE k IN (subquery): the GDPR tombstone-list scrub") {
+    // the condition carries an InSubquery; the CoW Filter must plan it
+    // (semi join after decorrelation), not reject or mis-evaluate it
+    val tbl = freshTarget(Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c")))
+    import spark.implicits._
+    Seq(1L, 3L).toDF("bad_k").createOrReplaceTempView("dml_tombstones")
+    spark.sql(s"DELETE FROM $tbl WHERE k IN (SELECT bad_k FROM dml_tombstones)")
+    assert(result(tbl) === Set((2L, 20L, "b")))
+  }
+
+  test("UPDATE with a scalar-subquery condition") {
+    val tbl = freshTarget(Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c")))
+    spark.sql(
+      s"UPDATE $tbl SET tag = 'big' WHERE v > (SELECT AVG(v) FROM $tbl)")
+    assert(result(tbl) === Set((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "big")))
+  }
+
   test("UPDATE and DELETE are rerun-deterministic (CoW rewrite stable)") {
     def run(): Set[(Long, Long, String)] = {
       val tbl = freshTarget(Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c")))
