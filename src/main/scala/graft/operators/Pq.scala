@@ -312,7 +312,44 @@ object Pq {
       .select(col("vec_id"), col("neighbor"), col("sim"), col("rn"))
   }
 
+  /** L3h kernel: per-vector symmetric int8 SCALAR quantization — the
+    * compression production vector stores deploy most often next to PQ
+    * (4× over float32, no training, exact per-element reconstruction
+    * bound). Each unit-normalized vector stores one float scale =
+    * max|v_i|/127 and 64 int8 codes = floor(v_i/scale + 0.5) (the
+    * HALF_UP convention both engines share); dequantization error is
+    * ≤ scale/2 per element by construction (SqSpec pins it, plus
+    * int8-dot ranking fidelity vs exact). One map pass, no shuffle, no
+    * driver state — at 100 TB this is a projection in the scan.
+    */
+  def sqCodes(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    unitVecs(embeddings).map { r =>
+      var mx = 0.0; var i = 0
+      while (i < r.emb.length) {
+        val a = math.abs(r.emb(i)); if (a > mx) mx = a; i += 1
+      }
+      val scale = mx / 127.0
+      val codes = new Array[Long](r.emb.length)
+      var j = 0
+      while (j < r.emb.length) {
+        codes(j) =
+          if (scale == 0.0) 0L else math.floor(r.emb(j) / scale + 0.5).toLong
+        j += 1
+      }
+      (r.vec_id, math.floor(scale * 1e9 + 0.5) / 1e9, codes.mkString(","))
+    }.toDF("vec_id", "scale9", "codes")
+  }
+
   val queries: Map[String, Q] = Map(
+    // L3H: int8 scalar quantization (r13) — hash-checked codes: the
+    // oracle recomputes every scale and every code from the raw
+    // embeddings with the same floor(x+0.5) convention, so the
+    // quantization arithmetic (normalize → scale → round) is pinned
+    // cross-engine, like l3g pins PQ's.
+    "l3h_sq_codes" -> ((s, d) => sqCodes(graft.Tables.embeddings(s, d))),
+
     // L3d: PQ-compressed ANN — rows-only (codebooks are data-dependent);
     // PqSpec pins planted-duplicate recovery, code size, and recall.
     // cacheKey = the fixture dir: train-once semantics (r13) — repeat
@@ -373,6 +410,29 @@ object Pq {
   }
 
   val oracles: Map[String, String] = Map(
+    // l3h: recompute scale and every int8 code from the raw embeddings
+    // (same unit-normalization as l3g's CTE, same floor(x+0.5) HALF_UP)
+    "l3h_sq_codes" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> x / greatest(
+        |        sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                              CAST(embedding AS DOUBLE[]))), 1e-12)) AS emb
+        |  FROM embeddings
+        |), s AS (
+        |  SELECT vec_id, emb,
+        |    list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+        |  FROM v
+        |)
+        |SELECT vec_id,
+        |  floor(scale * 1e9 + 0.5) / 1e9 AS scale9,
+        |  array_to_string(list_transform(emb,
+        |    x -> CAST(CAST(floor(CASE WHEN scale = 0 THEN 0
+        |                         ELSE x / scale END + 0.5) AS BIGINT) AS VARCHAR)),
+        |    ',') AS codes
+        |FROM s""".stripMargin,
+
     // l3g: recompute every (vector, subspace) code from the dumped
     // codebooks. The squared distance is an explicit left-to-right
     // list_reduce fold — bit-identical accumulation to the engine's l2

@@ -68,6 +68,44 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
     assert(Pq.pqTopK(empty, 3).count() === 0)
   }
 
+  test("int8 SQ: per-element reconstruction error ≤ scale/2; ranking holds") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val raw = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / math.max(n, 1e-12))
+    }
+    val rows = operators.Pq.sqCodes(emb).collect()
+    assert(rows.length === raw.size)
+    val deq = rows.map { r =>
+      val id = r.getLong(0)
+      val scale = r.getDouble(1)
+      val codes = r.getString(2).split(",").map(_.toLong)
+      val u = unit(raw(id))
+      // reconstruction bound: |code·scale − v_i| ≤ scale/2 (+ the 1e-9
+      // scale-rounding slack) — the defining property of HALF_UP SQ
+      codes.zip(u).foreach { case (c, x) =>
+        assert(math.abs(c * scale - x) <= scale / 2 + 1e-7,
+          s"vec $id: |$c*$scale - $x| > scale/2")
+      }
+      id -> codes.map(_ * scale)
+    }.toMap
+    // ranking fidelity: int8-dot top-3 vs exact top-3, recall ≥ 0.9 on
+    // the fixture (int8 at 64 dims loses little)
+    val ids = raw.keys.toSeq.sorted
+    def top3(vecs: Map[Long, Array[Double]], q: Long): Set[Long] =
+      ids.filter(_ != q).map { c =>
+        val (a, b) = (vecs(q), vecs(c))
+        (a.zip(b).map { case (x, y) => x * y }.sum, c)
+      }.sortBy { case (s, c) => (-s, c) }.take(3).map(_._2).toSet
+    val units = raw.map { case (k, v) => k -> unit(v) }
+    val hit = ids.map(q => (top3(units, q) & top3(deq, q)).size).sum
+    val recall = hit.toDouble / (ids.size * 3)
+    assert(recall >= 0.9, s"int8 ranking recall@3 regressed: $recall")
+  }
+
   test("codebooks train once, persist, and reload bit-identically") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     // cache transparency: a cached train returns the same centroids a
