@@ -440,6 +440,39 @@ object TextAnalysis {
     // a deterministic PII-laced suffix is synthesized from doc_id first;
     // the redaction itself is two codegen'd regexp_replace passes, the
     // shape a real scrubber (more patterns, same plan) takes.
+    // L26: HTML → text extraction (r13) — the first stage of every web
+    // crawl pipeline (boilerplate removal before any quality/dedup
+    // signal). The fixture corpus is plain text, so a deterministic
+    // HTML wrapper is synthesized first from doc_id + text (the l7c
+    // synthesize-then-transform precedent; the wrapper carries script,
+    // style, nav, footer blocks AND a live entity so every removal
+    // branch fires at every SF). Extraction = drop script/style
+    // SUBTREES (their text is code, not content — tag-stripping alone
+    // would leak it), strip remaining tags, decode entities, collapse
+    // whitespace — five codegen'd regexp/replace passes in the scan
+    // projection, zero shuffle at any corpus size. Patterns avoid
+    // backreferences deliberately: the oracle runs the identical
+    // regexes under RE2, which has no backrefs — one dialect-neutral
+    // pattern set, both engines, hash-checked.
+    "l26_html_extract" -> ((s, d) => {
+      val ids = col("doc_id").cast(StringType)
+      val html = concat(
+        lit("<html><head><title>Doc "), ids,
+        lit("</title><script>track("), ids,
+        lit(");</script><style>p{margin:0}</style></head><body>"),
+        lit("<nav>Home &amp; About</nav><p>"), col("text"),
+        lit("</p><footer>Copyright &lt;site&gt;</footer></body></html>"))
+      val noScript = regexp_replace(html, "<script[^>]*>.*?</script>", " ")
+      val noStyle = regexp_replace(noScript, "<style[^>]*>.*?</style>", " ")
+      val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+      val entities = regexp_replace(regexp_replace(regexp_replace(
+        noTags, "&amp;", "&"), "&lt;", "<"), "&gt;", ">")
+      val clean = trim(regexp_replace(entities, "\\s+", " "))
+      Tables.documents(s, d).select(
+        col("doc_id"), clean.as("clean_text"),
+        length(clean).as("n_chars_clean"))
+    }),
+
     "l7c_pii_redact" -> ((s, d) => {
       val pii = concat(col("text"), lit(" contact user"),
         col("doc_id").cast(StringType),
@@ -723,6 +756,35 @@ object TextAnalysis {
     // l19: chr(769) = COMBINING ACUTE, chr(778) = COMBINING RING —
     // DuckDB's nfc_normalize must compose the same bytes Spark's
     // native expression does; length counts post-composition chars.
+    // l26: identical synthesize → strip → decode → collapse chain, RE2
+    // dialect ('g' flag; the shared patterns use no backreferences)
+    "l26_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+        |    || '</title><script>track(' || CAST(doc_id AS VARCHAR)
+        |    || ');</script><style>p{margin:0}</style></head><body>'
+        |    || '<nav>Home &amp; About</nav><p>' || text
+        |    || '</p><footer>Copyright &lt;site&gt;</footer></body></html>'
+        |      AS html
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(html, '<script[^>]*>.*?</script>', ' ', 'g'),
+        |            '<style[^>]*>.*?</style>', ' ', 'g'),
+        |          '<[^>]*>', ' ', 'g'),
+        |        '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+        |      '\s+', ' ', 'g')) AS clean_text
+        |  FROM h
+        |)
+        |SELECT doc_id, clean_text,
+        |  CAST(length(clean_text) AS INT) AS n_chars_clean
+        |FROM c""".stripMargin,
+
     "l19_normalize_text" ->
       """WITH m AS (
         |  SELECT doc_id,

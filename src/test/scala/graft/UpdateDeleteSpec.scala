@@ -104,6 +104,30 @@ class UpdateDeleteSpec extends AnyFunSuite with SparkTestBase {
     assert(result(tbl) === Set((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "big")))
   }
 
+  test("UPDATE and DELETE work on a PARTITIONED parquet catalog table") {
+    // the CoW commit is a positional insertInto: partition columns ride
+    // in catalog order and the overwrite is full-table (static) — pin
+    // that values land in the right columns and partitions survive
+    val tbl = "dml_spec_part"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_$tbl"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(path))
+    spark.sql(s"""CREATE TABLE $tbl (k BIGINT, v BIGINT, tag STRING)
+      |USING parquet PARTITIONED BY (tag) LOCATION '$path'""".stripMargin)
+    spark.sql(s"INSERT INTO $tbl VALUES (1, 10, 'a'), (2, 20, 'a'), (3, 30, 'b')")
+    spark.sql(s"UPDATE $tbl SET v = v + 1 WHERE tag = 'a'")
+    spark.sql(s"DELETE FROM $tbl WHERE k = 3")
+    assert(result(tbl) === Set((1L, 11L, "a"), (2L, 21L, "a")))
+    // partition pruning still works over the rewritten layout
+    val pruned = spark.sql(s"SELECT k FROM $tbl WHERE tag = 'a'")
+      .collect().map(_.getLong(0)).toSet
+    assert(pruned === Set(1L, 2L))
+  }
+
   test("UPDATE and DELETE are rerun-deterministic (CoW rewrite stable)") {
     def run(): Set[(Long, Long, String)] = {
       val tbl = freshTarget(Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c")))
