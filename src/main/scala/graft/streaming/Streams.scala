@@ -452,6 +452,59 @@ object Streams {
       s.table("t22_final")
         .select(unix_micros(col("window.start")).as("win_us"),
           col("event_type"), col("n"))
+    }),
+
+    // T23 (r13): STREAM-STREAM INTERVAL JOIN under the external oracle —
+    // t22's parity contract applied to the hardest streaming operator
+    // class (two buffered sides, cross-batch matching): purchases and
+    // clicks feed as SEPARATE file streams (one file per trigger each,
+    // so matches must cross micro-batch boundaries through the join
+    // state), inner-joined per user within a 30-minute look-back via
+    // [[intervalJoin]]; DuckDB recomputes the pair set from the same
+    // events with a plain range join. The watermark is set far beyond
+    // the fixture span: feed files are hash-partitioned, not
+    // time-ordered, so any realistic delay would legitimately drop
+    // "late" rows and parity would measure the REPLAY ORDER, not the
+    // operator — bounded-state eviction under realistic watermarks is
+    // t8/t8b's StreamCheck scenario; THIS entry pins the join itself.
+    "t23_stream_interval_join" -> ((s, d) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val tag = Integer.toHexString(d.hashCode)
+      val base = graft.Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+      val pDir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_t23_p_$tag").toString
+      val cDir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_t23_c_$tag").toString
+      // purchases arrive over TWO triggers (the cross-batch matching the
+      // pin needs: batch-2 purchases must find batch-1 clicks in state);
+      // clicks land in one — a second click file would only add state
+      // commits, not a new code path
+      base.filter(col("event_type") === "purchase")
+        .repartition(2).write.mode("overwrite").json(pDir)
+      base.filter(col("event_type") === "click")
+        .repartition(1).write.mode("overwrite").json(cDir)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("us", LongType), StructField("event_type", StringType)))
+      def feed(dir: String): DataFrame = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").json(dir)
+        .withColumn("ts", timestamp_micros(col("us")))
+      // 4 state partitions: a stream-stream join runs FOUR state stores
+      // per partition per side — at 32 partitions each trigger paid 256
+      // mostly-empty store commits (the t22 sizing rule, squared)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = intervalJoin(feed(pDir), feed(cDir),
+            watermark = "3650 days", interval = "30 minutes")
+          .select(col("p_id"), col("c_id"), col("p_user").as("user_id"))
+          .writeStream.format("memory").queryName("t23_final")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table("t23_final").select(col("p_id"), col("c_id"), col("user_id"))
     })
   )
 
@@ -461,6 +514,19 @@ object Streams {
     "t22_stream_batch_parity" ->
       """SELECT (epoch_us(ts) // 300000000) * 300000000 AS win_us,
         |  event_type, COUNT(*) AS n
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // t23: the batch side of the interval-join parity — a plain per-user
+    // range join over the same events (30 min = 1.8e9 µs look-back)
+    "t23_stream_interval_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us, event_type
+        |  FROM events
+        |), p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT * FROM e WHERE event_type = 'click')
+        |SELECT p.event_id AS p_id, c.event_id AS c_id,
+        |  p.user_id AS user_id
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.us >= p.us - 1800000000 AND c.us <= p.us""".stripMargin
   )
 }
