@@ -453,6 +453,35 @@ object PipelineOps {
     // missing rows. Cost is a listing diff + deletes — metadata-sized
     // at any table size. PropertySpec pins the file law (post-vacuum
     // directory ≡ the manifest, exactly).
+    // M31: DATASET RELEASE MANIFEST (r13) — the publish step of a
+    // training-data pipeline: the curated corpus is WRITTEN as a
+    // source-partitioned release, RE-READ from disk, and summarized
+    // into a per-source integrity manifest (row count, char total, and
+    // an ORDER-FREE id checksum: sum of each id's md5 48-bit prefix —
+    // commutative, so the aggregation carries constant state per source
+    // at any corpus size, where the naive md5-of-sorted-id-list digest
+    // would collect an unbounded per-source list). The oracle recomputes
+    // the identical manifest from the source table directly, so the
+    // hash pins the partitioned write → read-back round trip AND the
+    // manifest arithmetic (conv(…,16,10) ≡ DuckDB '0x' cast, the
+    // established md5-prefix convention). A consumer validates a copy
+    // of the release by recomputing exactly this frame.
+    "m31_release_manifest" -> ((s, d) => {
+      val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
+      val rel = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_m31_release_$tag").toString
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"), col("text"),
+          col("n_chars"))
+        .write.mode("overwrite").partitionBy("source").parquet(rel)
+      s.read.parquet(rel)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast(LongType).as("n_chars_total"),
+          sum(expr("conv(substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 12), 16, 10)")
+            .cast(LongType)).cast(LongType).as("id_checksum"))
+    }),
+
     "m28_vacuum" -> ((s, d) => {
       val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
       val dir = java.nio.file.Paths.get(
@@ -1594,6 +1623,16 @@ object PipelineOps {
         |SELECT 'quarantine:' || reason, COUNT(*),
         |  CAST(SUM(CAST(ROUND(value * 1e2, 0) AS BIGINT)) AS DOUBLE) / 1e2
         |FROM t WHERE reason IS NOT NULL GROUP BY reason""".stripMargin,
+
+    // m31: the manifest recomputed from the SOURCE table — any loss or
+    // duplication in the partitioned release round-trip breaks count,
+    // chars, or the order-free id checksum ('0x' cast ≡ conv(…,16,10))
+    "m31_release_manifest" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+        |  CAST(SUM(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+        |    AS BIGINT)) AS BIGINT) AS id_checksum
+        |FROM documents GROUP BY source""".stripMargin,
 
     // m28: oracle recomputes from source — vacuum-too-little doubles
     // counts, vacuum-too-much drops rows

@@ -54,9 +54,21 @@ private[plans] object CopyOnWrite {
     val scratch = java.nio.file.Files
       .createTempDirectory("graft_cow_").resolve("out").toString
     df.write.mode(SaveMode.Overwrite).parquet(scratch)
-    spark.read.schema(df.schema).parquet(scratch)
+    // the commit REPLACES the whole table, so the insert must run in
+    // STATIC partition-overwrite mode regardless of the session conf:
+    // under a user's partitionOverwriteMode=dynamic, a DELETE that
+    // empties a partition would leave that partition's old files in
+    // place (dynamic only replaces partitions present in the new data)
+    val modeKey = "spark.sql.sources.partitionOverwriteMode"
+    val prevMode = spark.conf.getOption(modeKey)
+    spark.conf.set(modeKey, "static")
+    try spark.read.schema(df.schema).parquet(scratch)
       .write.mode(SaveMode.Overwrite)
       .insertInto(table.identifier.quotedString)
+    finally prevMode match {
+      case Some(v) => spark.conf.set(modeKey, v)
+      case None => spark.conf.unset(modeKey)
+    }
     // scratch cleanup is best-effort; the table no longer references it
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))

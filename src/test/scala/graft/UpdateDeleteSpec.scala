@@ -128,6 +128,30 @@ class UpdateDeleteSpec extends AnyFunSuite with SparkTestBase {
     assert(pruned === Set(1L, 2L))
   }
 
+  test("UPDATE of the partition column moves rows between partitions") {
+    val tbl = "dml_spec_part_move"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_$tbl"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(path))
+    spark.sql(s"""CREATE TABLE $tbl (k BIGINT, v BIGINT, tag STRING)
+      |USING parquet PARTITIONED BY (tag) LOCATION '$path'""".stripMargin)
+    spark.sql(s"INSERT INTO $tbl VALUES (1, 10, 'a'), (2, 20, 'b')")
+    // run under dynamic partition-overwrite to pin that the CoW commit
+    // forces STATIC mode itself — under dynamic, emptying partition 'a'
+    // would leave its old files in place
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try spark.sql(s"UPDATE $tbl SET tag = 'b' WHERE k = 1")
+    finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    assert(result(tbl) === Set((1L, 10L, "b"), (2L, 20L, "b")))
+    // the old partition's directory no longer holds the moved row
+    assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE tag = 'a'")
+      .head().getLong(0) === 0L)
+  }
+
   test("UPDATE and DELETE are rerun-deterministic (CoW rewrite stable)") {
     def run(): Set[(Long, Long, String)] = {
       val tbl = freshTarget(Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c")))

@@ -57,7 +57,7 @@ FILE_WRITERS = {"s4_csv_roundtrip", "s5_ndjson_roundtrip",
                 # t22 writes its NDJSON feed and runs a multi-trigger
                 # streaming job before the final table exists
                 "sql14_update", "sql15_delete", "t22_stream_batch_parity",
-                "t23_stream_interval_join"}
+                "t23_stream_interval_join", "m31_release_manifest"}
 PINNED_SUBSET_R10 = [
     "a13_minmax_by", "a14_mode", "a1_ungrouped_agg", "a2_group_agg",
     "a7_collect_list", "f10_casts", "f11_url_fns", "f1_string_fns",
