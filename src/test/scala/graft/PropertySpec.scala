@@ -25,6 +25,29 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     toks <- Gen.listOfN(n, tokenGen)
   } yield toks.mkString(" ")
 
+  test("chunk_spans ≡ scala reference on random tokens/sizes/strides (F19 law)") {
+    import spark.implicits._
+    graft.GraftExtensions.ensureFunctions(spark)
+    def reference(toks: List[String], size: Int, stride: Int): Seq[(Long, String)] = {
+      val n = toks.length
+      val chunks = (n + stride - 1) / stride
+      (0 until chunks).map(i =>
+        (i.toLong, toks.slice(i * stride, math.min(i * stride + size, n)).mkString(" ")))
+    }
+    for (seed <- 1L to 8L) {
+      val toks = sample(Gen.listOfN(sample(Gen.choose(0, 25), seed), tokenGen), seed)
+      val stride = sample(Gen.choose(1, 6), seed + 100)
+      val size = stride + sample(Gen.choose(0, 5), seed + 200)
+      Seq((1L, toks)).toDF("id", "t").createOrReplaceTempView("prop_chunks")
+      val got = spark.sql(
+        s"""SELECT chunk_idx, chunk FROM prop_chunks
+           |LATERAL VIEW chunk_spans(t, $size, $stride) AS chunk_idx, chunk""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+      assert(got === reference(toks, size, stride),
+        s"seed=$seed size=$size stride=$stride toks=$toks")
+    }
+  }
+
   test("exact dedup is idempotent (L1 law)") {
     import spark.implicits._
     for (seed <- 1L to 5L) {
