@@ -207,6 +207,32 @@ object Windows {
     // never a per-day rescan, never a distinct-set buffer. The dense
     // day spine comes from the grid's own bounds so zero-activity days
     // report 0.
+    // W14: EXACT ROLLING PERCENTILE (r13) — trailing-7-day p50/p95 of
+    // event value per day, the latency-dashboard metric Spark has no
+    // native window form for (percentile over a RANGE frame is
+    // unsupported, and buffering per-window value lists is
+    // memory-quadratic in window length). Same range-expansion move as
+    // w13: each (day, value) row contributes to the 7 target days
+    // [day, day+6] — a bounded ≤7× explode — then one exact
+    // interpolated percentile per target day (the a8 ↔ quantile_cont
+    // convention). Target days restrict to OBSERVED days via a
+    // broadcastable distinct-day semi join, matching the oracle's
+    // day-driven window. Cost at any scale: one ≤7× explode + one
+    // day-keyed partial agg — never a per-day rescan of the fact.
+    "w14_rolling_percentile" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(expr("unix_micros(ts) div 86400000000").as("day_no"),
+          col("value"))
+      val days = ev.select(col("day_no")).distinct()
+      ev.select(explode(expr("sequence(day_no, day_no + 6)")).as("day_no"),
+          col("value"))
+        .join(days, Seq("day_no"), "left_semi")
+        .groupBy(col("day_no"))
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.95)"), 4).as("p95"),
+          count(lit(1)).as("n7"))
+    }),
+
     "w13_rolling_distinct" -> ((s, d) => {
       val ud = Tables.events(s, d)
         .select(col("user_id"),
@@ -420,6 +446,22 @@ object Windows {
     // w13: the oracle recomputes each day's window with the direct
     // per-day COUNT(DISTINCT) rescan the engine's range expansion
     // exists to avoid — day-count-sized correlation, fine at gate scale
+    // w14: per-day trailing-7-day window recomputed as the range join
+    // the engine's expansion refuses; quantile_cont ≡ percentile (a8)
+    "w14_rolling_percentile" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day_no, value FROM events
+        |), d AS (SELECT DISTINCT day_no FROM e),
+        |w AS (
+        |  SELECT d.day_no, e.value FROM d JOIN e
+        |  ON e.day_no BETWEEN d.day_no - 6 AND d.day_no
+        |)
+        |SELECT day_no,
+        |  ROUND(quantile_cont(value, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(value, 0.95), 4) AS p95,
+        |  COUNT(*) AS n7
+        |FROM w GROUP BY day_no""".stripMargin,
+
     "w13_rolling_distinct" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id,
