@@ -207,6 +207,34 @@ object Windows {
     // never a per-day rescan, never a distinct-set buffer. The dense
     // day spine comes from the grid's own bounds so zero-activity days
     // report 0.
+    // W15: PER-KEY EWMA (r13) — exponentially weighted moving average
+    // of event value per user (y_1 = x_1; y_t = α·x_t + (1−α)·y_{t−1},
+    // α = 0.2), the smoothing metric with NO native Spark form: the
+    // recurrence is inherently sequential, the closed form
+    // α·Σ(1−α)^{t−i}x_i overflows for long series, and a per-row UDF
+    // would leave codegen. Expressed as ONE grouped collect (series
+    // sorted by (ts, event_id) — deterministic under the unique id) and
+    // ONE `aggregate` HOF fold inside codegen; per-key state is that
+    // key's series — the same honest bound a7/w7 carry, and the right
+    // trade because an EWMA is per-entity by definition. The DuckDB
+    // oracle runs the identical left-to-right fold via list_reduce
+    // (first element as init ≡ the CASE-NULL seed), so the floating
+    // recurrence matches bit-for-bit before the 6-dp rounding.
+    "w15_ewma" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(
+          unix_micros(col("ts")).as("us"), col("event_id"),
+          col("value")))).as("series"))
+        .select(col("user_id"),
+          round(expr(
+            """aggregate(series, CAST(NULL AS DOUBLE),
+              |  (acc, x) -> CASE WHEN acc IS NULL THEN x.value
+              |              ELSE 0.2 * x.value + 0.8 * acc END)""".stripMargin),
+            6).as("ewma"),
+          size(col("series")).as("n"))
+    }),
+
     // W14: EXACT ROLLING PERCENTILE (r13) — trailing-7-day p50/p95 of
     // event value per day, the latency-dashboard metric Spark has no
     // native window form for (percentile over a RANGE frame is
@@ -446,6 +474,20 @@ object Windows {
     // w13: the oracle recomputes each day's window with the direct
     // per-day COUNT(DISTINCT) rescan the engine's range expansion
     // exists to avoid — day-count-sized correlation, fine at gate scale
+    // w15: identical left-to-right fold — list_reduce's first-element
+    // init ≡ the engine's CASE-NULL seed; same constants, same order
+    "w15_ewma" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |    list(value ORDER BY epoch_us(ts), event_id) AS series
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT user_id,
+        |  ROUND(list_reduce(series, (acc, x) -> 0.2 * x + 0.8 * acc), 6)
+        |    AS ewma,
+        |  CAST(len(series) AS INT) AS n
+        |FROM s""".stripMargin,
+
     // w14: per-day trailing-7-day window recomputed as the range join
     // the engine's expansion refuses; quantile_cont ≡ percentile (a8)
     "w14_rolling_percentile" ->
