@@ -133,6 +133,36 @@ class MergeIntoSpec extends AnyFunSuite with SparkTestBase {
     assert(result(tbl) === Set((1L, 10L, "a")))
   }
 
+  test("one firing match among several non-firing ones applies, no error") {
+    // SQL counts only matches that would modify the row: two source rows
+    // match k=1, but only one passes the clause condition — the update
+    // applies and no cardinality error fires
+    val tbl = freshTarget(Seq((1L, 10L, "a")))
+    import spark.implicits._
+    Seq((1L, -5L), (1L, 100L)).toDF("k", "nv").createOrReplaceTempView("merge_src")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING merge_src s ON t.k = s.k
+         |WHEN MATCHED AND s.nv > 0 THEN UPDATE SET v = s.nv""".stripMargin)
+    assert(result(tbl) === Set((1L, 100L, "a")))
+  }
+
+  test("ON clause with a residual predicate beyond the equi key") {
+    // the common CDC shape: equality on the key plus a source-side
+    // filter folded into ON — rows failing the residual are NOT MATCHED
+    val tbl = freshTarget(Seq((1L, 10L, "a"), (2L, 20L, "b")))
+    import spark.implicits._
+    Seq((1L, 100L), (2L, 5L)).toDF("k", "nv").createOrReplaceTempView("merge_src")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING merge_src s ON t.k = s.k AND s.nv > 50
+         |WHEN MATCHED THEN UPDATE SET v = s.nv
+         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, -1)""".stripMargin)
+    // k=1 matched (nv=100 > 50) and updated; the (2, 5) source row fails
+    // the residual, so target k=2 is untouched AND the source row
+    // re-enters as NOT MATCHED (insert with k=2, v=-1) — SQL semantics
+    assert(result(tbl) === Set(
+      (1L, 100L, "a"), (2L, 20L, "b"), (2L, -1L, null)))
+  }
+
   test("cardinalityCheck=false deduplicates multi-matched target rows") {
     // with the guard off, the output must still carry exactly ONE row per
     // target row — the first firing match by source row id (r12 emitted
