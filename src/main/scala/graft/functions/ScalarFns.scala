@@ -176,6 +176,30 @@ object ScalarFns {
     // 10^10 cents fits DECIMAL(18,2) with 6 digits of headroom). All
     // arithmetic is codegen'd UnsafeRow Decimal ops; the groupBy is
     // one partial-agg shuffle on o_custkey.
+    // F20: the try_* error-safe family (r13) — Spark 4 runs ANSI mode by
+    // default, so division by zero, bad casts, and arithmetic overflow
+    // FAIL queries that silently returned NULLs on Spark 3; try_divide /
+    // try_cast / try_add are the production migration surface (keep the
+    // strictness, opt into NULL where the pipeline tolerates dirt).
+    // Every function is LIVE both ways at every SF: the divisor is 0 on
+    // ~1/7 of rows, the cast input is a digit except on ~1/3 of rows
+    // (a deterministic 'x' suffix), the add overflows on even custkeys.
+    // The oracle re-expresses each as the explicit CASE/TRY_CAST DuckDB
+    // form — same NULL sites, same surviving values.
+    "f20_try_functions" -> ((s, d) => {
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        round(expr(
+          "try_divide(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT), o_custkey % 7)"),
+          6).as("safe_div"),
+        expr("""try_cast(concat(substring(o_orderpriority, 1, 1),
+                |CASE WHEN o_custkey % 3 = 0 THEN 'x' ELSE '' END) AS INT)"""
+          .stripMargin).as("prio_num"),
+        expr("""try_add(o_orderkey,
+                |CASE WHEN o_custkey % 2 = 0 THEN 9223372036854775807
+                |     ELSE CAST(0 AS BIGINT) END)""".stripMargin).as("safe_add"))
+    }),
+
     "f17_decimal_math" -> ((s, d) => {
       Tables.orders(s, d)
         .select(col("o_custkey"),
@@ -353,6 +377,20 @@ object ScalarFns {
   )
 
   val oracles: Map[String, String] = Map(
+    // f20: explicit NULL-site forms — CASE for the zero divisor and the
+    // overflow parity, TRY_CAST for the dirty string
+    "f20_try_functions" ->
+      """SELECT o_orderkey,
+        |  ROUND(CASE WHEN o_custkey % 7 = 0 THEN NULL
+        |        ELSE CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)
+        |             / (o_custkey % 7) END, 6) AS safe_div,
+        |  TRY_CAST(substring(o_orderpriority, 1, 1)
+        |    || CASE WHEN o_custkey % 3 = 0 THEN 'x' ELSE '' END AS INT)
+        |    AS prio_num,
+        |  CASE WHEN o_custkey % 2 = 0 THEN NULL ELSE o_orderkey END
+        |    AS safe_add
+        |FROM orders""".stripMargin,
+
     // f19: the generator's window arithmetic re-expressed as DuckDB
     // list slices — ceil(len/stride) chunks, last tail short
     "f19_udtf_chunks" ->

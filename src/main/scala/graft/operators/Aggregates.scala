@@ -245,6 +245,24 @@ object Aggregates {
     // negative operands — the guard makes the domain where they agree
     // EXPLICIT on both sides instead of an assumed fixture invariant
     // (ADVICE r11).
+    // A17: conditional/boolean aggregate family (r13) — count_if,
+    // bool_and, bool_or: the data-quality assertion aggregates ("does
+    // every row in this cohort satisfy X, does any"). Grouped by a
+    // 50-bucket key so every aggregate is LIVE both ways at both SFs:
+    // the bool_and threshold sits just under the price cap (a bucket is
+    // false iff it drew a >499k order — a handful per SF), the bool_or
+    // event is the rare sub-5k order, count_if splits mid-range. All
+    // single-pass partial+final aggregates; the grouped shuffle is
+    // 50 rows at any corpus size.
+    "a17_conditional_aggs" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy((col("o_custkey") % 50).as("bucket"))
+        .agg(expr("count_if(o_totalprice > 300000)").as("n_big"),
+          expr("bool_and(o_totalprice < 499000)").as("all_under_cap"),
+          expr("bool_or(o_totalprice < 5000)").as("has_tiny"),
+          count(lit(1)).as("n"))
+    }),
+
     "a16_histogram" -> ((s, d) => {
       Tables.events(s, d)
         .where(col("value") >= 0)
@@ -377,6 +395,14 @@ object Aggregates {
     // a16: `//` = DuckDB integer floor div ≡ Spark `div` ONLY on
     // non-negative operands — the WHERE guard pins that domain on both
     // sides rather than assuming it of the fixture
+    "a17_conditional_aggs" ->
+      """SELECT o_custkey % 50 AS bucket,
+        |  COUNT(*) FILTER (WHERE o_totalprice > 300000) AS n_big,
+        |  bool_and(o_totalprice < 499000) AS all_under_cap,
+        |  bool_or(o_totalprice < 5000) AS has_tiny,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
+
     "a16_histogram" ->
       """SELECT CAST(ROUND(value * 1e2, 0) AS BIGINT) // 2500 AS bucket,
         |  COUNT(*) AS n,

@@ -73,6 +73,24 @@ object SetOps {
       val b = proj(Tables.customer(s, d).filter(col("c_acctbal") > 7500))
       a.intersectAll(b).withColumn("op", lit("intersect_all"))
         .unionByName(a.exceptAll(b).withColumn("op", lit("except_all")))
+    }),
+
+    // O8: explicit NULL ORDERING in a global top-k (r13) — Spark sorts
+    // nulls FIRST ascending / LAST descending by default, so DESC NULLS
+    // FIRST exercises the non-default branch both engines must agree
+    // on. Nulls are synthesized on an SF-independent key (event_id < 7:
+    // exactly ≤7 null rows at EVERY fixture SF) so the top-20 always
+    // crosses the null/value boundary — the pin covers both the null
+    // block's internal tiebreak and the transition into real values,
+    // never just one side. Plans as TakeOrderedAndProject, no global
+    // sort.
+    "o8_null_ordering" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"),
+          when(col("event_id") < 7, lit(null).cast("double"))
+            .otherwise(col("value")).as("v"))
+        .orderBy(col("v").desc_nulls_first, col("event_id"))
+        .limit(20)
     })
   )
 
@@ -108,6 +126,13 @@ object SetOps {
         |  SELECT * FROM a INTERSECT ALL SELECT * FROM b)
         |UNION ALL
         |SELECT *, 'except_all' AS op FROM (
-        |  SELECT * FROM a EXCEPT ALL SELECT * FROM b)""".stripMargin
+        |  SELECT * FROM a EXCEPT ALL SELECT * FROM b)""".stripMargin,
+
+    "o8_null_ordering" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id < 7 THEN NULL ELSE value END AS v
+        |FROM events
+        |ORDER BY v DESC NULLS FIRST, event_id
+        |LIMIT 20""".stripMargin
   )
 }
