@@ -207,6 +207,33 @@ object Windows {
     // never a per-day rescan, never a distinct-set buffer. The dense
     // day spine comes from the grid's own bounds so zero-activity days
     // report 0.
+    // W16: CUMULATIVE DISTINCT (r13) — total distinct users seen up to
+    // each day, w13's EXPANDING-window twin (the growth-curve metric).
+    // COUNT(DISTINCT) OVER an expanding frame is unsupported and a
+    // per-day rescan is quadratic in days; the scalable identity: a
+    // user counts toward day D iff their FIRST visit is ≤ D, so the
+    // curve is the running sum of first-visit counts — one per-user
+    // min-day aggregate (user-keyed shuffle), one day-grain count, one
+    // running sum over the dense day spine (zero-activity days carry
+    // the previous total). Day-count-sized state at any corpus size.
+    "w16_cumulative_distinct" -> ((s, d) => {
+      val firstDay = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day_no"))
+        .groupBy(col("user_id")).agg(min(col("day_no")).as("first_day"))
+        .groupBy(col("first_day").as("day_no"))
+        .agg(count(lit(1)).as("new_users"))
+      val b = firstDay.agg(min(col("day_no")), max(col("day_no"))).head()
+      val spine = s.range(b.getLong(0), b.getLong(1) + 1)
+        .select(col("id").as("day_no"))
+      val w = Window.orderBy(col("day_no"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(firstDay, Seq("day_no"), "left_outer")
+        .select(col("day_no"), coalesce(col("new_users"), lit(0L)).as("nu"))
+        .withColumn("cum_users", sum(col("nu")).over(w))
+        .select(col("day_no"), col("cum_users"))
+    }),
+
     // W15: PER-KEY EWMA (r13) — exponentially weighted moving average
     // of event value per user (y_1 = x_1; y_t = α·x_t + (1−α)·y_{t−1},
     // α = 0.2), the smoothing metric with NO native Spark form: the
@@ -474,6 +501,17 @@ object Windows {
     // w13: the oracle recomputes each day's window with the direct
     // per-day COUNT(DISTINCT) rescan the engine's range expansion
     // exists to avoid — day-count-sized correlation, fine at gate scale
+    // w16: the per-day rescan the engine's first-visit identity refuses
+    "w16_cumulative_distinct" ->
+      """WITH fd AS (
+        |  SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS first_day
+        |  FROM events GROUP BY user_id
+        |), b AS (SELECT MIN(first_day) AS lo, MAX(first_day) AS hi FROM fd),
+        |spine AS (SELECT unnest(range(lo, hi + 1)) AS day_no FROM b)
+        |SELECT s.day_no,
+        |  (SELECT COUNT(*) FROM fd WHERE first_day <= s.day_no) AS cum_users
+        |FROM spine s""".stripMargin,
+
     // w15: identical left-to-right fold — list_reduce's first-element
     // init ≡ the engine's CASE-NULL seed; same constants, same order
     "w15_ewma" ->
