@@ -478,7 +478,11 @@ object PipelineOps {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).cast(LongType).as("n_chars_total"),
-          sum(expr("conv(substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 12), 16, 10)")
+          // 8-hex (32-bit) prefix, not 12: summing 2^48-sized terms into
+          // a BIGINT overflows past ~2^15 docs per source (ANSI sum
+          // throws); 32-bit terms leave headroom to ~2^31 docs — the
+          // "constant state at any corpus size" claim made true (ADVICE r13)
+          sum(expr("conv(substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 8), 16, 10)")
             .cast(LongType)).cast(LongType).as("id_checksum"))
     }),
 
@@ -1630,7 +1634,7 @@ object PipelineOps {
     "m31_release_manifest" ->
       """SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
-        |  CAST(SUM(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+        |  CAST(SUM(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
         |    AS BIGINT)) AS BIGINT) AS id_checksum
         |FROM documents GROUP BY source""".stripMargin,
 

@@ -714,8 +714,7 @@ object Similarity {
     // just not broadcast. Strategy choice never affects the result, so a
     // misestimate costs efficiency, never correctness.
     val stats = embeddings.queryExecution.optimizedPlan.stats
-    val n = stats.rowCount.map(_.toLong)
-      .getOrElse(stats.sizeInBytes.toLong / 64L)
+    val n = clampedRowEstimate(stats)
     if (n <= broadcastLimit) bruteTopK(embeddings, k)
     else blockTopK(embeddings, k)
   }
@@ -748,11 +747,22 @@ object Similarity {
       .getOption("spark.graft.topk.broadcastLimit")
       .map(_.toLong).getOrElse(broadcastLimit)
     val stats = candidates.queryExecution.optimizedPlan.stats
-    val n = stats.rowCount.map(_.toLong)
-      .getOrElse(stats.sizeInBytes.toLong / 64L)
+    val n = clampedRowEstimate(stats)
     if (n <= limit) bruteTopKAgainst(queries, candidates, k)
     else blockTopKAgainst(queries, candidates, k)
   }
+
+  /** Row estimate for the broadcast gates, overflow-safe: sizeInBytes is
+    * a BigInt that estimate inflation can push past Long.MaxValue, and a
+    * bare `.toLong` TRUNCATES (possibly negative), which would make
+    * `n <= limit` spuriously true and pick the driver-collecting
+    * broadcast arm for a corpus-sized side — the exact failure mode the
+    * gates exist to prevent (ADVICE r13). Divide in BigInt, then clamp.
+    */
+  private def clampedRowEstimate(
+      stats: org.apache.spark.sql.catalyst.plans.logical.Statistics): Long =
+    stats.rowCount.map(_.min(BigInt(Long.MaxValue)).toLong).getOrElse(
+      (stats.sizeInBytes / 64).min(BigInt(Long.MaxValue)).toLong)
 
   /** ANN top-k via MULTI-TABLE, MULTI-PROBE random-hyperplane LSH
     * (public for specs): `tables` independent `bits`-bit signatures; a

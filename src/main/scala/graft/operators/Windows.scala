@@ -217,15 +217,22 @@ object Windows {
     // running sum over the dense day spine (zero-activity days carry
     // the previous total). Day-count-sized state at any corpus size.
     "w16_cumulative_distinct" -> ((s, d) => {
-      val firstDay = Tables.events(s, d)
+      val days = Tables.events(s, d)
         .select(col("user_id"),
           expr("unix_micros(ts) div 86400000000").as("day_no"))
+      val firstDay = days
         .groupBy(col("user_id")).agg(min(col("day_no")).as("first_day"))
         .groupBy(col("first_day").as("day_no"))
         .agg(count(lit(1)).as("new_users"))
-      val b = firstDay.agg(min(col("day_no")), max(col("day_no"))).head()
-      val spine = s.range(b.getLong(0), b.getLong(1) + 1)
-        .select(col("id").as("day_no"))
+      // spine bounds from the FULL event-day range (w13's convention),
+      // not the first-visit range (ADVICE/VERDICT r13): a first-visit
+      // bound ends the curve at the last NEW-USER day, silently dropping
+      // the trailing flat segment, and leaves the zero-new-user gap
+      // branch (coalesce→0 below) vacuous. Bounds ride the plan — no
+      // driver .head() — and the oracle derives them identically.
+      val spine = days
+        .agg(min(col("day_no")).as("lo"), max(col("day_no")).as("hi"))
+        .select(explode(expr("sequence(lo, hi)")).as("day_no"))
       val w = Window.orderBy(col("day_no"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       spine.join(firstDay, Seq("day_no"), "left_outer")
@@ -248,7 +255,13 @@ object Windows {
     // (first element as init ≡ the CASE-NULL seed), so the floating
     // recurrence matches bit-for-bit before the 6-dp rounding.
     "w15_ewma" -> ((s, d) => {
+      // NULL values are excluded EXPLICITLY on both sides (ADVICE r13):
+      // the CASE-NULL seed below would otherwise SKIP leading NULLs
+      // (restarting the fold) while DuckDB's list_reduce seeds with the
+      // raw first element and poisons the whole fold to NULL — the two
+      // engines only agree on a NULL-free series, so pin that contract
       Tables.events(s, d)
+        .filter(col("value").isNotNull)
         .groupBy(col("user_id"))
         .agg(sort_array(collect_list(struct(
           unix_micros(col("ts")).as("us"), col("event_id"),
@@ -506,7 +519,8 @@ object Windows {
       """WITH fd AS (
         |  SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS first_day
         |  FROM events GROUP BY user_id
-        |), b AS (SELECT MIN(first_day) AS lo, MAX(first_day) AS hi FROM fd),
+        |), b AS (SELECT MIN(epoch_us(ts) // 86400000000) AS lo,
+        |                MAX(epoch_us(ts) // 86400000000) AS hi FROM events),
         |spine AS (SELECT unnest(range(lo, hi + 1)) AS day_no FROM b)
         |SELECT s.day_no,
         |  (SELECT COUNT(*) FROM fd WHERE first_day <= s.day_no) AS cum_users
@@ -518,7 +532,7 @@ object Windows {
       """WITH s AS (
         |  SELECT user_id,
         |    list(value ORDER BY epoch_us(ts), event_id) AS series
-        |  FROM events GROUP BY user_id
+        |  FROM events WHERE value IS NOT NULL GROUP BY user_id
         |)
         |SELECT user_id,
         |  ROUND(list_reduce(series, (acc, x) -> 0.2 * x + 0.8 * acc), 6)

@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.LongType
 
 /** SQL `MERGE INTO` over plain-parquet catalog tables (SURVEY §2B SQL13).
@@ -98,12 +99,62 @@ case class GraftMergeIntoCommand(merge: MergeIntoTable)
       throw new IllegalStateException("MERGE target is not a v1 catalog table"))
     val checkCardinality =
       spark.conf.get("spark.graft.merge.cardinalityCheck", "true").toBoolean
-    val mergedPlan = mergedPlanFor(merge, checkCardinality)
+    validate(merge)
 
-    // copy-on-write: scratch-materialize, read back (breaks the
-    // self-overwrite lineage), INSERT OVERWRITE by position — shared
-    // with the UPDATE/DELETE commands
-    CopyOnWrite.overwrite(spark, table, mergedPlan)
+    // FILE-PRUNED commit (VERDICT r13 item 1) where the merge semantics
+    // allow one: WHEN NOT MATCHED BY SOURCE puts EVERY target row in
+    // play (pruning is impossible by definition, not by limitation), and
+    // a partitioned target's inserts can mint new partition directories
+    // the metastore wouldn't know — both take the full static-overwrite
+    // path. Otherwise target rows in files the source cannot touch pass
+    // through unchanged ON DISK:
+    //  - insert-only merges append the anti-joined insert rows as new
+    //    files and delete NOTHING — the CDC dedup-insert batch costs
+    //    O(source + target-join-columns scan), never a table rewrite
+    //  - update/delete merges rewrite only the files a LEFT SEMI probe
+    //    (target ⋈ source on the merge condition, file name captured on
+    //    the scan side) proves contain ≥1 matched row; match classes
+    //    and the cardinality count are unchanged because a source row
+    //    matching ANY target row makes that row's file touched
+    val prunable = CopyOnWrite.pruningEnabled(spark) &&
+      !merge.withSchemaEvolution &&
+      merge.notMatchedBySourceActions.isEmpty &&
+      merge.mergeCondition.deterministic &&
+      table.partitionColumnNames.isEmpty
+    val lrOpt = CopyOnWrite.fsRelationOf(merge.targetTable)
+
+    (if (prunable) lrOpt else None) match {
+      case Some(lr) if merge.matchedActions.isEmpty =>
+        // insert-only fast path: the anti join still scans the FULL
+        // target (it must see every existing key), but only the join
+        // columns; the commit appends new files, touching none
+        CopyOnWrite.prunedCommit(spark, table,
+          insertOnlyRows(merge), Nil, Nil)
+      case Some(lr) =>
+        val touched = CopyOnWrite.touchedFiles(
+          CopyOnWrite.withFileColumn(spark, merge.targetTable)
+            .join(ColumnBridge.ofRows(spark, merge.sourceTable),
+              ColumnBridge.column(merge.mergeCondition), "left_semi"))
+        val all = lr.relation
+          .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.length
+        CopyOnWrite.prunedRelation(
+            spark, merge.targetTable, lr, table, touched) match {
+          case Some(pruned) if touched.size < all =>
+            CopyOnWrite.prunedCommit(spark, table,
+              mergedPlanFor(merge.copy(targetTable = pruned), checkCardinality),
+              touched, Nil)
+          case _ =>
+            CopyOnWrite.overwrite(spark, table,
+              mergedPlanFor(merge, checkCardinality))
+        }
+      case None =>
+        // copy-on-write full rewrite: scratch-materialize, read back
+        // (breaks the self-overwrite lineage), INSERT OVERWRITE by
+        // position — shared with the UPDATE/DELETE commands
+        CopyOnWrite.overwrite(spark, table,
+          mergedPlanFor(merge, checkCardinality))
+    }
     Seq.empty
   }
 }
@@ -147,16 +198,10 @@ object GraftMergeIntoCommand {
       Alias(e, attr.name)()
     }
 
-  /** The complete merged-rows logical plan (public within the object for
-    * MergeIntoSpec, which pins the one-pass shape structurally: exactly
-    * one Join and at most one Window, so the cardinality check can never
-    * quietly regress into a second target⋈source pass).
+  /** Loud rejections shared by every execution path (the pruned
+    * insert-only commit does not go through [[mergedPlanFor]]).
     */
-  private[graft] def mergedPlanFor(merge: MergeIntoTable,
-      checkCardinality: Boolean): LogicalPlan = {
-    val tgt = merge.targetTable
-    val src = merge.sourceTable
-
+  private[graft] def validate(merge: MergeIntoTable): Unit = {
     // MERGE WITH SCHEMA EVOLUTION would need the CoW rewrite to widen
     // the target schema; this rewrite projects tgt.output only, which
     // would silently DROP evolved columns — reject loudly instead
@@ -182,21 +227,44 @@ object GraftMergeIntoCommand {
       })
       case _ => ()
     }
+  }
+
+  /** Just the INSERTED rows of an insert-only merge (no MATCHED / NOT
+    * MATCHED BY SOURCE clauses): source LEFT ANTI target on the merge
+    * condition, then the accepted INSERT projections. The full-rewrite
+    * path unions this with the untouched target; the file-pruned commit
+    * appends exactly these rows as new files instead.
+    */
+  private[graft] def insertOnlyRows(merge: MergeIntoTable): LogicalPlan = {
+    val tgt = merge.targetTable
+    val anti = Join(merge.sourceTable, tgt, LeftAnti,
+      Some(merge.mergeCondition), JoinHint.NONE)
+    val branches: Seq[(Expression, MergeAction)] =
+      merge.notMatchedActions.map(a =>
+        (a.condition.getOrElse(Literal(true)), a))
+    val keep = CaseWhen(
+      branches.map { case (c, _) => (c, Literal(true)) }, Some(Literal(false)))
+    Project(
+      outputColumns(tgt.output, branches,
+        attr => Some(Literal(null, attr.dataType))),
+      Filter(keep, anti))
+  }
+
+  /** The complete merged-rows logical plan (public within the object for
+    * MergeIntoSpec, which pins the one-pass shape structurally: exactly
+    * one Join and at most one Window, so the cardinality check can never
+    * quietly regress into a second target⋈source pass).
+    */
+  private[graft] def mergedPlanFor(merge: MergeIntoTable,
+      checkCardinality: Boolean): LogicalPlan = {
+    val tgt = merge.targetTable
+    val src = merge.sourceTable
+    validate(merge)
 
     if (merge.matchedActions.isEmpty && merge.notMatchedBySourceActions.isEmpty) {
       // INSERT-ONLY fast path: target rows untouchable → anti-join shape,
       // no cardinality semantics to enforce (see the class scaladoc §1)
-      val anti = Join(src, tgt, LeftAnti, Some(merge.mergeCondition), JoinHint.NONE)
-      val branches: Seq[(Expression, MergeAction)] =
-        merge.notMatchedActions.map(a =>
-          (a.condition.getOrElse(Literal(true)), a))
-      val keep = CaseWhen(
-        branches.map { case (c, _) => (c, Literal(true)) }, Some(Literal(false)))
-      val inserted = Project(
-        outputColumns(tgt.output, branches,
-          attr => Some(Literal(null, attr.dataType))),
-        Filter(keep, anti))
-      return Union(Seq(tgt, inserted))
+      return Union(Seq(tgt, insertOnlyRows(merge)))
     }
 
     // presence markers: non-null exactly when that side produced the

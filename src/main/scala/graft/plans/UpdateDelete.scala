@@ -1,11 +1,13 @@
 package graft.plans
 
-import org.apache.spark.sql.{Row, SaveMode, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.CatalogTable
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** SQL `UPDATE` / `DELETE` over plain-parquet catalog tables (SURVEY
@@ -16,12 +18,14 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * the MERGE machinery: one table scan, a Project (UPDATE: per-column
   * `CASE WHEN cond THEN value ELSE old END`) or a Filter (DELETE: keep
   * rows where the predicate is not TRUE — false OR null keeps, per
-  * SQL's three-valued DELETE semantics), then the same scratch-and-
-  * overwrite copy-on-write commit. No join, no window, no shuffle at
-  * all — the rewrite is embarrassingly parallel at any scale; what a
-  * lakehouse format adds on top is only file-level pruning (rewriting
-  * just the files containing hits), which a bare parquet table has no
-  * manifest to drive.
+  * SQL's three-valued DELETE semantics), then a copy-on-write commit.
+  *
+  * The commit is FILE-PRUNED (VERDICT r13 item 1): a predicate-pushed
+  * pre-pass finds the files that contain ≥1 modifiable row, ONLY those
+  * files are rewritten, and every other file stays on disk untouched —
+  * a one-row GDPR scrub of a 100 TB table rewrites one file, not
+  * 100 TB. See [[CopyOnWrite]] for the commit contract and the cases
+  * that fall back to the full-table rewrite.
   *
   * Injected as a resolution rule via [[graft.GraftExtensions]], same
   * contract as MERGE: swap the resolved node for the command BEFORE
@@ -40,14 +44,112 @@ object DmlParquetRewrite extends Rule[LogicalPlan] {
   }
 }
 
-/** Shared copy-on-write commit for the DML commands: materialize the
-  * rewritten rows to a scratch dir, read them back (breaking the
-  * self-overwrite lineage v1 refuses), INSERT OVERWRITE the target by
-  * position. A failure during the scratch write leaves the target
-  * untouched; the two-step commit itself is the declared v1-table
-  * deviation from a lakehouse format's transactional swap.
+/** Copy-on-write commit machinery shared by UPDATE/DELETE/MERGE.
+  *
+  * Two commit shapes:
+  *
+  *  1. [[overwrite]] — the FULL rewrite: materialize every post-DML row
+  *     to scratch, read back (breaking the self-overwrite lineage v1
+  *     refuses), INSERT OVERWRITE the target. Always correct; O(table)
+  *     write cost. Kept for the cases pruning cannot serve (see below).
+  *
+  *  2. [[prunedCommit]] — the FILE-PRUNED rewrite (VERDICT r13 item 1):
+  *     given the set of data files that can contain modified rows
+  *     ([[touchedFiles]]) and a rewrite plan re-bound onto exactly
+  *     those files ([[prunedRelation]]), write ONLY the rewritten rows
+  *     to a scratch dir, then swap at the FILE level — delete the
+  *     touched files, move the new ones in, leave every other file
+  *     byte-identical on disk (UpdateDeleteSpec pins that law). This is
+  *     what Delta/Iceberg CoW does for DML, re-created on bare parquet:
+  *     their stats manifest is replaced by one predicate-pushed scan in
+  *     which parquet footer min/max already skip the data pages of
+  *     files the predicate cannot touch, so the pre-pass costs
+  *     metadata + the touched slice, and the rewrite costs
+  *     O(files-with-hits), not O(table).
+  *
+  * Fallbacks to the full rewrite (correctness is never at stake —
+  * pruning is purely an I/O optimization): non-deterministic or absent
+  * predicates (every row modifiable), assignments to a partition column
+  * (rows migrate between directories, which needs the metastore-aware
+  * static overwrite), a touched set that is the whole table, a target
+  * that is not a single HadoopFsRelation, or the
+  * `spark.graft.dml.filePruning=false` ops dial.
+  *
+  * Both shapes write scratch BEFORE touching the target, so a failure
+  * mid-rewrite leaves the table intact; the swap window itself is the
+  * declared v1-table deviation from a lakehouse format's atomic commit.
   */
 private[plans] object CopyOnWrite {
+
+  private[plans] val FileCol = "__graft_file"
+
+  def pruningEnabled(spark: SparkSession): Boolean =
+    spark.conf.get("spark.graft.dml.filePruning", "true").toBoolean
+
+  /** The single v1 file relation backing `plan`, when that is its shape. */
+  def fsRelationOf(plan: LogicalPlan): Option[LogicalRelation] =
+    plan.collect { case lr: LogicalRelation => lr } match {
+      case Seq(lr) if lr.relation.isInstanceOf[HadoopFsRelation] => Some(lr)
+      case _ => None
+    }
+
+  /** `relation` with a `__graft_file` column carrying the source file of
+    * each row. The column is projected DIRECTLY over the scan — below
+    * any join/filter a condition's subqueries may plan above it — so it
+    * is a real column by the time any exchange could otherwise reset
+    * `input_file_name()` to the empty string.
+    */
+  def withFileColumn(spark: SparkSession, relation: LogicalPlan): DataFrame =
+    ColumnBridge.ofRows(spark,
+      Project(relation.output :+ Alias(InputFileName(), FileCol)(), relation))
+
+  /** Distinct data files containing ≥1 row of `hits` (a frame that still
+    * carries [[FileCol]]). The collected list plays the same driver-side
+    * role as Spark's own file index — bounded by file count, never rows.
+    */
+  def touchedFiles(hits: DataFrame): Seq[String] =
+    hits.select(FileCol).distinct().collect().map(_.getString(0)).toSeq
+
+  /** `relationPlan` re-bound onto exactly `files`, PRESERVING the
+    * original output attributes so every already-resolved expression
+    * above (conditions with subqueries, assignments, merge clauses)
+    * still binds. Implementation: build a fresh file-source relation
+    * over the pruned list (basePath recovers partition values for a
+    * partitioned layout) and swap it under the original
+    * [[LogicalRelation]] node via `copy`, which keeps `output`. Returns
+    * None when the new relation's schema does not line up positionally
+    * — the caller then falls back to the full rewrite.
+    */
+  def prunedRelation(spark: SparkSession, relationPlan: LogicalPlan,
+      lr: LogicalRelation, table: CatalogTable,
+      files: Seq[String]): Option[LogicalPlan] = {
+    if (files.isEmpty) {
+      // no file can hold a modifiable row: an empty relation with the
+      // SAME attributes (MERGE's all-source-rows-are-inserts case)
+      return Some(relationPlan.transformUp {
+        case l: LogicalRelation if l eq lr => LocalRelation(lr.output)
+      })
+    }
+    val fsRel = lr.relation.asInstanceOf[HadoopFsRelation]
+    val reader = spark.read.schema(lr.schema)
+    val prunedDf = (if (fsRel.partitionSchema.nonEmpty)
+      reader.option("basePath", table.location.toString) else reader)
+      .parquet(files: _*)
+    val newLr = prunedDf.queryExecution.analyzed
+      .collectFirst { case l: LogicalRelation => l }
+    newLr match {
+      case Some(n) if n.schema.map(f => (f.name, f.dataType)) ==
+          lr.schema.map(f => (f.name, f.dataType)) =>
+        Some(relationPlan.transformUp {
+          case l: LogicalRelation if l eq lr => lr.copy(relation = n.relation)
+        })
+      case _ => None
+    }
+  }
+
+  /** Full-table copy-on-write: scratch-materialize the complete post-DML
+    * row set, read it back, INSERT OVERWRITE the target by position.
+    */
   def overwrite(spark: SparkSession, table: CatalogTable,
       rewritten: LogicalPlan): Unit = {
     val df = ColumnBridge.ofRows(spark, rewritten)
@@ -76,6 +178,62 @@ private[plans] object CopyOnWrite {
     }
     rm(new java.io.File(scratch).getParentFile)
   }
+
+  /** File-pruned commit: write `rewritten` (already bound to only the
+    * touched files plus any inserted rows) under a dot-prefixed scratch
+    * dir INSIDE the table location — invisible to listings, and on the
+    * table's own filesystem so the swap is pure rename, no byte copy —
+    * then delete `touched` and move the new files in, preserving
+    * partition subdirectories. Untouched files are never opened, let
+    * alone rewritten. The swap happens only after the scratch write
+    * fully succeeds, so errors (including MERGE's in-flight cardinality
+    * AssertTrue) leave the target untouched.
+    */
+  def prunedCommit(spark: SparkSession, table: CatalogTable,
+      rewritten: LogicalPlan, touched: Seq[String],
+      partitionCols: Seq[String]): Unit = {
+    val df = ColumnBridge.ofRows(spark, rewritten)
+    val loc = new HPath(table.location)
+    val fs = loc.getFileSystem(ColumnBridge.hadoopConf(spark))
+    val scratch = new HPath(loc, s".graft_cow_${java.util.UUID.randomUUID()}")
+    try {
+      val w = df.write.mode(SaveMode.Overwrite)
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(scratch.toString)
+      touched.foreach { f =>
+        fs.delete(new HPath(new java.net.URI(f)), false)
+      }
+      moveDataFiles(fs, scratch, scratch, loc)
+    } finally {
+      fs.delete(scratch, true)
+      // drop the relation/file-listing caches AND the catalog's stale
+      // size stats (insertInto's own commit path does the same)
+      spark.catalog.refreshTable(table.identifier.quotedString)
+      ColumnBridge.updateTableStats(spark, table)
+    }
+  }
+
+  /** Move every data file under `dir` to the mirrored path under
+    * `destRoot` (partition subdirs preserved); committer metadata
+    * (_SUCCESS, .crc) is skipped. Scratch part-file names embed a job
+    * UUID, so they cannot collide with existing table files.
+    */
+  private def moveDataFiles(fs: FileSystem, root: HPath, dir: HPath,
+      destRoot: HPath): Unit =
+    fs.listStatus(dir).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory) {
+        if (!name.startsWith(".") && !name.startsWith("_"))
+          moveDataFiles(fs, root, st.getPath, destRoot)
+      } else if (!name.startsWith("_") && !name.startsWith(".")) {
+        val rel = st.getPath.toUri.getPath
+          .stripPrefix(root.toUri.getPath).stripPrefix("/")
+        val dest = new HPath(destRoot, rel)
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(st.getPath, dest)) throw new java.io.IOException(
+          s"graft CoW commit: rename ${st.getPath} -> $dest failed")
+      }
+    }
 }
 
 case class GraftUpdateCommand(update: UpdateTable) extends LeafRunnableCommand {
@@ -93,18 +251,53 @@ case class GraftUpdateCommand(update: UpdateTable) extends LeafRunnableCommand {
           "for parquet targets")
     })
     val cond = update.condition.getOrElse(Literal(true))
-    val outCols: Seq[NamedExpression] = update.table.output.map { attr =>
-      update.assignments.collectFirst {
-        case Assignment(k: Attribute, v) if k.semanticEquals(attr) => v
-      } match {
-        case Some(v) =>
-          val cast = if (v.dataType == attr.dataType) v else Cast(v, attr.dataType)
-          // rows failing (or null on) the WHERE keep their old value
-          Alias(CaseWhen(Seq((cond, cast)), Some(attr)), attr.name)()
-        case None => attr
+    def outCols(rel: LogicalPlan): Seq[NamedExpression] =
+      rel.output.map { attr =>
+        update.assignments.collectFirst {
+          case Assignment(k: Attribute, v) if k.semanticEquals(attr) => v
+        } match {
+          case Some(v) =>
+            val cast = if (v.dataType == attr.dataType) v else Cast(v, attr.dataType)
+            // rows failing (or null on) the WHERE keep their old value
+            Alias(CaseWhen(Seq((cond, cast)), Some(attr)), attr.name)()
+          case None => attr
+        }
       }
+
+    // file pruning applies when the WHERE can exclude files at all and
+    // no partition column is reassigned (a partition-value change moves
+    // rows between directories — the static-overwrite path owns that)
+    val partLower = table.partitionColumnNames.map(_.toLowerCase).toSet
+    val assignsPartCol = update.assignments.exists(_.key match {
+      case a: Attribute => partLower(a.name.toLowerCase)
+      case _ => false
+    })
+    val prunable = CopyOnWrite.pruningEnabled(spark) &&
+      update.condition.exists(c => c.deterministic && c != Literal(true)) &&
+      !assignsPartCol
+    val lrOpt = CopyOnWrite.fsRelationOf(update.table)
+
+    (if (prunable) lrOpt else None) match {
+      case Some(lr) =>
+        val touched = CopyOnWrite.touchedFiles(
+          CopyOnWrite.withFileColumn(spark, update.table)
+            .filter(ColumnBridge.column(cond)))
+        val all = lr.relation.asInstanceOf[HadoopFsRelation]
+          .location.inputFiles.length
+        if (touched.isEmpty) return Seq.empty // nothing to modify: no-op
+        CopyOnWrite.prunedRelation(spark, update.table, lr, table, touched) match {
+          case Some(pruned) if touched.size < all =>
+            CopyOnWrite.prunedCommit(spark, table,
+              Project(outCols(pruned), pruned), touched,
+              table.partitionColumnNames)
+          case _ =>
+            CopyOnWrite.overwrite(spark, table,
+              Project(outCols(update.table), update.table))
+        }
+      case None =>
+        CopyOnWrite.overwrite(spark, table,
+          Project(outCols(update.table), update.table))
     }
-    CopyOnWrite.overwrite(spark, table, Project(outCols, update.table))
     Seq.empty
   }
 }
@@ -116,9 +309,38 @@ case class GraftDeleteCommand(delete: DeleteFromTable) extends LeafRunnableComma
     val table = MergeIntoParquetRewrite.v1Table(delete.table).getOrElse(
       throw new IllegalStateException("DELETE target is not a v1 catalog table"))
     // DELETE removes rows where the predicate is TRUE; FALSE and NULL
-    // both keep (SQL three-valued semantics), hence the coalesce
-    val keep = Not(Coalesce(Seq(delete.condition, Literal(false))))
-    CopyOnWrite.overwrite(spark, table, Filter(keep, delete.table))
+    // both keep (SQL three-valued semantics), hence the coalesce; the
+    // expression binds to the original attributes, which the pruned
+    // relation swap preserves
+    val keep: Expression =
+      Not(Coalesce(Seq(delete.condition, Literal(false))))
+
+    val prunable = CopyOnWrite.pruningEnabled(spark) &&
+      delete.condition.deterministic && delete.condition != Literal(true)
+    val lrOpt = CopyOnWrite.fsRelationOf(delete.table)
+
+    (if (prunable) lrOpt else None) match {
+      case Some(lr) =>
+        // touched = files holding ≥1 row where the predicate is TRUE
+        val touched = CopyOnWrite.touchedFiles(
+          CopyOnWrite.withFileColumn(spark, delete.table)
+            .filter(ColumnBridge.column(delete.condition)))
+        val all = lr.relation.asInstanceOf[HadoopFsRelation]
+          .location.inputFiles.length
+        if (touched.isEmpty) return Seq.empty // no row deletes: no-op
+        CopyOnWrite.prunedRelation(spark, delete.table, lr, table, touched) match {
+          case Some(pruned) if touched.size < all =>
+            CopyOnWrite.prunedCommit(spark, table,
+              Filter(keep, pruned), touched,
+              table.partitionColumnNames)
+          case _ =>
+            CopyOnWrite.overwrite(spark, table,
+              Filter(keep, delete.table))
+        }
+      case None =>
+        CopyOnWrite.overwrite(spark, table,
+          Filter(keep, delete.table))
+    }
     Seq.empty
   }
 }

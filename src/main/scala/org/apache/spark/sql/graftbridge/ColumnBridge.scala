@@ -24,4 +24,22 @@ object ColumnBridge {
   def logicalPlan(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].logicalPlan
+
+  /** Session Hadoop conf (private[sql] sessionState), for commands that
+    * talk to the table's FileSystem directly (the pruned CoW commit).
+    */
+  def hadoopConf(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.hadoop.conf.Configuration =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.newHadoopConf()
+
+  /** Recompute-or-drop catalog size stats after a manual file-level
+    * commit — the same call Spark's own InsertIntoHadoopFsRelation
+    * command makes, so stale sizeInBytes can't mislead later broadcast
+    * decisions.
+    */
+  def updateTableStats(spark: org.apache.spark.sql.SparkSession,
+      table: org.apache.spark.sql.catalyst.catalog.CatalogTable): Unit =
+    org.apache.spark.sql.execution.command.CommandUtils.updateTableStats(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], table)
 }

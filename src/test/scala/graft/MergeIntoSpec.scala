@@ -255,4 +255,121 @@ class MergeIntoSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(run() === run())
   }
+
+  // ------------------------------------------------------------------
+  // FILE-PRUNED copy-on-write laws for MERGE (VERDICT r14 item 1).
+  // ------------------------------------------------------------------
+
+  /** (relative path -> md5) of every data file under `path`. */
+  private def fileState(path: String): Map[String, String] = {
+    val root = java.nio.file.Paths.get(path)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = scala.collection.mutable.Map[String, String]()
+    def walk(d: java.io.File): Unit =
+      Option(d.listFiles).foreach(_.foreach { f =>
+        val nm = f.getName
+        if (f.isDirectory) { if (!nm.startsWith(".") && !nm.startsWith("_")) walk(f) }
+        else if (!nm.startsWith(".") && !nm.startsWith("_"))
+          out += root.relativize(f.toPath).toString ->
+            md.digest(java.nio.file.Files.readAllBytes(f.toPath))
+              .map("%02x".format(_)).mkString
+      })
+    walk(new java.io.File(path))
+    out.toMap
+  }
+
+  /** Fresh 4-file target range-clustered on k (k = 0..39). */
+  private def clusteredTarget(): (String, String) = {
+    n += 1
+    val tbl = s"merge_spec_files_t$n"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_$tbl"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(path))
+    import spark.implicits._
+    (0L until 40L).map(k => (k, k * 10, s"t${k % 3}")).toDF("k", "v", "tag")
+      .repartitionByRange(4, org.apache.spark.sql.functions.col("k"))
+      .write.option("path", path).saveAsTable(tbl)
+    (tbl, path)
+  }
+
+  test("insert-only MERGE appends new files and touches NO existing file") {
+    val (tbl, path) = clusteredTarget()
+    val before = fileState(path)
+    assert(before.size === 4)
+    import spark.implicits._
+    Seq((5L, 555L), (100L, 1000L), (101L, 1010L)).toDF("k", "nv")
+      .createOrReplaceTempView("merge_files_src")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING merge_files_src s ON t.k = s.k
+         |WHEN NOT MATCHED THEN INSERT (k, v, tag) VALUES (s.k, s.nv, 'new')""".stripMargin)
+    val after = fileState(path)
+    // every original file still on disk, byte-identical; only appends
+    before.foreach { case (f, h) =>
+      assert(after.get(f).contains(h), s"original file $f was touched") }
+    assert(after.size > before.size, "inserted rows must land in new files")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").head().getLong(0) === 42L)
+    // k=5 already existed: dedup-insert must not duplicate it
+    assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE k = 5").head().getLong(0) === 1L)
+  }
+
+  test("update/insert MERGE rewrites only files with matched rows; " +
+      "untouched files stay byte-identical") {
+    val (tbl, path) = clusteredTarget()
+    val before = fileState(path)
+    import spark.implicits._
+    // both source keys hit k=3 and k=7 — the low range bucket(s) only
+    Seq((3L, 333L), (7L, 777L), (200L, 2000L)).toDF("k", "nv")
+      .createOrReplaceTempView("merge_files_src")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING merge_files_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.nv
+         |WHEN NOT MATCHED THEN INSERT (k, v, tag) VALUES (s.k, s.nv, 'new')""".stripMargin)
+    val after = fileState(path)
+    val removed = (before.keySet -- after.keySet).size
+    assert(removed >= 1 && removed < before.size,
+      s"strict subset of files rewritten: $removed of ${before.size}")
+    (before.keySet intersect after.keySet).foreach(f =>
+      assert(before(f) === after(f), s"untouched $f changed"))
+    assert(result(tbl) contains ((3L, 333L, "t0")))
+    assert(result(tbl) contains ((200L, 2000L, "new")))
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").head().getLong(0) === 41L)
+  }
+
+  test("MERGE with NOT MATCHED BY SOURCE rewrites the full table " +
+      "(pruning impossible by semantics, not by accident)") {
+    val (tbl, path) = clusteredTarget()
+    val before = fileState(path)
+    import spark.implicits._
+    Seq((3L, 333L)).toDF("k", "nv").createOrReplaceTempView("merge_files_src")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING merge_files_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.nv
+         |WHEN NOT MATCHED BY SOURCE AND t.k = 39 THEN DELETE""".stripMargin)
+    val after = fileState(path)
+    assert((before.keySet intersect after.keySet).isEmpty,
+      "NOT MATCHED BY SOURCE puts every row in play: full rewrite")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").head().getLong(0) === 39L)
+  }
+
+  test("pruned MERGE still enforces the cardinality guard and leaves " +
+      "the target untouched on error") {
+    val (tbl, path) = clusteredTarget()
+    val before = fileState(path)
+    import spark.implicits._
+    Seq((3L, 1L), (3L, 2L)).toDF("k", "nv").createOrReplaceTempView("merge_files_src")
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $tbl t USING merge_files_src s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => Option(c.getMessage)
+      .exists(_.contains("more than one source row"))))
+    assert(fileState(path) === before, "failed MERGE must not touch the table")
+  }
 }

@@ -161,4 +161,147 @@ class UpdateDeleteSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(run() === run())
   }
+
+  // ------------------------------------------------------------------
+  // FILE-PRUNED copy-on-write laws (VERDICT r14 item 1): a selective
+  // DML statement rewrites a STRICT SUBSET of the table's files, and
+  // every file the predicate cannot touch stays byte-identical on disk
+  // (m25's untouched-file law applied to DML).
+  // ------------------------------------------------------------------
+
+  /** (relative path -> md5) of every data file under `path`. */
+  private def fileState(path: String): Map[String, String] = {
+    val root = java.nio.file.Paths.get(path)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = scala.collection.mutable.Map[String, String]()
+    def walk(d: java.io.File): Unit =
+      Option(d.listFiles).foreach(_.foreach { f =>
+        val n = f.getName
+        if (f.isDirectory) { if (!n.startsWith(".") && !n.startsWith("_")) walk(f) }
+        else if (!n.startsWith(".") && !n.startsWith("_"))
+          out += root.relativize(f.toPath).toString ->
+            md.digest(java.nio.file.Files.readAllBytes(f.toPath))
+              .map("%02x".format(_)).mkString
+      })
+    walk(new java.io.File(path))
+    out.toMap
+  }
+
+  /** Fresh 4-file table range-clustered on k (k = 0..39, ~10 rows/file),
+    * so a narrow-k predicate provably touches one file.
+    */
+  private def clusteredTarget(): (String, String) = {
+    n += 1
+    val tbl = s"dml_spec_files_t$n"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_$tbl"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(path))
+    import spark.implicits._
+    (0L until 40L).map(k => (k, k * 10, s"t${k % 3}")).toDF("k", "v", "tag")
+      .repartitionByRange(4, org.apache.spark.sql.functions.col("k"))
+      .write.option("path", path).saveAsTable(tbl)
+    (tbl, path)
+  }
+
+  test("selective DELETE rewrites a strict subset of files; untouched " +
+      "files stay byte-identical") {
+    val (tbl, path) = clusteredTarget()
+    val before = fileState(path)
+    assert(before.size === 4)
+    spark.sql(s"DELETE FROM $tbl WHERE k = 5")
+    val after = fileState(path)
+    val removed = before.keySet -- after.keySet
+    val added = after.keySet -- before.keySet
+    assert(removed.size === 1, s"exactly the k=5 file is rewritten: $removed")
+    assert(added.size === 1)
+    val kept = before.keySet intersect after.keySet
+    assert(kept.size === 3)
+    kept.foreach(f => assert(before(f) === after(f), s"untouched $f changed"))
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").head().getLong(0) === 39L)
+    assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE k = 5").head().getLong(0) === 0L)
+  }
+
+  test("selective UPDATE rewrites a strict subset of files; untouched " +
+      "files stay byte-identical") {
+    val (tbl, path) = clusteredTarget()
+    val before = fileState(path)
+    spark.sql(s"UPDATE $tbl SET v = -1 WHERE k >= 35")
+    val after = fileState(path)
+    val kept = before.keySet intersect after.keySet
+    // range-bucket boundaries are sampled, so pin the strict-subset law,
+    // not an exact count: some files replaced, some provably untouched
+    val removed = (before.keySet -- after.keySet).size
+    assert(removed >= 1 && removed < before.size, s"strict subset: $removed")
+    assert(kept.nonEmpty)
+    kept.foreach(f => assert(before(f) === after(f), s"untouched $f changed"))
+    assert(result(tbl) === (0L until 40L).map(k =>
+      (k, if (k >= 35) -1L else k * 10, s"t${k % 3}")).toSet)
+  }
+
+  test("DELETE matching no row is a no-op: the file set is unchanged") {
+    val (tbl, path) = clusteredTarget()
+    val before = fileState(path)
+    spark.sql(s"DELETE FROM $tbl WHERE k = 999")
+    assert(fileState(path) === before)
+  }
+
+  test("pruned DML on a PARTITIONED table keeps untouched files and " +
+      "partition pruning intact") {
+    n += 1
+    val tbl = s"dml_spec_files_part$n"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_$tbl"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(path))
+    import spark.implicits._
+    (0L until 40L).map(k => (k, k * 10, s"p${k % 2}")).toDF("k", "v", "tag")
+      .repartitionByRange(4, org.apache.spark.sql.functions.col("k"))
+      .write.partitionBy("tag").option("path", path).saveAsTable(tbl)
+    val before = fileState(path)
+    assert(before.size === 8) // 4 range buckets × 2 partition values
+    spark.sql(s"UPDATE $tbl SET v = v + 1 WHERE k < 3")
+    val after = fileState(path)
+    val kept = before.keySet intersect after.keySet
+    // k<3 lives in the low range bucket(s): a strict subset is rewritten
+    val removed = (before.keySet -- after.keySet).size
+    assert(removed >= 1 && removed < before.size, s"strict subset: $removed")
+    assert(kept.nonEmpty)
+    kept.foreach(f => assert(before(f) === after(f), s"untouched $f changed"))
+    // rewritten files landed INSIDE their partition directories
+    (after.keySet -- before.keySet).foreach(f =>
+      assert(f.startsWith("tag=p"), s"new file outside a partition dir: $f"))
+    assert(result(tbl) === (0L until 40L).map(k =>
+      (k, if (k < 3) k * 10 + 1 else k * 10, s"p${k % 2}")).toSet)
+    assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE tag = 'p0'")
+      .head().getLong(0) === 20L)
+  }
+
+  test("no scratch directories are left behind by the pruned commit") {
+    val (tbl, path) = clusteredTarget()
+    spark.sql(s"DELETE FROM $tbl WHERE k = 7")
+    spark.sql(s"UPDATE $tbl SET v = 0 WHERE k = 8")
+    val leftovers = Option(new java.io.File(path).listFiles).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith(".graft_cow_"))
+    assert(leftovers.isEmpty, s"scratch dirs not cleaned: ${leftovers.toList}")
+  }
+
+  test("spark.graft.dml.filePruning=false forces the full rewrite " +
+      "(every file replaced) with identical results") {
+    val (tbl, path) = clusteredTarget()
+    val before = fileState(path)
+    spark.conf.set("spark.graft.dml.filePruning", "false")
+    try spark.sql(s"DELETE FROM $tbl WHERE k = 5")
+    finally spark.conf.unset("spark.graft.dml.filePruning")
+    val after = fileState(path)
+    assert((before.keySet intersect after.keySet).isEmpty,
+      "full rewrite must replace every file")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").head().getLong(0) === 39L)
+  }
 }

@@ -53,8 +53,14 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_integer_dtype(s) or pd.api.types.is_bool_dtype(s):
             return s.map(lambda v: "NULL" if pd.isna(v) else str(v))
         # bool(): pd.isna can return numpy.bool_ for numpy scalars, and
-        # `is True` misses it, stringifying NULLs as 'nan' (ADVICE r12)
-        return s.map(lambda v: "NULL" if bool(pd.isna(v)) else str(v))
+        # `is True` misses it, stringifying NULLs as 'nan' (ADVICE r12).
+        # Non-scalar cells (array/list values) make pd.isna return an
+        # ndarray whose bool() raises — guard with is_scalar so such a
+        # cell degrades to str(v) instead of crashing the checker
+        # (ADVICE r13)
+        return s.map(lambda v: "NULL"
+                     if pd.api.types.is_scalar(v) and bool(pd.isna(v))
+                     else str(v))
     return pd.DataFrame({c: fmt(df[c]) for c in df.columns})
 
 def main():
