@@ -362,7 +362,8 @@ object SqlFrontend {
     * balance (the sql13 shape), run one DML statement against it, and
     * read the post-state back — the sql14/sql15 harness.
     */
-  private def dmlOn(s: SparkSession, d: String, name: String, dml: String => String)
+  private def dmlOn(s: SparkSession, d: String, name: String, dml: String => String,
+      postSelect: String = "custkey, n, cents")
       : org.apache.spark.sql.DataFrame = {
     withViews(s, d)
     val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
@@ -381,7 +382,7 @@ object SqlFrontend {
          |  SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS cents
          |FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey""".stripMargin)
     s.sql(dml(tbl))
-    s.sql(s"SELECT custkey, n, cents FROM $tbl")
+    s.sql(s"SELECT $postSelect FROM $tbl")
   }
 
   val queries: Map[String, Q] = Map(
@@ -404,6 +405,29 @@ object SqlFrontend {
     // and leaves survivors at every SF.
     "sql15_delete" -> ((s, d) => dmlOn(s, d, "sql15", tbl =>
       s"DELETE FROM $tbl WHERE cents < 50000000")),
+
+    // SQL16: MERGE WITH SCHEMA EVOLUTION (r14) — the CDC reality where
+    // the feed grows a column mid-stream. The source carries
+    // max_open_cents, a column the seeded balance table lacks; the
+    // evolution path widens the target pre-resolution, ALTERs the
+    // catalog schema at commit (metadata-only — untouched files surface
+    // the new column as NULL, parquet's missing-column read), and the
+    // oracle recomputes the evolved post-state from the raw orders: all
+    // three branches are live at every fixture SF (matched rows carry
+    // the source value, F-only customers NULL-backfill, O-only
+    // customers insert with the value).
+    "sql16_merge_evolution" -> ((s, d) => dmlOn(s, d, "sql16", tbl =>
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $tbl t
+         |USING (SELECT o_custkey AS custkey, COUNT(*) AS n,
+         |         SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS cents,
+         |         MAX(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS max_open_cents
+         |       FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey) u
+         |ON t.custkey = u.custkey
+         |WHEN MATCHED THEN UPDATE SET n = t.n + u.n, cents = t.cents + u.cents,
+         |  max_open_cents = u.max_open_cents
+         |WHEN NOT MATCHED THEN INSERT (custkey, n, cents, max_open_cents)
+         |  VALUES (u.custkey, u.n, u.cents, u.max_open_cents)""".stripMargin,
+      postSelect = "custkey, n, cents, max_open_cents")),
     "sql1_tpch_q3" -> ((s, d) => { withViews(s, d); s.sql(q3Sql) }),
     "sql2_scalar_subquery" -> ((s, d) => { withViews(s, d); s.sql(scalarSubSql) }),
     "sql3_grouping_sets" -> ((s, d) => { withViews(s, d); s.sql(groupingSetsSql) }),
@@ -515,6 +539,27 @@ object SqlFrontend {
         |)
         |SELECT custkey, n, cents FROM t
         |WHERE NOT (cents < 50000000)""".stripMargin,
+
+    // sql16: evolved post-state — matched rows combine and carry the
+    // source's new column, F-only rows NULL-backfill it, O-only insert
+    "sql16_merge_evolution" ->
+      """WITH t AS (
+        |  SELECT o_custkey AS custkey, COUNT(*) AS n,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+        |), u AS (
+        |  SELECT o_custkey AS custkey, COUNT(*) AS n,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS BIGINT) AS cents,
+        |    MAX(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS max_open_cents
+        |  FROM orders WHERE o_orderstatus = 'O' GROUP BY 1
+        |)
+        |SELECT COALESCE(t.custkey, u.custkey) AS custkey,
+        |  CASE WHEN t.custkey IS NOT NULL AND u.custkey IS NOT NULL THEN t.n + u.n
+        |       WHEN t.custkey IS NOT NULL THEN t.n ELSE u.n END AS n,
+        |  CASE WHEN t.custkey IS NOT NULL AND u.custkey IS NOT NULL THEN t.cents + u.cents
+        |       WHEN t.custkey IS NOT NULL THEN t.cents ELSE u.cents END AS cents,
+        |  u.max_open_cents AS max_open_cents
+        |FROM t FULL JOIN u ON t.custkey = u.custkey""".stripMargin,
 
     "a10_pivot" ->
       """SELECT user_id,

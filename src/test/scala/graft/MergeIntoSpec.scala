@@ -202,19 +202,92 @@ class MergeIntoSpec extends AnyFunSuite with SparkTestBase {
       Option(c.getMessage).exists(_.contains("nested-field"))))
   }
 
-  test("MERGE WITH SCHEMA EVOLUTION is rejected loudly (would drop columns)") {
+  test("MERGE WITH SCHEMA EVOLUTION: explicit new-column INSERT/UPDATE " +
+      "adds the column; pre-existing rows read it as NULL") {
+    val tbl = freshTarget(Seq((1L, 10L, "a"), (2L, 20L, "b")))
+    import spark.implicits._
+    Seq((1L, 100L, "S1"), (9L, 900L, "S9")).toDF("k", "nv", "src_note")
+      .createOrReplaceTempView("merge_src")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $tbl t USING merge_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.nv, src_note = s.src_note
+         |WHEN NOT MATCHED THEN INSERT (k, v, src_note)
+         |  VALUES (s.k, s.nv, s.src_note)""".stripMargin)
+    val got = spark.sql(s"SELECT k, v, tag, src_note FROM $tbl").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2),
+        if (r.isNullAt(3)) null else r.getString(3))).toSet
+    assert(got === Set(
+      (1L, 100L, "a", "S1"),  // matched: updated incl. the evolved column
+      (2L, 20L, "b", null),   // untouched row: NULL backfill
+      (9L, 900L, null, "S9"))) // inserted with the evolved column
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION: star forms evolve every " +
+      "source-only column") {
+    val tbl = freshTarget(Seq((1L, 10L, "a"), (2L, 20L, "b")))
+    import spark.implicits._
+    // source mirrors the target plus an extra column (star contract)
+    Seq((2L, 200L, "B", 7L), (3L, 300L, "C", 9L)).toDF("k", "v", "tag", "score")
+      .createOrReplaceTempView("merge_src")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $tbl t USING merge_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = spark.sql(s"SELECT k, v, tag, score FROM $tbl").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(got === Set(
+      (1L, 10L, "a", -1L),  // untouched: evolved column NULL
+      (2L, 200L, "B", 7L),  // star update carries the evolved column
+      (3L, 300L, "C", 9L))) // star insert carries the evolved column
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION rejects type CHANGES loudly") {
     val tbl = freshTarget(Seq((1L, 10L, "a")))
     import spark.implicits._
-    Seq((1L, 100L)).toDF("k", "nv").createOrReplaceTempView("merge_src")
+    // source's v is INT where the target's is BIGINT
+    Seq((1, 100, "x")).toDF("k", "v", "extra")
+      .select(org.apache.spark.sql.functions.col("k").cast("bigint"),
+        org.apache.spark.sql.functions.col("v"),
+        org.apache.spark.sql.functions.col("extra"))
+      .createOrReplaceTempView("merge_src")
     val e = intercept[Exception] {
       spark.sql(
         s"""MERGE WITH SCHEMA EVOLUTION INTO $tbl t USING merge_src s ON t.k = s.k
-           |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin)
+           |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
     }
     def causes(t: Throwable): Seq[Throwable] =
       if (t == null) Nil else t +: causes(t.getCause)
-    assert(causes(e).exists(c =>
-      Option(c.getMessage).exists(_.contains("SCHEMA EVOLUTION"))))
+    assert(causes(e).exists(c => Option(c.getMessage)
+      .exists(m => m.contains("changing the type") && m.contains("`v`"))))
+  }
+
+  test("schema evolution composes with the file-pruned commit: " +
+      "untouched files stay byte-identical and read NULL for the new column") {
+    val (tbl, path) = clusteredTarget()
+    val before = fileState(path)
+    import spark.implicits._
+    Seq((3L, 333L, "E3"), (200L, 2000L, "E200")).toDF("k", "nv", "note")
+      .createOrReplaceTempView("merge_files_src")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $tbl t USING merge_files_src s
+         |ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.nv, note = s.note
+         |WHEN NOT MATCHED THEN INSERT (k, v, tag, note)
+         |  VALUES (s.k, s.nv, 'new', s.note)""".stripMargin)
+    val after = fileState(path)
+    val removed = (before.keySet -- after.keySet).size
+    assert(removed >= 1 && removed < before.size, s"strict subset: $removed")
+    (before.keySet intersect after.keySet).foreach(f =>
+      assert(before(f) === after(f), s"untouched $f changed"))
+    // old-schema files surface the evolved column as NULL
+    assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE note IS NULL")
+      .head().getLong(0) === 39L)
+    assert(spark.sql(s"SELECT note FROM $tbl WHERE k = 3").head().getString(0)
+      === "E3")
+    assert(spark.sql(s"SELECT note FROM $tbl WHERE k = 200").head().getString(0)
+      === "E200")
   }
 
   test("one-pass plan shape: exactly one join, one window, no second pass") {
