@@ -428,6 +428,39 @@ object SqlFrontend {
          |WHEN NOT MATCHED THEN INSERT (custkey, n, cents, max_open_cents)
          |  VALUES (u.custkey, u.n, u.cents, u.max_open_cents)""".stripMargin,
       postSelect = "custkey, n, cents, max_open_cents")),
+
+    // SQL17: NESTED-FIELD UPDATE (r14) — `SET struct.field = …`, the
+    // routine statement on event-shaped schemas (SURVEY §1.3's
+    // players.*.rating), executed as an UpdateFields struct rebuild so
+    // sibling fields ride through untouched (the hash pins exactly
+    // that: status and pri.name are inside the updated struct and must
+    // survive). Two-level path exercises the recursion; the WHERE sits
+    // on a DIFFERENT nested field, and misses enough rows at every SF
+    // that the keep-old branch stays live.
+    "sql17_update_nested" -> ((s, d) => {
+      withViews(s, d)
+      val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
+      val tbl = s"sql17_nested_$tag"
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_$tbl").toString
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(path))
+      s.sql(
+        s"""CREATE TABLE $tbl USING parquet LOCATION '$path' AS
+           |SELECT o_orderkey AS okey,
+           |  named_struct('status', o_orderstatus,
+           |    'pri', named_struct('name', o_orderpriority,
+           |      'cents', CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT))) AS meta
+           |FROM orders WHERE o_orderkey % 5 = 0""".stripMargin)
+      s.sql(s"UPDATE $tbl SET meta.pri.cents = meta.pri.cents + 1000 " +
+        "WHERE meta.status = 'F'")
+      s.sql(s"""SELECT okey, meta.status AS status, meta.pri.name AS pri_name,
+           |  meta.pri.cents AS cents FROM $tbl""".stripMargin)
+    }),
     "sql1_tpch_q3" -> ((s, d) => { withViews(s, d); s.sql(q3Sql) }),
     "sql2_scalar_subquery" -> ((s, d) => { withViews(s, d); s.sql(scalarSubSql) }),
     "sql3_grouping_sets" -> ((s, d) => { withViews(s, d); s.sql(groupingSetsSql) }),
@@ -560,6 +593,15 @@ object SqlFrontend {
         |       WHEN t.custkey IS NOT NULL THEN t.cents ELSE u.cents END AS cents,
         |  u.max_open_cents AS max_open_cents
         |FROM t FULL JOIN u ON t.custkey = u.custkey""".stripMargin,
+
+    // sql17: nested post-state recomputed flat from the raw orders —
+    // the CASE mirrors the WHERE, siblings pass through unchanged
+    "sql17_update_nested" ->
+      """SELECT o_orderkey AS okey, o_orderstatus AS status,
+        |  o_orderpriority AS pri_name,
+        |  CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)
+        |    + CASE WHEN o_orderstatus = 'F' THEN 1000 ELSE 0 END AS cents
+        |FROM orders WHERE o_orderkey % 5 = 0""".stripMargin,
 
     "a10_pivot" ->
       """SELECT user_id,

@@ -246,18 +246,18 @@ case class GraftMergeIntoCommand(merge: MergeIntoTable)
 
 object GraftMergeIntoCommand {
 
-  /** The value an action assigns to `attr`, if any. Non-Attribute
-    * assignment keys (a resolved `UPDATE SET structCol.field = …` has a
-    * GetStructField key) are rejected loudly in [[mergedPlanFor]] —
-    * silently missing them here kept the old column value with no error
-    * (ADVICE r12).
+  /** The value an action assigns to `attr`, if any. UPDATE keys may be
+    * columns or struct-field paths (r14 — [[NestedFields.valueFor]]
+    * rebuilds the struct with sibling fields untouched); other key
+    * shapes are rejected loudly in [[validate]] — silently missing them
+    * here kept the old column value with no error (ADVICE r12).
     */
   private def assigned(a: MergeAction, attr: Attribute): Option[Expression] = {
     def find(as: Seq[Assignment]): Option[Expression] = as.collectFirst {
       case Assignment(k: Attribute, v) if k.semanticEquals(attr) => v
     }
     a match {
-      case u: UpdateAction => find(u.assignments)
+      case u: UpdateAction => NestedFields.valueFor(u.assignments, attr, "MERGE")
       // INSERT: unassigned target columns become NULL
       case i: InsertAction =>
         Some(find(i.assignments).getOrElse(Literal(null, attr.dataType)))
@@ -287,17 +287,16 @@ object GraftMergeIntoCommand {
     * insert-only commit does not go through [[mergedPlanFor]]).
     */
   private[graft] def validate(merge: MergeIntoTable): Unit = {
-    // reject nested-field assignments loudly: `assigned` only matches
-    // top-level Attribute keys, so a GetStructField key would silently
-    // keep the old column value (ADVICE r12)
+    // UPDATE keys: column or struct-field path (r14); anything else
+    // (array/map element) would be silently missed by `assigned` and
+    // keep the old value with no error (ADVICE r12) — reject loudly
     (merge.matchedActions ++ merge.notMatchedActions ++
       merge.notMatchedBySourceActions).foreach {
-      case u: UpdateAction => u.assignments.foreach(a => a.key match {
-        case _: Attribute => ()
-        case other => throw new UnsupportedOperationException(
-          s"MERGE: nested-field assignment (${other.sql}) is not supported " +
-            "for parquet targets")
-      })
+      case u: UpdateAction => u.assignments.foreach(a =>
+        if (NestedFields.keyPath(a.key).isEmpty)
+          throw new UnsupportedOperationException(
+            s"MERGE: assignment key (${a.key.sql}) is not a column or " +
+              "struct-field path — not supported for parquet targets"))
       case i: InsertAction => i.assignments.foreach(a => a.key match {
         case _: Attribute => ()
         case other => throw new UnsupportedOperationException(

@@ -236,26 +236,98 @@ private[plans] object CopyOnWrite {
     }
 }
 
+/** Nested-field assignment support shared by UPDATE and MERGE (VERDICT
+  * r14 item 5): `SET struct.field = x` rebuilds the struct column with a
+  * [[UpdateFields]] projection — `withField` semantics — so sibling
+  * fields ride through untouched and the whole thing stays one
+  * codegen'd Project. Multi-level paths recurse (`a.b.c`); a NULL
+  * struct stays NULL (UpdateFields is null-propagating), matching the
+  * "no row to update inside" reading. Array/map element assignment is
+  * still rejected loudly by the callers ([[keyPath]] returns None).
+  */
+private[plans] object NestedFields {
+
+  /** Decompose a resolved assignment key into (root attribute, field
+    * path); None for keys that are neither a column nor a struct-field
+    * chain.
+    */
+  def keyPath(e: Expression): Option[(Attribute, Seq[String])] = e match {
+    case a: Attribute => Some((a, Nil))
+    case g: GetStructField =>
+      keyPath(g.child).map { case (a, p) => (a, p :+ g.extractFieldName) }
+    case _ => None
+  }
+
+  /** The declared type at `path` inside `dt` (field names matched
+    * exactly — the path came from resolution, so it carries the actual
+    * field names).
+    */
+  def typeAt(dt: org.apache.spark.sql.types.DataType,
+      path: Seq[String]): org.apache.spark.sql.types.DataType =
+    path.foldLeft(dt) {
+      case (st: org.apache.spark.sql.types.StructType, name) =>
+        st.fields.find(_.name == name).map(_.dataType).getOrElse(
+          throw new IllegalStateException(s"no field $name in ${st.sql}"))
+      case (other, name) => throw new IllegalStateException(
+        s"cannot descend into ${other.sql} for field $name")
+    }
+
+  /** `base` with the field at `path` replaced by `value` (cast to the
+    * field's declared type when needed), every other field untouched.
+    */
+  def setNested(base: Expression, path: Seq[String],
+      value: Expression): Expression = path match {
+    case Seq(last) =>
+      val ft = typeAt(base.dataType, Seq(last))
+      val cast = if (value.dataType == ft) value else Cast(value, ft)
+      UpdateFields(base, Seq(WithField(last, cast)))
+    case head +: rest =>
+      val child = ExtractValue(base, Literal(head), (a: String, b: String) => a == b)
+      UpdateFields(base, Seq(WithField(head, setNested(child, rest, value))))
+    case _ => value
+  }
+
+  /** The post-assignment value for `attr` given this action's
+    * assignments: Some(top-level value) for a whole-column assignment,
+    * Some(struct rebuild) when only nested paths target it, None when
+    * the action leaves it alone. Mixing a whole-column and a nested
+    * assignment to the same column in one action is ambiguous — loud
+    * reject.
+    */
+  def valueFor(assignments: Seq[Assignment], attr: Attribute,
+      what: String): Option[Expression] = {
+    val mine = assignments.flatMap(x => keyPath(x.key) match {
+      case Some((root, path)) if root.semanticEquals(attr) => Some((path, x.value))
+      case _ => None
+    })
+    if (mine.isEmpty) None
+    else if (mine.forall(_._1.isEmpty)) Some(mine.head._2)
+    else if (mine.exists(_._1.isEmpty)) throw new UnsupportedOperationException(
+      s"$what: column ${attr.name} is assigned both as a whole and by " +
+        "nested field in the same action")
+    else Some(mine.foldLeft(attr: Expression)((acc, pv) =>
+      setNested(acc, pv._1, pv._2)))
+  }
+}
+
 case class GraftUpdateCommand(update: UpdateTable) extends LeafRunnableCommand {
   override def output: Seq[Attribute] = Seq.empty
 
   override def run(spark: SparkSession): Seq[Row] = {
     val table = MergeIntoParquetRewrite.v1Table(update.table).getOrElse(
       throw new IllegalStateException("UPDATE target is not a v1 catalog table"))
-    // nested-field assignment keys would be silently missed by the
-    // Attribute lookup below — reject loudly (the MERGE ADVICE-r12 rule)
-    update.assignments.foreach(a => a.key match {
-      case _: Attribute => ()
-      case other => throw new UnsupportedOperationException(
-        s"UPDATE: nested-field assignment (${other.sql}) is not supported " +
-          "for parquet targets")
-    })
+    // keys must be a column or a struct-field chain; array/map element
+    // assignment would be silently missed below — reject loudly (the
+    // MERGE ADVICE-r12 rule, relaxed in r14 to admit struct paths)
+    update.assignments.foreach(a =>
+      if (NestedFields.keyPath(a.key).isEmpty)
+        throw new UnsupportedOperationException(
+          s"UPDATE: assignment key (${a.key.sql}) is not a column or " +
+            "struct-field path — not supported for parquet targets"))
     val cond = update.condition.getOrElse(Literal(true))
     def outCols(rel: LogicalPlan): Seq[NamedExpression] =
       rel.output.map { attr =>
-        update.assignments.collectFirst {
-          case Assignment(k: Attribute, v) if k.semanticEquals(attr) => v
-        } match {
+        NestedFields.valueFor(update.assignments, attr, "UPDATE") match {
           case Some(v) =>
             val cast = if (v.dataType == attr.dataType) v else Cast(v, attr.dataType)
             // rows failing (or null on) the WHERE keep their old value

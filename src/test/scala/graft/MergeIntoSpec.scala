@@ -178,7 +178,7 @@ class MergeIntoSpec extends AnyFunSuite with SparkTestBase {
     assert(result(tbl) === Set((1L, 100L, "a")))
   }
 
-  test("nested-field assignment is rejected loudly, not silently ignored") {
+  test("MERGE nested-field UPDATE rebuilds the struct; siblings untouched") {
     val tbl = s"merge_spec_nested"
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_$tbl"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
@@ -188,18 +188,43 @@ class MergeIntoSpec extends AnyFunSuite with SparkTestBase {
     }
     rm(new java.io.File(path))
     spark.sql(s"CREATE TABLE $tbl USING parquet LOCATION '$path' AS " +
-      "SELECT CAST(1 AS BIGINT) AS k, named_struct('f', 10L) AS s")
+      "SELECT CAST(1 AS BIGINT) AS k, named_struct('f', 10L, 'g', 'keep') AS s " +
+      "UNION ALL SELECT CAST(2 AS BIGINT), named_struct('f', 20L, 'g', 'also')")
+    import spark.implicits._
+    Seq((1L, 99L)).toDF("k", "nv").createOrReplaceTempView("merge_src")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING merge_src u ON t.k = u.k
+         |WHEN MATCHED THEN UPDATE SET t.s.f = u.nv""".stripMargin)
+    val got = spark.sql(s"SELECT k, s.f, s.g FROM $tbl").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got === Set((1L, 99L, "keep"), (2L, 20L, "also")))
+  }
+
+  test("MERGE map-key assignment is rejected loudly, not ignored") {
+    // array subscripts (t.a[0]) already die in the parser; the reachable
+    // non-struct dotted key is a MAP column, which resolves to
+    // GetMapValue — keyPath refuses it, so the reject must be loud
+    val tbl = s"merge_spec_map"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_$tbl"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(path))
+    spark.sql(s"CREATE TABLE $tbl USING parquet LOCATION '$path' AS " +
+      "SELECT CAST(1 AS BIGINT) AS k, map('x', 10L) AS m")
     import spark.implicits._
     Seq((1L, 99L)).toDF("k", "nv").createOrReplaceTempView("merge_src")
     val e = intercept[Exception] {
       spark.sql(
         s"""MERGE INTO $tbl t USING merge_src u ON t.k = u.k
-           |WHEN MATCHED THEN UPDATE SET t.s.f = u.nv""".stripMargin)
+           |WHEN MATCHED THEN UPDATE SET t.m.x = u.nv""".stripMargin)
     }
     def causes(t: Throwable): Seq[Throwable] =
       if (t == null) Nil else t +: causes(t.getCause)
-    assert(causes(e).exists(c =>
-      Option(c.getMessage).exists(_.contains("nested-field"))))
+    assert(causes(e).exists(c => Option(c.getMessage)
+      .exists(_.contains("not a column or struct-field path"))))
   }
 
   test("MERGE WITH SCHEMA EVOLUTION: explicit new-column INSERT/UPDATE " +

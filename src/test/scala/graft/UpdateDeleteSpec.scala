@@ -67,8 +67,13 @@ class UpdateDeleteSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.sql(s"SELECT * FROM $tbl").count() === 0)
   }
 
-  test("nested-field UPDATE assignment is rejected loudly") {
-    val tbl = "dml_spec_nested"
+  /** Fresh table shaped like the S2 Lichess payload: per-game players
+    * struct with nested user/rating (SURVEY §1.3's natural nested
+    * target).
+    */
+  private def lichessShapedTarget(): String = {
+    n += 1
+    val tbl = s"dml_spec_nested_t$n"
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_$tbl"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     def rm(f: java.io.File): Unit = {
@@ -76,15 +81,64 @@ class UpdateDeleteSpec extends AnyFunSuite with SparkTestBase {
       f.delete()
     }
     rm(new java.io.File(path))
-    spark.sql(s"CREATE TABLE $tbl USING parquet LOCATION '$path' AS " +
-      "SELECT CAST(1 AS BIGINT) AS k, named_struct('f', 10L) AS s")
+    spark.sql(
+      s"""CREATE TABLE $tbl USING parquet LOCATION '$path' AS
+         |SELECT * FROM VALUES
+         |  ('g1', named_struct(
+         |     'white', named_struct('user', named_struct('name', 'alice'), 'rating', 1500),
+         |     'black', named_struct('user', named_struct('name', 'bob'), 'rating', 1600)),
+         |   'white'),
+         |  ('g2', named_struct(
+         |     'white', named_struct('user', named_struct('name', 'carol'), 'rating', 1700),
+         |     'black', named_struct('user', named_struct('name', 'dave'), 'rating', 1800)),
+         |   'black')
+         |AS t(id, players, winner)""".stripMargin)
+    tbl
+  }
+
+  test("nested-field UPDATE rebuilds the struct; sibling fields and " +
+      "sibling structs are untouched") {
+    val tbl = lichessShapedTarget()
+    spark.sql(s"UPDATE $tbl SET players.white.rating = players.white.rating + 32 " +
+      "WHERE winner = 'white'")
+    val got = spark.sql(
+      s"""SELECT id, players.white.user.name, players.white.rating,
+         |  players.black.user.name, players.black.rating FROM $tbl""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getString(3), r.getInt(4))).toSet
+    assert(got === Set(
+      ("g1", "alice", 1532, "bob", 1600),  // white rating bumped, all else intact
+      ("g2", "carol", 1700, "dave", 1800))) // WHERE missed: fully intact
+  }
+
+  test("two nested assignments to one struct in one UPDATE compose") {
+    val tbl = lichessShapedTarget()
+    spark.sql(s"UPDATE $tbl SET players.white.rating = 1, " +
+      s"players.black.rating = 2 WHERE id = 'g1'")
+    val got = spark.sql(s"SELECT players.white.rating, players.black.rating, " +
+      s"players.white.user.name FROM $tbl WHERE id = 'g1'").head()
+    assert((got.getInt(0), got.getInt(1), got.getString(2)) === ((1, 2, "alice")))
+  }
+
+  test("nested UPDATE values see the OLD row (swap across fields)") {
+    val tbl = lichessShapedTarget()
+    spark.sql(s"UPDATE $tbl SET players.white.rating = players.black.rating, " +
+      s"players.black.rating = players.white.rating WHERE id = 'g2'")
+    val got = spark.sql(s"SELECT players.white.rating, players.black.rating " +
+      s"FROM $tbl WHERE id = 'g2'").head()
+    assert((got.getInt(0), got.getInt(1)) === ((1800, 1700)))
+  }
+
+  test("whole-column plus nested assignment to the same column is " +
+      "rejected as ambiguous") {
+    val tbl = lichessShapedTarget()
     val e = intercept[Exception] {
-      spark.sql(s"UPDATE $tbl SET s.f = 99")
+      spark.sql(s"UPDATE $tbl SET players = players, players.white.rating = 1")
     }
     def causes(t: Throwable): Seq[Throwable] =
       if (t == null) Nil else t +: causes(t.getCause)
-    assert(causes(e).exists(c =>
-      Option(c.getMessage).exists(_.contains("nested-field"))))
+    assert(causes(e).exists(c => Option(c.getMessage)
+      .exists(_.contains("whole"))))
   }
 
   test("DELETE WHERE k IN (subquery): the GDPR tombstone-list scrub") {
