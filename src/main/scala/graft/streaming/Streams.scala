@@ -505,6 +505,112 @@ object Streams {
         try q.processAllAvailable() finally q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table("t23_final").select(col("p_id"), col("c_id"), col("user_id"))
+    }),
+
+    // T24 (r14): STREAMING SESSION MERGE under the external oracle —
+    // t19's cross-batch session-merge semantics graded by DuckDB instead
+    // of the engine's own asserts (VERDICT r13 missing #5). The fixture
+    // events feed as FOUR hash-partitioned NDJSON files, one per
+    // micro-batch, so the events of almost every session arrive
+    // scattered across triggers and the session_window state must MERGE
+    // fragments batch after batch; complete mode emits the final merged
+    // session set (append would hold back every session the watermark
+    // hasn't passed — and a realistic watermark over hash-partitioned
+    // replay would grade the replay order, t23's lesson). DuckDB
+    // recomputes sessions with the classic island identity (new session
+    // when the per-user time delta reaches the gap). The fixture has no
+    // exact 30-minute deltas at any SF (checked), so the half-open
+    // boundary convention cannot silently diverge.
+    "t24_stream_session_merge" -> ((s, d) => {
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val feed = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_t24_feed_${Integer.toHexString(d.hashCode)}").toString
+      graft.Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+        .repartition(4).write.mode("overwrite").json(feed)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("us", LongType)))
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").json(feed)
+        .withColumn("ts", timestamp_micros(col("us")))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = streamingSessions(stream, "30 minutes", "3650 days")
+          .writeStream.format("memory").queryName("t24_final")
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table("t24_final")
+        .select(col("user_id"), unix_micros(col("s_start")).as("s_start_us"),
+          col("n"))
+    }),
+
+    // T25 (r14): STREAMING CDC MERGE-APPLY under the external oracle —
+    // t20's foreachBatch upsert loop graded by DuckDB (VERDICT r13
+    // missing #5): a per-customer change feed (op = delete when the
+    // open-order count reaches 5, else additive upsert) applies to the
+    // seeded F-order balance table one micro-batch at a time through
+    // the engine's MERGE command — each batch is one file-pruned CoW
+    // merge, so the table is a consistent post-batch state throughout.
+    // Batches partition the keyspace (custkey parity), so each key
+    // changes in exactly one batch and the final state is
+    // order-independent — the oracle recomputes it from the raw orders
+    // with a FULL JOIN. All four clause branches are live at every SF:
+    // matched-delete, matched-update, unmatched-insert, and the
+    // unmatched-delete no-op.
+    "t25_stream_cdc_apply" -> ((s, d) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val tag = Integer.toHexString(d.hashCode)
+      val feed = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_t25_feed_$tag").toString
+      val tbl = s"t25_balance_$tag"
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_$tbl").toString
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(path))
+      val orders = graft.Tables.orders(s, d)
+      orders.filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)")).as("cents"))
+        .write.option("path", path).saveAsTable(tbl)
+      val changes = orders.filter(col("o_orderstatus") === "O")
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)")).as("cents"))
+        .withColumn("op", when(col("n") >= 5, lit("D")).otherwise(lit("U")))
+      changes.filter(col("custkey") % 2 === 0)
+        .repartition(1).write.mode("overwrite").json(feed)
+      changes.filter(col("custkey") % 2 === 1)
+        .repartition(1).write.mode("append").json(feed)
+      val schema = StructType(Seq(
+        StructField("custkey", LongType), StructField("n", LongType),
+        StructField("cents", LongType), StructField("op", StringType)))
+      val applyBatch: (DataFrame, Long) => Unit = (batch, _) => {
+        val v = s"t25_changes_$tag"
+        batch.createOrReplaceTempView(v)
+        batch.sparkSession.sql(
+          s"""MERGE INTO $tbl t USING $v s ON t.custkey = s.custkey
+             |WHEN MATCHED AND s.op = 'D' THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET n = t.n + s.n, cents = t.cents + s.cents
+             |WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT (custkey, n, cents)
+             |  VALUES (s.custkey, s.n, s.cents)""".stripMargin)
+      }
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").json(feed)
+          .writeStream.foreachBatch(applyBatch).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.sql(s"SELECT custkey, n, cents FROM $tbl")
     })
   )
 
@@ -527,6 +633,50 @@ object Streams {
         |SELECT p.event_id AS p_id, c.event_id AS c_id,
         |  p.user_id AS user_id
         |FROM p JOIN c ON p.user_id = c.user_id
-        |  AND c.us >= p.us - 1800000000 AND c.us <= p.us""".stripMargin
+        |  AND c.us >= p.us - 1800000000 AND c.us <= p.us""".stripMargin,
+
+    // t24: the batch side of the session-merge parity — island
+    // sessionization (break when the per-user delta reaches the
+    // 30-minute gap; the fixture has no exact-gap deltas, so the
+    // boundary convention is inert)
+    "t24_stream_session_merge" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us FROM events
+        |), m AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+        |              >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e
+        |), s AS (
+        |  SELECT user_id, us,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m
+        |)
+        |SELECT user_id, MIN(us) AS s_start_us, COUNT(*) AS n
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    // t25: the post-loop state recomputed from the raw orders — the
+    // sql13 FULL JOIN form minus NOT MATCHED BY SOURCE (t-only rows
+    // persist), with op='D' as the u.n >= 5 predicate on both the
+    // matched-delete and the skipped-insert arm
+    "t25_stream_cdc_apply" ->
+      """WITH t AS (
+        |  SELECT o_custkey AS custkey, COUNT(*) AS n,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+        |), u AS (
+        |  SELECT o_custkey AS custkey, COUNT(*) AS n,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderstatus = 'O' GROUP BY 1
+        |)
+        |SELECT COALESCE(t.custkey, u.custkey) AS custkey,
+        |  CASE WHEN t.custkey IS NOT NULL AND u.custkey IS NOT NULL THEN t.n + u.n
+        |       WHEN t.custkey IS NOT NULL THEN t.n ELSE u.n END AS n,
+        |  CASE WHEN t.custkey IS NOT NULL AND u.custkey IS NOT NULL THEN t.cents + u.cents
+        |       WHEN t.custkey IS NOT NULL THEN t.cents ELSE u.cents END AS cents
+        |FROM t FULL JOIN u ON t.custkey = u.custkey
+        |WHERE NOT (t.custkey IS NOT NULL AND u.custkey IS NOT NULL AND u.n >= 5)
+        |  AND NOT (t.custkey IS NULL AND u.n >= 5)""".stripMargin
   )
 }
