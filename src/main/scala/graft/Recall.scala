@@ -41,7 +41,10 @@ object Recall {
     val variants: Seq[(String, DataFrame)] = Seq(
       "l3b_ann_lsh" -> operators.Similarity.annTopK(emb, k),
       "l3c_ann_ivf" -> operators.Similarity.ivfTopK(emb, k),
-      "l3d_pq_topk" -> operators.Pq.pqTopK(emb, k))
+      "l3d_pq_topk" -> operators.Pq.pqTopK(emb, k),
+      // int8-dot re-rank (r14): the SQ quartet row — ranking by the
+      // quantized dot must stay near the exact float ranking
+      "l3h_sq_rerank" -> operators.Pq.sqTopK(emb, k))
 
     val entries = variants.map { case (name, df) =>
       val got = pairs(df)

@@ -204,6 +204,29 @@ object ScalarFns {
                 |     ELSE CAST(0 AS BIGINT) END)""".stripMargin).as("safe_add"))
     }),
 
+    // F21: the INTERVAL type family (r14) — SURVEY §1.2 declares
+    // intervals in the data model; this exercises them the way f17 does
+    // decimals: make_dt_interval / make_ym_interval construction,
+    // timestamp ± interval in both flavors, interval × integer scaling,
+    // and field EXTRACTion from a timestamp difference. Every output is
+    // a timestamp or BIGINT (the intervals live in the computation, so
+    // the artifact stays engine-neutral); DuckDB re-expresses each with
+    // INTERVAL literals. Pure scan-local codegen at any scale. The
+    // year-month add crosses month-length boundaries on the fixture's
+    // random dates, pinning both engines' clamp-to-month-end rule.
+    "f21_interval_arith" -> ((s, d) => {
+      Tables.orders(s, d).filter(col("o_orderkey") % 7 === 0).select(
+        col("o_orderkey"),
+        expr("o_orderdate + make_dt_interval(3, 12, 30, 0)").as("due_ts"),
+        expr("o_orderdate + make_ym_interval(1, 6)").as("anniversary"),
+        expr("o_orderdate - make_dt_interval(0, 6, 0, 0)").as("cutoff_ts"),
+        expr("o_orderdate + make_dt_interval(0, 0, 45, 0) * (o_orderkey % 4)")
+          .as("staggered_ts"),
+        expr("""CAST(EXTRACT(DAY FROM (o_orderdate
+               |  - TIMESTAMP '1995-01-01 00:00:00')) AS BIGINT)""".stripMargin)
+          .as("age_days"))
+    }),
+
     "f17_decimal_math" -> ((s, d) => {
       Tables.orders(s, d)
         .select(col("o_custkey"),
@@ -394,6 +417,18 @@ object ScalarFns {
         |  CASE WHEN o_custkey % 500 = 0 THEN NULL ELSE o_orderkey END
         |    AS safe_add
         |FROM orders""".stripMargin,
+
+    // f21: the same arithmetic with INTERVAL literals; EXTRACT(DAY ...)
+    // truncates toward zero in both engines
+    "f21_interval_arith" ->
+      """SELECT o_orderkey,
+        |  o_orderdate + INTERVAL '3 days 12 hours 30 minutes' AS due_ts,
+        |  o_orderdate + INTERVAL '1 year 6 months' AS anniversary,
+        |  o_orderdate - INTERVAL '6 hours' AS cutoff_ts,
+        |  o_orderdate + INTERVAL '45 minutes' * (o_orderkey % 4) AS staggered_ts,
+        |  CAST(EXTRACT(DAY FROM (o_orderdate - TIMESTAMP '1995-01-01 00:00:00'))
+        |    AS BIGINT) AS age_days
+        |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
 
     // f19: the generator's window arithmetic re-expressed as DuckDB
     // list slices — ceil(len/stride) chunks, last tail short

@@ -923,9 +923,13 @@ object PipelineOps {
       val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
       val qpath = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"), s"graft_m27_quar_$tag").toString
+      // 'error' events are untrusted telemetry, not product events — so
+      // the TYPE route fires on real fixture rows (the r14 branch audit
+      // caught the previous allowed-list covering the whole enum, which
+      // left the type route mechanically dead at every SF)
       val reason = when(col("value") > 100, "value_gt_100")
         .when(!col("event_type").isin(
-          "click", "view", "purchase", "signup", "error"), "unknown_type")
+          "click", "view", "purchase", "signup"), "untrusted_type")
       val tagged = Tables.events(s, d)
         .select(col("event_id"), col("event_type"), col("value"),
           reason.as("reason"))
@@ -1614,8 +1618,8 @@ object PipelineOps {
         |  SELECT event_id, event_type, value,
         |    CASE WHEN value > 100 THEN 'value_gt_100'
         |         WHEN event_type NOT IN
-        |           ('click','view','purchase','signup','error')
-        |           THEN 'unknown_type'
+        |           ('click','view','purchase','signup')
+        |           THEN 'untrusted_type'
         |    END AS reason
         |  FROM events
         |)

@@ -342,6 +342,36 @@ object Pq {
     }.toDF("vec_id", "scale9", "codes")
   }
 
+  /** L3h retrieval twin (r14): int8-dot top-k — rank by the dot product
+    * of DEQUANTIZED vectors (code·scale per element), which equals
+    * scale_q·scale_c·Σ cq·cc, i.e. exactly the int8 accumulator an SQ
+    * vector store computes at query time. Its recall@k against the
+    * exact float ranking is RECALL_r{N}'s fourth row, turning the
+    * quantization trio (LSH/IVF/PQ) into a quartet with a
+    * machine-checked floor (VERDICT r13 item 10).
+    */
+  def sqTopK(embeddings: DataFrame, k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dq = unitVecs(embeddings).map { r =>
+      var mx = 0.0
+      var i = 0
+      while (i < r.emb.length) {
+        val a = math.abs(r.emb(i)); if (a > mx) mx = a; i += 1
+      }
+      val scale = mx / 127.0
+      val out = new Array[Double](r.emb.length)
+      var j = 0
+      while (j < r.emb.length) {
+        out(j) =
+          if (scale == 0.0) 0.0 else math.floor(r.emb(j) / scale + 0.5) * scale
+        j += 1
+      }
+      (r.vec_id, out)
+    }.toDF("vec_id", "embedding")
+    Similarity.bruteTopK(dq, k)
+  }
+
   val queries: Map[String, Q] = Map(
     // L3H: int8 scalar quantization (r13) — hash-checked codes: the
     // oracle recomputes every scale and every code from the raw

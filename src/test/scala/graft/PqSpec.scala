@@ -106,6 +106,18 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.9, s"int8 ranking recall@3 regressed: $recall")
   }
 
+  test("sqTopK (the distributed int8-dot retrieval kernel) holds the " +
+      "0.9 recall floor vs exact") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("neighbor")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(operators.Similarity.bruteTopK(emb, 3))
+    val got = pairs(operators.Pq.sqTopK(emb, 3))
+    val recall = (got & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"sqTopK recall@3 regressed: $recall")
+  }
+
   test("codebooks train once, persist, and reload bit-identically") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     // cache transparency: a cached train returns the same centroids a

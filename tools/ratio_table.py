@@ -57,7 +57,11 @@ FILE_WRITERS = {"s4_csv_roundtrip", "s5_ndjson_roundtrip",
                 # t22 writes its NDJSON feed and runs a multi-trigger
                 # streaming job before the final table exists
                 "sql14_update", "sql15_delete", "t22_stream_batch_parity",
-                "t23_stream_interval_join", "m31_release_manifest"}
+                "t23_stream_interval_join", "m31_release_manifest",
+                # r14: sql16/sql17 CTAS + CoW-rewrite, t24/t25 write
+                # feeds and run multi-trigger streaming executions
+                "sql16_merge_evolution", "sql17_update_nested",
+                "t24_stream_session_merge", "t25_stream_cdc_apply"}
 PINNED_SUBSET_R10 = [
     "a13_minmax_by", "a14_mode", "a1_ungrouped_agg", "a2_group_agg",
     "a7_collect_list", "f10_casts", "f11_url_fns", "f1_string_fns",
