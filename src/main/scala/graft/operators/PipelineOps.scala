@@ -486,6 +486,46 @@ object PipelineOps {
             .cast(LongType)).cast(LongType).as("id_checksum"))
     }),
 
+    // M32: TIME TRAVEL via snapshot manifests (r14) — the lakehouse
+    // "read AS OF version N" on plain parquet, completing the
+    // maintenance family (m7 compact, s14 skipping, m25 overwrite law,
+    // m28 vacuum): each commit appends data files and records a
+    // MANIFEST (the live-file list, m28's pattern — a real format
+    // serializes it; the listing diff is the same information), and
+    // reading a version means scanning exactly its manifest's files.
+    // Two versions commit here (v1 = 1995 orders; v2 = +1996 appended);
+    // the entry reads BOTH snapshots back and aggregates per version —
+    // v1 must NOT see the later append (snapshot isolation), which the
+    // oracle pins by recomputing both states from the raw orders. Cost:
+    // a manifest is metadata-sized at any table size; a snapshot read
+    // is a normal scan of the listed files (column-pruned, stats-
+    // skipped like any other).
+    "m32_time_travel" -> ((s, d) => {
+      val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_m32_table_$tag").toString
+      def files(): Set[String] = {
+        val fs = new java.io.File(dir).listFiles()
+        if (fs == null) Set.empty
+        else fs.map(_.getName).filter(_.endsWith(".parquet")).toSet
+      }
+      val orders = Tables.orders(s, d).select(
+        year(col("o_orderdate")).as("yr"),
+        expr("CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)").as("cents"))
+      orders.filter(col("yr") === 1995)
+        .repartition(2).write.mode("overwrite").parquet(dir)
+      val v1 = files()
+      orders.filter(col("yr") === 1996)
+        .repartition(2).write.mode("append").parquet(dir)
+      val v2 = files()
+      def snapshot(v: Set[String], name: String) =
+        s.read.parquet(v.toSeq.sorted.map(f => s"$dir/$f"): _*)
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents")).cast(LongType).as("cents_total"))
+          .select(lit(name).as("version"), col("n"), col("cents_total"))
+      snapshot(v1, "v1").unionByName(snapshot(v2, "v2"))
+    }),
+
     "m28_vacuum" -> ((s, d) => {
       val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
       val dir = java.nio.file.Paths.get(
@@ -1610,6 +1650,18 @@ object PipelineOps {
         |    THEN ROUND(value + 1, 2) ELSE value END) * 1e2, 0) AS BIGINT))
         |    AS DOUBLE) / 1e2 AS sum_value
         |FROM src, b GROUP BY day_no""".stripMargin,
+
+    // m32: both snapshot states recomputed from the raw orders — a v1
+    // read leaking the append breaks the v1 row
+    "m32_time_travel" ->
+      """SELECT 'v1' AS version, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS BIGINT)
+        |    AS cents_total
+        |FROM orders WHERE year(o_orderdate) = 1995
+        |UNION ALL
+        |SELECT 'v2', COUNT(*),
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS BIGINT)
+        |FROM orders WHERE year(o_orderdate) IN (1995, 1996)""".stripMargin,
 
     // m27: the oracle recomputes both routes from the source; a routing
     // bug (row in both branches, or dropped) breaks a count or a sum

@@ -611,6 +611,43 @@ object Streams {
         try q.processAllAvailable() finally q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.sql(s"SELECT custkey, n, cents FROM $tbl")
+    }),
+
+    // T26 (r14): STREAMING EXACT DEDUP under the external oracle — t6/
+    // t15's cross-batch dedup state graded by DuckDB: the feed carries
+    // every fixture event PLUS a duplicate copy of every third one,
+    // written as a SEPARATE file so the copy arrives in a different
+    // micro-batch than (most of) the originals and must be dropped by
+    // the dropDuplicates STATE, not within-batch; the surviving set
+    // must hash-equal the source events exactly once each (the copies
+    // are byte-identical rows, so the final set is deterministic no
+    // matter which copy a trigger sees first). No watermark: bounded-
+    // state TTL eviction is t15's StreamCheck scenario; this pins the
+    // dedup itself.
+    "t26_stream_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val feed = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_t26_feed_${Integer.toHexString(d.hashCode)}").toString
+      val base = graft.Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      base.repartition(2).write.mode("overwrite").json(feed)
+      base.filter(col("event_id") % 3 === 0)
+        .repartition(1).write.mode("append").json(feed)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType)))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").json(feed)
+          .dropDuplicates("event_id")
+          .writeStream.format("memory").queryName("t26_final")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table("t26_final").select(col("event_id"), col("user_id"),
+        col("event_type"))
     })
   )
 
@@ -677,6 +714,10 @@ object Streams {
         |       WHEN t.custkey IS NOT NULL THEN t.cents ELSE u.cents END AS cents
         |FROM t FULL JOIN u ON t.custkey = u.custkey
         |WHERE NOT (t.custkey IS NOT NULL AND u.custkey IS NOT NULL AND u.n >= 5)
-        |  AND NOT (t.custkey IS NULL AND u.n >= 5)""".stripMargin
+        |  AND NOT (t.custkey IS NULL AND u.n >= 5)""".stripMargin,
+
+    // t26: the batch side of the dedup parity — each event exactly once
+    "t26_stream_dedup" ->
+      "SELECT event_id, user_id, event_type FROM events"
   )
 }

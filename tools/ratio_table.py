@@ -61,7 +61,8 @@ FILE_WRITERS = {"s4_csv_roundtrip", "s5_ndjson_roundtrip",
                 # r14: sql16/sql17 CTAS + CoW-rewrite, t24/t25 write
                 # feeds and run multi-trigger streaming executions
                 "sql16_merge_evolution", "sql17_update_nested",
-                "t24_stream_session_merge", "t25_stream_cdc_apply"}
+                "t24_stream_session_merge", "t25_stream_cdc_apply",
+                "t26_stream_dedup", "m32_time_travel"}
 PINNED_SUBSET_R10 = [
     "a13_minmax_by", "a14_mode", "a1_ungrouped_agg", "a2_group_agg",
     "a7_collect_list", "f10_casts", "f11_url_fns", "f1_string_fns",
