@@ -193,6 +193,27 @@ object Bench {
       if (ok.isEmpty) -1.0 else ok((ok.size - 1) / 2)
     }
 
+    // committed-record baseline captured ONCE, before any pass: a
+    // record run rewrites bench_full.json after every pass, so a lazy
+    // read would compare the run against its own previous pass (the
+    // r14 attempt-1 bug — live_over_rec degenerated to ~1.0)
+    val recBase: Option[(Double, Int, Map[String, Double])] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("bench_full.json")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      if (!txt.contains("\"sf\":\"" + sfDir + "\"")) None
+      else for {
+        rTotal <- """"value":([0-9.]+)""".r.findFirstMatchIn(txt)
+          .map(_.group(1).toDouble)
+        rRuns <- """"runs":(\d+)""".r.findFirstMatchIn(txt)
+          .map(_.group(1).toInt)
+        qb <- """"queries":\{(.*?)\}""".r.findFirstMatchIn(txt)
+          .map(_.group(1))
+      } yield (rTotal, rRuns,
+        """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r.findAllMatchIn(qb)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+    } catch { case _: Throwable => None }
+
     // per-query value: median over the CLEAN measurements (ext ≤ extMax,
     // retime included); a query with successes but zero clean ones falls
     // back to the all-measurements median and is listed under "hot"
@@ -239,31 +260,16 @@ object Bench {
       // clean reference — the committed stamped-quiet record's headline
       // plus the live/record ratio over the COMMON query set, so the
       // judge can discount co-tenancy mechanically from the tail alone.
-      val rec: String = (try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("bench_full.json")),
-          java.nio.charset.StandardCharsets.UTF_8)
-        if (!txt.contains("\"sf\":\"" + sfDir + "\"")) None
-        else for {
-          rTotal <- """"value":([0-9.]+)""".r.findFirstMatchIn(txt)
-            .map(_.group(1).toDouble)
-          rRuns <- """"runs":(\d+)""".r.findFirstMatchIn(txt)
-            .map(_.group(1).toInt)
-          qb <- """"queries":\{(.*?)\}""".r.findFirstMatchIn(txt)
-            .map(_.group(1))
-        } yield {
-          val recMed = """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r.findAllMatchIn(qb)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-          val common = med.collect {
-            case (n, v, _) if v >= 0 && recMed.get(n).exists(_ > 0) =>
-              (v, recMed(n))
-          }
-          val ratio = if (common.isEmpty) -1.0
-            else common.map(_._1).sum / common.map(_._2).sum
-          s""""rec":{"total":${f3(rTotal)},"runs":$rRuns,""" +
-            s""""common_n":${common.size},"live_over_rec":${f3(ratio)}},"""
+      val rec: String = recBase.map { case (rTotal, rRuns, recMed) =>
+        val common = med.collect {
+          case (n, v, _) if v >= 0 && recMed.get(n).exists(_ > 0) =>
+            (v, recMed(n))
         }
-      } catch { case _: Throwable => None }).getOrElse("")
+        val ratio = if (common.isEmpty) -1.0
+          else common.map(_._1).sum / common.map(_._2).sum
+        s""""rec":{"total":${f3(rTotal)},"runs":$rRuns,""" +
+          s""""common_n":${common.size},"live_over_rec":${f3(ratio)}},"""
+      }.getOrElse("")
       def tail(unit: String, scale: Double): String = {
         val qs = med.map { case (k, v, _) =>
           "\"" + k.takeWhile(_ != '_') + "\":" +
