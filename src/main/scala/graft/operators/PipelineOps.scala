@@ -526,6 +526,119 @@ object PipelineOps {
       snapshot(v1, "v1").unionByName(snapshot(v2, "v2"))
     }),
 
+    // M33: INCREMENTAL TABLE-CHANGES READ (r14) — the CDC consumer side
+    // of m32's snapshot machinery: `table_changes(v1, v2)` on a real
+    // lakehouse reads ONLY the data files the later snapshot added (a
+    // manifest set-diff), never rescanning the base. Here v1 commits the
+    // 1995 orders, v2 appends 1996, and the entry scans exactly
+    // (v2 − v1)'s files, emitting the appended rows as 'insert' changes
+    // aggregated per year. The oracle recomputes the delta from the raw
+    // orders, so a diff that leaks base files (1995 rows in the change
+    // feed) or misses an appended file breaks the hash. Cost: a
+    // metadata-sized manifest diff + a scan of the DELTA only — at
+    // 100 TB an incremental consumer pays for what changed, not for the
+    // table. Downstream incremental aggregation over this feed is m34.
+    "m33_table_changes" -> ((s, d) => {
+      val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_m33_table_$tag").toString
+      def files(): Set[String] = {
+        val fs = new java.io.File(dir).listFiles()
+        if (fs == null) Set.empty
+        else fs.map(_.getName).filter(_.endsWith(".parquet")).toSet
+      }
+      val orders = Tables.orders(s, d).select(
+        year(col("o_orderdate")).as("yr"),
+        expr("CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)").as("cents"))
+      orders.filter(col("yr") === 1995)
+        .repartition(2).write.mode("overwrite").parquet(dir)
+      val v1 = files()
+      orders.filter(col("yr") === 1996)
+        .repartition(2).write.mode("append").parquet(dir)
+      val delta = files() -- v1
+      s.read.parquet(delta.toSeq.sorted.map(f => s"$dir/$f"): _*)
+        .groupBy(col("yr"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).cast(LongType).as("cents_total"))
+        .select(lit("insert").as("change_type"), col("yr"), col("n"),
+          col("cents_total"))
+    }),
+
+    // M34: INCREMENTAL AGGREGATION MAINTENANCE (r14) — the materialized-
+    // view update pattern every incremental ETL runs on top of a change
+    // feed: the standing view (per-priority counts/sums over the 1995
+    // base) is MATERIALIZED to parquet once, and when the 1996 delta
+    // arrives the refresh merges view-state ∪ delta-state with a
+    // group-cardinality-sized re-aggregate — the base TABLE is never
+    // rescanned (count/sum are self-maintainable aggregates; the view
+    // rows are the partial-agg state). The oracle recomputes the updated
+    // view from the full 1995+1996 source, so a merge that double-counts
+    // (delta overlapping base) or drops a group breaks the hash. Cost at
+    // 100 TB: refresh ∝ |delta| + |view| — the whole point of
+    // incremental view maintenance.
+    "m34_incremental_agg" -> ((s, d) => {
+      val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
+      val view = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_m34_view_$tag").toString
+      val orders = Tables.orders(s, d).select(
+        year(col("o_orderdate")).as("yr"), col("o_orderpriority"),
+        expr("CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)").as("cents"))
+      def state(df: DataFrame): DataFrame = df
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).cast(LongType).as("cents_total"))
+      // commit the standing view over the base, then refresh from the
+      // delta's partial state only (read back ≡ a fresh maintenance job)
+      state(orders.filter(col("yr") === 1995))
+        .coalesce(1).write.mode("overwrite").parquet(view)
+      s.read.parquet(view)
+        .unionByName(state(orders.filter(col("yr") === 1996)))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("n")).cast(LongType).as("n"),
+          sum(col("cents_total")).cast(LongType).as("cents_total"))
+    }),
+
+    // M35: WRITE–AUDIT–PUBLISH (r14) — the staging gate a production
+    // lake puts in front of every table commit (Iceberg's WAP pattern):
+    // candidate batches land in a STAGING area, an audit query runs on
+    // the staged files, and only batches that PASS are published by
+    // adding their files to the live manifest — a metadata operation, so
+    // a failed audit costs nothing to roll back (the staged files are
+    // simply never referenced). Two real batches exercise BOTH branches
+    // at every SF: batch A (src0–src3) is clean and publishes; batch B
+    // (src4–src5, delivered duplicated — the classic double-shipped
+    // upstream drop) fails the distinct-id audit and is rejected. The
+    // entry reads the LIVE manifest back and aggregates per lang; the
+    // oracle recomputes from the source docs that only A may publish, so
+    // publishing B (audit miss) or losing part of A (publish miss) both
+    // break the hash. Audit cost ∝ |staged batch|, publish cost =
+    // metadata — never a rescan of the live table.
+    "m35_write_audit_publish" -> ((s, d) => {
+      val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
+      val stage = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_m35_stage_$tag").toString
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      val batchA = docs.filter(col("source").isin("src0", "src1", "src2", "src3"))
+      // batch B arrives double-shipped: every row twice (dup doc_ids)
+      val bOnce = docs.filter(col("source").isin("src4", "src5"))
+      val batchB = bOnce.unionAll(bOnce)
+      batchA.repartition(2).write.mode("overwrite").parquet(s"$stage/batchA")
+      batchB.repartition(2).write.mode("overwrite").parquet(s"$stage/batchB")
+      // audit each staged batch where it landed (read-back, not lineage):
+      // publishable ⇔ ids distinct AND nonempty
+      val published = Seq("batchA", "batchB").filter { b =>
+        val r = s.read.parquet(s"$stage/$b")
+          .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("nd"))
+          .head()
+        r.getLong(0) > 0L && r.getLong(0) == r.getLong(1)
+      }
+      s.read.parquet(published.map(b => s"$stage/$b"): _*)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast(LongType).as("n_chars_total"))
+    }),
+
     "m28_vacuum" -> ((s, d) => {
       val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
       val dir = java.nio.file.Paths.get(
@@ -1662,6 +1775,36 @@ object PipelineOps {
         |SELECT 'v2', COUNT(*),
         |  CAST(SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS BIGINT)
         |FROM orders WHERE year(o_orderdate) IN (1995, 1996)""".stripMargin,
+
+    // m33: the change feed recomputed from the raw orders — base files
+    // leaking into the diff (1995 rows) or a missed appended file break
+    // the single 'insert' row
+    "m33_table_changes" ->
+      """SELECT 'insert' AS change_type, year(o_orderdate) AS yr,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS BIGINT)
+        |    AS cents_total
+        |FROM orders WHERE year(o_orderdate) = 1996
+        |GROUP BY 2""".stripMargin,
+
+    // m34: the refreshed view recomputed from the FULL base+delta source
+    // — a merge that double-counts or drops a group diverges
+    "m34_incremental_agg" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS BIGINT)
+        |    AS cents_total
+        |FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+        |GROUP BY 1""".stripMargin,
+
+    // m35: only batch A (clean ids) may publish; the oracle recomputes
+    // the published table from the source slice A stages — an audit miss
+    // (B's duplicated rows visible) or a publish miss (A partial) breaks
+    // counts or sums
+    "m35_write_audit_publish" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+        |FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')
+        |GROUP BY lang""".stripMargin,
 
     // m27: the oracle recomputes both routes from the source; a routing
     // bug (row in both branches, or dropped) breaks a count or a sum
