@@ -44,7 +44,10 @@ object Recall {
       "l3d_pq_topk" -> operators.Pq.pqTopK(emb, k),
       // int8-dot re-rank (r14): the SQ quartet row — ranking by the
       // quantized dot must stay near the exact float ranking
-      "l3h_sq_rerank" -> operators.Pq.sqTopK(emb, k))
+      "l3h_sq_rerank" -> operators.Pq.sqTopK(emb, k),
+      // IVF-PQ (r14): coarse routing × PQ scoring compound — the
+      // at-scale layout's recall rides both quantizers at once
+      "l3i_ivfpq" -> operators.Pq.ivfPqTopK(emb, k))
 
     val entries = variants.map { case (name, df) =>
       val got = pairs(df)

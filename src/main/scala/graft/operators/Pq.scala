@@ -287,16 +287,31 @@ object Pq {
         }
         // global top-rerank merge: ≤ nBlocks·rerank rows per query in,
         // the same candidate set the broadcast scan would pick out
-        val wPq = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("vec_id"))
-          .orderBy(col("score").desc, col("neighbor"))
-        local.toDF()
-          .withColumn("prn", row_number().over(wPq))
-          .filter(col("prn") <= rerank)
-          .select(col("vec_id"), col("neighbor"))
+        mergeTopRerank(local.toDF(), rerank)
       }
 
-    // exact re-rank of the surviving candidates only
+    exactRerank(embeddings, candidates, k)
+  }
+
+  /** Global top-`rerank` merge over per-shard PQ candidates: ≤
+    * shards·rerank rows per query in, score desc / id asc (the same
+    * total order every scan kernel keeps locally).
+    */
+  private def mergeTopRerank(local: DataFrame, rerank: Int): DataFrame = {
+    val wPq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("neighbor"))
+    local
+      .withColumn("prn", row_number().over(wPq))
+      .filter(col("prn") <= rerank)
+      .select(col("vec_id"), col("neighbor"))
+  }
+
+  /** Exact cosine re-rank of surviving candidates only — the raw-vector
+    * join touches queries × rerank rows, never the corpus².
+    */
+  private def exactRerank(embeddings: DataFrame, candidates: DataFrame,
+      k: Int): DataFrame = {
     val v = Similarity.vecs(embeddings)
     val q = v.select(col("vec_id"), col("emb").as("qe"), col("norm").as("qn"))
     val c = v.select(col("vec_id").as("neighbor"), col("emb").as("ce"),
@@ -310,6 +325,104 @@ object Pq {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("vec_id"), col("neighbor"), col("sim"), col("rn"))
+  }
+
+  /** L3i: IVF-PQ (IVFADC) — the layout trillion-vector indexes actually
+    * deploy (Jégou et al. 2011 §V; FAISS `IVFPQ`): a coarse quantizer
+    * routes every vector to one of `nlist` cells, each cell stores only
+    * PQ CODES (m bytes/vector), and a query ADC-scans just its `nprobe`
+    * nearest cells. Combines l3c's routing (scan cost ·nprobe/nlist)
+    * with l3d's compression (memory /32) — at 100 TB of embeddings the
+    * cells hold ~3 TB of codes total, and a query touches nprobe/nlist
+    * of that, streamed per-cell via the cogroup below. One fused map
+    * does assignment+encoding (each vector ships once); only block-local
+    * top-`rerank` candidate ids leave a task; the exact re-rank touches
+    * queries × rerank rows. Parallelism is bounded by nlist — size it
+    * ≥ cluster cores at scale, exactly as a sharded ANN service does.
+    * Codes quantize the RAW unit vector (FAISS `by_residual=false`):
+    * the codebook is then shared verbatim with l3d/l3g (train-once
+    * cache), and the exact re-rank restores the precision a residual
+    * encoding would buy. RECALL_r{N} carries its measured floor next to
+    * the LSH/IVF/PQ/SQ rows; PqSpec pins planted-duplicate recovery.
+    */
+  def ivfPqTopK(embeddings: DataFrame, k: Int, nlist: Int = 16,
+      nprobe: Int = 12, m: Int = 8, ksub: Int = 256, rerank: Int = 64,
+      cacheKey: Option[String] = None): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cbOpt = cacheKey match {
+      case Some(key) => cachedTrain(embeddings, key, m, ksub)
+      case None => train(embeddings, m, ksub)
+    }
+    if (cbOpt.isEmpty)
+      return Seq.empty[(Long, Long, Double, Int)].toDF("vec_id", "neighbor", "sim", "rn")
+    val cb = cbOpt.get
+    val bcCb = spark.sparkContext.broadcast(cb)
+    val uv = unitVecs(embeddings)
+    val trained = Similarity.trainQuantizer(uv, nlist, iters = 5,
+      trainPerList = 64)
+    if (trained.isEmpty)
+      return Seq.empty[(Long, Long, Double, Int)].toDF("vec_id", "neighbor", "sim", "rn")
+    val bcC = spark.sparkContext.broadcast(trained.get)
+
+    // fused assign + encode: ONE pass over the corpus emits each
+    // vector's (cell, PQ code) — the full index build
+    val coded = uv.mapPartitions { it =>
+      val (cs, ns) = bcC.value
+      val b = bcCb.value
+      it.map { r =>
+        var best = 0; var bestSim = Double.NegativeInfinity
+        var c = 0
+        while (c < cs.length) {
+          val s = Similarity.cosine(r.emb, r.norm, cs(c), ns(c))
+          if (s > bestSim) { bestSim = s; best = c }
+          c += 1
+        }
+        val code = new Array[Byte](b.m)
+        var sub = 0
+        while (sub < b.m) {
+          val off = sub * b.dsub
+          var bc2 = 0; var bestD = Double.MaxValue
+          var cc = 0
+          while (cc < b.ksub) {
+            val dd = l2(r.emb, off, b.centroids(sub)(cc))
+            if (dd < bestD) { bestD = dd; bc2 = cc }
+            cc += 1
+          }
+          code(sub) = bc2.toByte
+          sub += 1
+        }
+        CodeRow(best, r.vec_id, code)
+      }
+    }
+
+    // queries visit their nprobe nearest cells only
+    val qs = uv.mapPartitions { it =>
+      val (cs, ns) = bcC.value
+      it.flatMap { r =>
+        val sims = Array.tabulate(cs.length)(c =>
+          (Similarity.cosine(r.emb, r.norm, cs(c), ns(c)), c))
+        sims.sortBy(-_._1).take(nprobe)
+          .map { case (_, c) => QueryRow(c, r.vec_id, r.emb) }
+      }
+    }
+
+    // per-cell ADC scan: the cell's code block builds once per task,
+    // probes stream through with a per-query LUT; only local
+    // top-rerank ids leave the task
+    val local = coded.groupByKey(_.blk).cogroup(qs.groupByKey(_.blk)) {
+      (_, cs, queries) =>
+        val cArr = cs.map(c => (c.vec_id, c.code)).toArray
+        queries.flatMap { q =>
+          val b = bcCb.value
+          val best = scanBlock(b, buildLut(b, q.emb), cArr, q.vec_id, rerank)
+          (0 until best.size()).map { r =>
+            val (s2, id2) = best.get(r)
+            PqCand(q.vec_id, id2, s2)
+          }
+        }
+    }
+    exactRerank(embeddings, mergeTopRerank(local.toDF(), rerank), k)
   }
 
   /** L3h kernel: per-vector symmetric int8 SCALAR quantization — the
@@ -388,6 +501,13 @@ object Pq {
     // source of the r12 run-to-run spread).
     "l3d_pq_topk" -> ((s, d) =>
       pqTopK(graft.Tables.embeddings(s, d), 3, cacheKey = Some(d))),
+
+    // L3i: IVF-PQ — rows-only (quantizers are data-dependent); recall
+    // floor machine-checked in RECALL_r{N}, planted-dup recovery and
+    // cell-routing laws in PqSpec. cacheKey: shares l3d's train-once
+    // codebooks verbatim.
+    "l3i_ivfpq" -> ((s, d) =>
+      ivfPqTopK(graft.Tables.embeddings(s, d), 3, cacheKey = Some(d))),
 
     // L3G: PQ CODEBOOK PERSISTENCE + code assignment oracle (r13) — the
     // l3e pattern applied to PQ: the codebooks (same cache l3d serves

@@ -252,7 +252,7 @@ object Similarity {
 
   // -- shared primitive-array kernels (object-level statics: no closure
   //    capture, reused by the quantizer, assignment, and probe stages)
-  private def cosine(a: Array[Double], na: Double, c: Array[Double], nc: Double): Double = {
+  private[operators] def cosine(a: Array[Double], na: Double, c: Array[Double], nc: Double): Double = {
     var d = 0.0; var i = 0
     val n = math.min(a.length, c.length)
     while (i < n) { d += a(i) * c(i); i += 1 }
@@ -269,7 +269,7 @@ object Similarity {
     * vec_id — kmeans needs a sample, not the corpus, so this holds at any
     * scale). Returns (centroids, centroid norms).
     */
-  private def trainQuantizer(v: org.apache.spark.sql.Dataset[VecRow],
+  private[operators] def trainQuantizer(v: org.apache.spark.sql.Dataset[VecRow],
       nlist: Int, iters: Int, trainPerList: Int): Option[(Array[Array[Double]], Array[Double])] = {
     val train = v.orderBy(col("vec_id")).limit(nlist * trainPerList).collect()
     if (train.isEmpty) return None // empty corpus: no quantizer to fit

@@ -62,6 +62,36 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
     assert(viaShards === viaBroadcast)
   }
 
+  test("IVF-PQ: planted near-duplicate routes to the probed cell and " +
+      "survives the ADC pre-rank into top-1") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val base = Array.fill(64)(rng.nextGaussian().toFloat)
+    val copy = base.map(x => x + rng.nextGaussian().toFloat * 0.02f)
+    val rows = Seq(0L -> base.toSeq, 1L -> copy.toSeq) ++
+      (2L until 60L).map(i => i -> Seq.fill(64)(rng.nextGaussian().toFloat))
+    val df = rows.toDF("vec_id", "embedding")
+    // rerank=4 << corpus and nprobe=4 < nlist: the duplicate must (a)
+    // land in a cell the query probes and (b) win on ADC scores alone
+    val top1 = Pq.ivfPqTopK(df, k = 1, nlist = 8, nprobe = 4, rerank = 4)
+      .filter($"vec_id" === 0L).select("neighbor").head().getLong(0)
+    assert(top1 === 1L)
+  }
+
+  test("IVF-PQ recall@3 vs exact brute force on sf0.001") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    def asSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("neighbor")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = asSet(Similarity.bruteTopK(emb, 3))
+    val got = asSet(Pq.ivfPqTopK(emb, 3)) // ships nlist=16, nprobe=12
+    assert(got.groupBy(_._1).values.forall(_.size <= 3))
+    val recall = (got & exact).size.toDouble / exact.size
+    // compound floor: routing (l3c ≥.94) × ADC (l3d ≥.95) — pinned just
+    // below measured so a quantizer regression fails loudly
+    assert(recall >= 0.88, s"IVF-PQ recall@3 regressed: $recall (floor 0.88)")
+  }
+
   test("empty corpus yields an empty typed result") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
