@@ -639,6 +639,43 @@ object PipelineOps {
           sum(col("n_chars")).cast(LongType).as("n_chars_total"))
     }),
 
+    // M36: PAGERANK over the order–part bipartite graph (r14) — the
+    // iterative graph-scoring primitive web-corpus curation ranks
+    // domains/documents with (quality propagation over a link graph;
+    // Brin & Page 1998). Expressed Pregel-by-DataFrame: the symmetric
+    // edge list (so no dangling-mass correction is needed — every node
+    // has out-degree ≥ 1) joins the current rank vector, contributions
+    // aggregate per destination, and the damped update applies — one
+    // equi-join + one keyed aggregate per iteration, 5 iterations. The
+    // arithmetic is EXACT scaled-integer (rank₀ = 1e9 per node; update
+    // r' = 0.15·1e9 + 17·(Σ floor(r_u/deg_u) div 20), i.e. damping
+    // 17/20 = 0.85 in integer division), so both engines compute the
+    // identical BIGINT fixpoint and the oracle hash pins all five
+    // iterations — no floating summation-order surface. Scale: per
+    // iteration one shuffle on node id; the weighted edge list persists
+    // across iterations; hub skew is AQE-splittable (sum is a partial
+    // agg). Headroom: Σ rank ≈ N·1e9 — fits BIGINT to ~10⁹ nodes; drop
+    // the scale constant for larger graphs.
+    "m36_pagerank" -> ((s, d) => {
+      val fwd = Tables.lineitem(s, d)
+        .select((col("l_orderkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst")).distinct()
+      val edges = fwd.unionAll(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val weighted = edges.join(deg, "src")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var ranks = deg.select(col("src").as("id"), lit(1000000000L).as("r"))
+      for (_ <- 1 to 5) {
+        ranks = weighted.join(ranks, weighted("src") === ranks("id"))
+          .select(col("dst"), expr("r div deg").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+          .select(col("dst").as("id"),
+            (lit(150000000L) + lit(17L) * expr("m div 20")).as("r"))
+      }
+      ranks.select(col("id").as("node_id"), col("r").as("score"))
+    }),
+
     "m28_vacuum" -> ((s, d) => {
       val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
       val dir = java.nio.file.Paths.get(
@@ -1805,6 +1842,48 @@ object PipelineOps {
         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
         |FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')
         |GROUP BY lang""".stripMargin,
+
+    // m36: all five damped-update iterations unrolled in exact BIGINT
+    // arithmetic — any drift in degree, contribution floor, or damping
+    // breaks the hash on the full rank vector
+    "m36_pagerank" ->
+      """WITH fwd AS (
+        |  SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+        |  FROM lineitem
+        |), edges AS (
+        |  SELECT src, dst FROM fwd
+        |  UNION ALL SELECT dst, src FROM fwd
+        |), deg AS (
+        |  SELECT src, COUNT(*) AS d FROM edges GROUP BY src
+        |), r0 AS (
+        |  SELECT src AS id, CAST(1000000000 AS BIGINT) AS r FROM deg
+        |), it1 AS (
+        |  SELECT e.dst AS id,
+        |    CAST(150000000 + 17 * (SUM(p.r // g.d) // 20) AS BIGINT) AS r
+        |  FROM edges e JOIN r0 p ON p.id = e.src JOIN deg g ON g.src = e.src
+        |  GROUP BY e.dst
+        |), it2 AS (
+        |  SELECT e.dst AS id,
+        |    CAST(150000000 + 17 * (SUM(p.r // g.d) // 20) AS BIGINT) AS r
+        |  FROM edges e JOIN it1 p ON p.id = e.src JOIN deg g ON g.src = e.src
+        |  GROUP BY e.dst
+        |), it3 AS (
+        |  SELECT e.dst AS id,
+        |    CAST(150000000 + 17 * (SUM(p.r // g.d) // 20) AS BIGINT) AS r
+        |  FROM edges e JOIN it2 p ON p.id = e.src JOIN deg g ON g.src = e.src
+        |  GROUP BY e.dst
+        |), it4 AS (
+        |  SELECT e.dst AS id,
+        |    CAST(150000000 + 17 * (SUM(p.r // g.d) // 20) AS BIGINT) AS r
+        |  FROM edges e JOIN it3 p ON p.id = e.src JOIN deg g ON g.src = e.src
+        |  GROUP BY e.dst
+        |), it5 AS (
+        |  SELECT e.dst AS id,
+        |    CAST(150000000 + 17 * (SUM(p.r // g.d) // 20) AS BIGINT) AS r
+        |  FROM edges e JOIN it4 p ON p.id = e.src JOIN deg g ON g.src = e.src
+        |  GROUP BY e.dst
+        |)
+        |SELECT id AS node_id, r AS score FROM it5""".stripMargin,
 
     // m27: the oracle recomputes both routes from the source; a routing
     // bug (row in both branches, or dropped) breaks a count or a sum
