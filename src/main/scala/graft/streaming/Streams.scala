@@ -648,6 +648,83 @@ object Streams {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table("t26_final").select(col("event_id"), col("user_id"),
         col("event_type"))
+    }),
+
+    // T27 (r14): STREAM–STATIC ENRICH under the external oracle — t10's
+    // scenario graded by DuckDB: the event stream joins the STATIC
+    // customer dimension per micro-batch (the broadcast-enrich shape
+    // every streaming pipeline runs for dimension lookup; the static
+    // side is planned once and reused every trigger), then aggregates
+    // per (market segment, event type). Events feed as three files so
+    // the enrichment runs across ≥3 triggers and the final table is the
+    // cross-batch accumulation; DuckDB recomputes the same join+GROUP BY
+    // from the raw tables. Every fixture user resolves to a customer
+    // (ids 0–149 ⊂ customer keys), so the inner join drops nothing and
+    // the parity covers all rows.
+    "t27_stream_static_enrich" -> ((s, d) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val feed = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_t27_feed_${Integer.toHexString(d.hashCode)}").toString
+      graft.Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .repartition(3).write.mode("overwrite").json(feed)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType)))
+      val dim = graft.Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").json(feed)
+          .join(broadcast(dim), col("user_id") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream.format("memory").queryName("t27_final")
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table("t27_final")
+        .select(col("c_mktsegment"), col("event_type"), col("n"))
+    }),
+
+    // T28 (r14): SLIDING-WINDOW AGGREGATION under the external oracle —
+    // t3's overlapping-window semantics graded by DuckDB: 10-minute
+    // windows sliding every 5, so every event lands in exactly TWO
+    // window instances and the state holds overlapping groups across
+    // ≥3 triggers (complete mode, t22's replay-order rationale). The
+    // oracle materializes both covering windows per event explicitly
+    // (floor-to-slide and its 5-minute predecessor) — any drift in
+    // Spark's window instancing (alignment, half-open bounds, overlap
+    // count) breaks the hash.
+    "t28_stream_sliding_window" -> ((s, d) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val feed = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_t28_feed_${Integer.toHexString(d.hashCode)}").toString
+      graft.Tables.events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"),
+          col("event_type"))
+        .repartition(3).write.mode("overwrite").json(feed)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("us", LongType),
+        StructField("event_type", StringType)))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").json(feed)
+          .withColumn("ts", timestamp_micros(col("us")))
+          .groupBy(window(col("ts"), "10 minutes", "5 minutes"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream.format("memory").queryName("t28_final")
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table("t28_final")
+        .select(unix_micros(col("window.start")).as("win_us"),
+          col("event_type"), col("n"))
     })
   )
 
@@ -718,6 +795,26 @@ object Streams {
 
     // t26: the batch side of the dedup parity — each event exactly once
     "t26_stream_dedup" ->
-      "SELECT event_id, user_id, event_type FROM events"
+      "SELECT event_id, user_id, event_type FROM events",
+
+    // t27: the batch side of the enrich parity — the same dimension
+    // join and GROUP BY over the raw tables
+    "t27_stream_static_enrich" ->
+      """SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    // t28: both covering 10-minute windows per event made explicit —
+    // the floor-to-5-minute start and its predecessor
+    "t28_stream_sliding_window" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS us, event_type FROM events
+        |), w AS (
+        |  SELECT (us // 300000000) * 300000000 AS win_us, event_type FROM e
+        |  UNION ALL
+        |  SELECT (us // 300000000) * 300000000 - 300000000, event_type FROM e
+        |)
+        |SELECT win_us, event_type, COUNT(*) AS n
+        |FROM w GROUP BY 1, 2""".stripMargin
   )
 }
