@@ -59,6 +59,16 @@ object Tuning {
     // center; zstd trades ~5% CPU for ~30% fewer bytes than lz4.
     "spark.io.compression.codec" -> "zstd",
     "spark.sql.parquet.compression.codec" -> "zstd",
+    // Runtime bloom-filter semi-join reduction (InjectRuntimeFilter):
+    // when a join's creation side carries a selective filter, a
+    // might_contain probe is injected into the other side's scan so the
+    // fact table drops non-joining rows BEFORE the shuffle. Enabled
+    // explicitly; the size thresholds stay at their defaults (creation
+    // side ≤ 10 MB builds, application side ≥ 10 GB applies) so the
+    // reduction engages exactly where it pays — a 100 TB probe side —
+    // and fixture-scale plans stay clean. j16 is the demonstrating
+    // entry; PlanSpec pins the filter's appearance at scale thresholds.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
     // InferFiltersFromGenerate synthesizes `size(genInput) > 0` from an
     // explode, and predicate pushdown then substitutes projected aliases
     // INTO that filter. When the generator input is a higher-order

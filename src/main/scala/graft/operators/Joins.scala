@@ -419,6 +419,30 @@ object Joins {
     // Spark plans EqualNullSafe as a HASH join key (coalesce-wrapped
     // internally), so the plan is the same broadcast/shuffled hash join
     // as a plain equi join — no nested loop, scale shape unchanged.
+    // J16: RUNTIME-FILTERED JOIN (r14) — the bloom semi-join reduction
+    // (Catalyst's InjectRuntimeFilter) that makes a selective dim join
+    // cheap at 100 TB: the filtered creation side (parts at one size of
+    // fifty) builds a bloom filter at runtime, and a might_contain
+    // predicate is injected into the FACT-side scan so ~98% of probe
+    // rows drop before the shuffle instead of after it. Semantically a
+    // plain inner join+agg (the oracle pins that); the runtime filter is
+    // plan shape only, governed by the session thresholds Tuning sets —
+    // at fixture scale the 10 GB application-side floor correctly leaves
+    // the plan unfiltered (the reduction would cost more than it saves),
+    // and PlanSpec proves the same query grows the BloomFilterMightContain
+    // probe once the thresholds correspond to a 100 TB-shaped probe side.
+    "j16_runtime_filter" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_quantity"))
+      val dim = Tables.part(s, d).filter(col("p_size") === 1)
+        .select(col("p_partkey"), col("p_brand"))
+      li.join(dim, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(SUM(CAST(ROUND(l_quantity * 1e2, 0) AS BIGINT)) AS BIGINT)")
+            .as("qty_cents"))
+    }),
+
     "j15_nullsafe_join" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), expr("NULLIF(lang, 'en')").as("lk"),
@@ -792,6 +816,16 @@ object Joins {
     // j15: IS NOT DISTINCT FROM ≡ Spark's <=>; the NULL group (the
     // NULLIF'd 'en' majority) must appear in the output or the hash
     // breaks — a plain-equality oracle would lose 44% of the rows
+    // j16: the runtime filter is plan-only — the oracle is the plain
+    // selective join+agg
+    "j16_runtime_filter" ->
+      """SELECT p.p_brand, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(l.l_quantity * 1e2, 0) AS BIGINT)) AS BIGINT)
+        |    AS qty_cents
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_size = 1
+        |GROUP BY 1""".stripMargin,
+
     "j15_nullsafe_join" ->
       """WITH d AS (
         |  SELECT doc_id, NULLIF(lang, 'en') AS lk, n_chars FROM documents

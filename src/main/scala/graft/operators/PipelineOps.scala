@@ -639,6 +639,53 @@ object PipelineOps {
           sum(col("n_chars")).cast(LongType).as("n_chars_total"))
     }),
 
+    // M37: SNAPSHOT EXPIRATION (r14) — the retention step m32's time
+    // travel makes necessary: expiring old snapshots may delete ONLY
+    // files no retained snapshot references (reference counting across
+    // manifests — the case m28's single-manifest vacuum can't express).
+    // Three commits build the sharing structure: v1 writes the 1995
+    // orders (files A), v2 appends 1996 (A∪B), v3 compacts B into C
+    // (A∪C) — so A is SHARED by expired v1 and live v3, and B is
+    // referenced only by expired v2. Expiring v1/v2 with v3 retained
+    // must delete exactly B: the naive per-snapshot delete would drop A
+    // and lose every 1995 row; keeping B doubles 1996 in a directory
+    // read. The entry reads the plain DIRECTORY back (m28's trust pin)
+    // and aggregates per year — the oracle recomputes both years from
+    // raw orders, catching both failure modes. Cost: manifest set
+    // arithmetic + deletes — metadata-sized at any table size.
+    "m37_snapshot_expire" -> ((s, d) => {
+      val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_m37_table_$tag").toString
+      def files(): Set[String] = {
+        val fs = new java.io.File(dir).listFiles()
+        if (fs == null) Set.empty
+        else fs.map(_.getName).filter(_.endsWith(".parquet")).toSet
+      }
+      val orders = Tables.orders(s, d).select(
+        year(col("o_orderdate")).as("yr"),
+        expr("CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)").as("cents"))
+      orders.filter(col("yr") === 1995)
+        .repartition(2).write.mode("overwrite").parquet(dir)
+      val v1 = files()
+      orders.filter(col("yr") === 1996)
+        .repartition(2).write.mode("append").parquet(dir)
+      val v2 = files()
+      val b = v2 -- v1
+      // compact v2's appended files into one (A stays untouched): v3
+      s.read.parquet(b.toSeq.sorted.map(f => s"$dir/$f"): _*)
+        .coalesce(1).write.mode("append").parquet(dir)
+      val v3 = files() -- b
+      // expire v1 and v2, retain v3: delete (v1∪v2) − v3 — exactly B
+      ((v1 ++ v2) -- v3).foreach { f =>
+        new java.io.File(s"$dir/$f").delete(): Unit
+      }
+      s.read.parquet(dir)
+        .groupBy(col("yr"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).cast(LongType).as("cents_total"))
+    }),
+
     // M36: PAGERANK over the order–part bipartite graph (r14) — the
     // iterative graph-scoring primitive web-corpus curation ranks
     // domains/documents with (quality propagation over a link graph;
@@ -1842,6 +1889,16 @@ object PipelineOps {
         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
         |FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')
         |GROUP BY lang""".stripMargin,
+
+    // m37: the post-expire directory recomputed from raw orders — the
+    // shared-file delete (A) loses 1995, the unreferenced-file keep (B)
+    // doubles 1996
+    "m37_snapshot_expire" ->
+      """SELECT year(o_orderdate) AS yr, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS BIGINT)
+        |    AS cents_total
+        |FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+        |GROUP BY 1""".stripMargin,
 
     // m36: all five damped-update iterations unrolled in exact BIGINT
     // arithmetic — any drift in degree, contribution floor, or damping

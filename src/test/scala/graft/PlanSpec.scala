@@ -41,6 +41,34 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("(o_year") && p.contains("1997"), p)
   }
 
+  test("J16 grows a runtime bloom probe at scale thresholds and stays " +
+      "clean at fixture scale") {
+    val key = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    // default thresholds (10 GB application-side floor): the fixture
+    // plan must NOT pay the bloom build/probe
+    val clean = Joins.queries("j16_runtime_filter")(spark, sf("sf0.001"))
+      .queryExecution.optimizedPlan.toString
+    assert(!clean.toLowerCase.contains("might_contain"), clean.take(1500))
+    // 100 TB-shaped thresholds: probe side always "big enough", and the
+    // join a shuffle join (InjectRuntimeFilter only pays for itself when
+    // the probe side is shuffled — broadcast fixture joins correctly
+    // skip it); the selective dim filter must then inject a
+    // might_contain probe on the fact side
+    val bcast = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    val prevB = spark.conf.get(bcast)
+    spark.conf.set(key, "0")
+    spark.conf.set(bcast, "-1")
+    try {
+      val filtered = Joins.queries("j16_runtime_filter")(spark, sf("sf0.001"))
+        .queryExecution.optimizedPlan.toString
+      assert(filtered.toLowerCase.contains("might_contain"), filtered.take(1500))
+    } finally {
+      spark.conf.set(key, prev)
+      spark.conf.set(bcast, prevB)
+    }
+  }
+
   test("J7's naive bounded-interval join is planner-rewritten to buckets") {
     // the session-default RangeJoinRewrite must fire on the naive
     // formulation (marker bucket key + Generate in the plan) — j7's
