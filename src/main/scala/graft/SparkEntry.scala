@@ -41,6 +41,7 @@ object SparkEntry {
     (Sketches.queries, Sketches.oracles),
     (PipelineOps.queries, PipelineOps.oracles),
     (Pq.queries, Pq.oracles),
+    (Bpe.queries, Bpe.oracles),
     (graft.streaming.Streams.queries, graft.streaming.Streams.oracles)
   )
 

@@ -1,0 +1,153 @@
+package graft.operators
+
+import graft.Tables
+import graft.Tables.Q
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding VOCABULARY TRAINING (Sennrich et al. 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units" — the
+  * merge-learning loop every LLM tokenizer family descends from),
+  * expressed as distributed DataFrame iterations.
+  *
+  * BPE trains on the WORD-FREQUENCY table, not the corpus: the corpus
+  * collapses to (distinct word, count) once — the only pass that ever
+  * touches raw text — and every merge round runs over that table
+  * (~10⁷–10⁸ rows for a 100 TB web corpus; the fixture's synthetic
+  * vocabulary is small but the shapes are identical). Each round is:
+  *
+  *   1. adjacent-pair counts: one explode over the current symbol
+  *      sequences + one partial-agg shuffle keyed by pair, freq-weighted;
+  *   2. argmax pair: a bounded driver collect of exactly ONE row
+  *      (count desc, then lexicographic — fully deterministic);
+  *   3. merge application: a narrow typed map fusing that pair
+  *      greedily left-to-right in every word, then an eager
+  *      localCheckpoint so iteration k never re-executes 1..k−1
+  *      (the m36 Pregel contract; a 32k-vocab production run is
+  *      thousands of rounds and would otherwise be O(rounds²)).
+  *
+  * A production trainer batches several DISJOINT top pairs per round to
+  * cut the shuffle count; the per-round structure is unchanged.
+  *
+  * The learned merge table is data-dependent and iterative, so the l28
+  * entry is rows-only: BpeSpec owns semantics (hand-verifiable merges on
+  * a planted corpus + invariants), and the hashed twin l28b pins the
+  * round-1 pair statistics cross-engine — the same tokenization
+  * (`split(text, ' ')`, the l5/l15 convention), char+`</w>` symbol
+  * initialization, and freq-weighted adjacent-pair count that every
+  * later round reuses.
+  */
+object Bpe {
+
+  /** Greedy left-to-right fuse of adjacent (l, r) into l+r — the BPE
+    * merge application (non-overlapping: "aaa" under (a,a) → ["aa","a"]).
+    */
+  private[graft] def fuse(syms: Seq[String], l: String, r: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += l + r
+        i += 2
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Word-frequency table with initial symbol sequences: characters
+    * plus the `</w>` end-of-word marker (so merges can't cross word
+    * boundaries and final merges learn whole-word units).
+    */
+  private def initialSeqs(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(concat(
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+        array(lit("</w>"))).as("syms"), col("freq"))
+
+  /** Freq-weighted adjacent-pair counts over the current sequences —
+    * the per-round statistics (and the l28b hashed surface for round 1).
+    */
+  private def pairCounts(seqs: DataFrame): DataFrame =
+    seqs.select(col("freq"), explode(expr(
+        """transform(slice(syms, 1, size(syms) - 1),
+          |  (x, i) -> struct(x AS l, element_at(syms, i + 2) AS r))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("cnt"))
+
+  /** Train `rounds` merges; returns the ordered merge table
+    * (rank, left, right, pair_count) — the tokenizer artifact.
+    */
+  def train(docs: DataFrame, rounds: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var seqs = initialSeqs(docs)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var done = false
+    for (round <- 1 to rounds if !done) {
+      val top = pairCounts(seqs)
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect() // bounded by construction: one row
+      if (top.isEmpty) done = true // vocabulary fully merged
+      else {
+        val (l, r, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((round, l, r, cnt))
+        seqs = seqs.as[(Seq[String], Long)]
+          .map { case (s, f) => (fuse(s, l, r), f) }
+          .toDF("syms", "freq")
+          .localCheckpoint(true)
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
+
+  val queries: Map[String, Q] = Map(
+    // L28: the trainer — rows-only (iterative, data-dependent); BpeSpec
+    // owns semantics, l28b is the hashed statistics twin
+    "l28_bpe_train" -> ((s, d) => train(Tables.documents(s, d), 10)),
+
+    // L28b: round-1 pair statistics, hash-checked — the exact
+    // tokenization/initialization/weighted-count kernel every training
+    // round reuses, recomputed independently by DuckDB; top-20 under a
+    // total order (cnt desc, pair lexicographic)
+    "l28b_bpe_pairs" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+      pairCounts(initialSeqs(Tables.documents(s, d)))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("l"), col("r"), col("cnt"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "l28b_bpe_pairs" ->
+      """WITH wf AS (
+        |  SELECT w, COUNT(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) > 0 GROUP BY w
+        |), s AS (
+        |  SELECT list_append(
+        |    list_transform(generate_series(1, length(w)),
+        |      i -> substring(w, i, 1)), '</w>') AS syms, freq
+        |  FROM wf
+        |), p AS (
+        |  SELECT unnest(list_zip(syms[1:length(syms) - 1],
+        |                         syms[2:length(syms)])) AS pr, freq
+        |  FROM s
+        |), c AS (
+        |  SELECT pr[1] AS l, pr[2] AS r,
+        |    CAST(SUM(freq) AS BIGINT) AS cnt
+        |  FROM p GROUP BY 1, 2
+        |)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, l, r) AS INT)
+        |    AS rank, l, r, cnt
+        |FROM c ORDER BY cnt DESC, l, r LIMIT 20""".stripMargin
+  )
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Bpe
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BPE trainer semantics on hand-verifiable corpora: the spec owner for
+  * the rows-only l28 entry (l28b hash-checks the round-1 statistics).
+  */
+class BpeSpec extends AnyFunSuite with SparkTestBase {
+
+  private def corpus(texts: String*) = {
+    import spark.implicits._
+    texts.toDF("text")
+  }
+
+  private def merges(df: org.apache.spark.sql.DataFrame): Seq[(Int, String, String, Long)] =
+    df.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+      r.getLong(3))).sortBy(_._1).toSeq
+
+  test("fuse is greedy left-to-right and non-overlapping") {
+    assert(Bpe.fuse(Seq("a", "a", "a"), "a", "a") === Seq("aa", "a"))
+    assert(Bpe.fuse(Seq("a", "a", "a", "a"), "a", "a") === Seq("aa", "aa"))
+    assert(Bpe.fuse(Seq("x", "y"), "a", "b") === Seq("x", "y"))
+    assert(Bpe.fuse(Seq("l", "o", "w", "</w>"), "o", "w") ===
+      Seq("l", "ow", "</w>"))
+  }
+
+  test("the classic low/lower/lowest corpus learns 'lo' then 'low' first") {
+    // word freqs: low x3, lower x2, lowest x1 → every word contributes
+    // (l,o) and (o,w): both count 6; tiebreak (l,o) < (o,w) picks (l,o),
+    // after which (lo,w) counts 6 and must win round 2
+    val df = corpus("low low lower", "low lower lowest")
+    val m = merges(Bpe.train(df, 3))
+    assert(m(0)._2 === "l" && m(0)._3 === "o" && m(0)._4 === 6L)
+    assert(m(1)._2 === "lo" && m(1)._3 === "w" && m(1)._4 === 6L)
+    // round 3: low</w> x3 vs e,r x3 (from lower+lowest... e,r only in
+    // lower x2; (low,e) x3 from lower+lowest) — (low,</w>) x3 ties
+    // (low,e) x3; lexicographic: "low" == "low", then "</w>" < "e"
+    assert(m(2)._2 === "low" && m(2)._3 === "</w>" && m(2)._4 === 3L)
+  }
+
+  test("merged symbols tokenize the training words consistently " +
+      "(applying the merge table reproduces whole words)") {
+    val df = corpus("ab ab ab ab")
+    val m = merges(Bpe.train(df, 5))
+    // 'ab' x4: round 1 (a,b) x4, round 2 (ab,</w>) x4, then no pairs
+    // remain anywhere — the trainer must stop early, not emit junk
+    assert(m.map(x => (x._2, x._3)) === Seq("a" -> "b", "ab" -> "</w>"))
+  }
+
+  test("merge counts are freq-weighted, not word-distinct") {
+    // 'xy' appears 5 times, 'yz' twice: (x,y) must outrank (y,z) on
+    // weighted count even though both occur in exactly one distinct word
+    val df = corpus("xy xy xy yz", "xy xy yz")
+    val m = merges(Bpe.train(df, 1))
+    assert(m.head._2 === "x" && m.head._3 === "y" && m.head._4 === 5L)
+  }
+}
