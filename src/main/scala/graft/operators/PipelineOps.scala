@@ -714,11 +714,18 @@ object PipelineOps {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var ranks = deg.select(col("src").as("id"), lit(1000000000L).as("r"))
       for (_ <- 1 to 5) {
+        // eager localCheckpoint per iteration: without it, iteration
+        // k's broadcast build re-executes iterations 1..k−1 (O(iters²)
+        // total work — measured 2.5× at sf0.1) and the plan tree grows
+        // unboundedly; with it each iteration is genuinely one join +
+        // one aggregate over node-count-sized state, the Pregel
+        // contract a 1000-iteration run needs
         ranks = weighted.join(ranks, weighted("src") === ranks("id"))
           .select(col("dst"), expr("r div deg").as("c"))
           .groupBy(col("dst")).agg(sum(col("c")).as("m"))
           .select(col("dst").as("id"),
             (lit(150000000L) + lit(17L) * expr("m div 20")).as("r"))
+          .localCheckpoint(true)
       }
       ranks.select(col("id").as("node_id"), col("r").as("score"))
     }),
