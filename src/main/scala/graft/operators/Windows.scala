@@ -216,6 +216,49 @@ object Windows {
     // min-day aggregate (user-keyed shuffle), one day-grain count, one
     // running sum over the dense day spine (zero-activity days carry
     // the previous total). Day-count-sized state at any corpus size.
+    // W17: LINEAR GAP INTERPOLATION (r14) — the time-series repair m24's
+    // LOCF gapfill can't express: a missing hour takes the value on the
+    // straight line between its nearest observed neighbors (the
+    // dashboard/sensor convention when a gap means "not sampled", not
+    // "zero"). Runs entirely over the AGGREGATED (type, hour) grid (the
+    // w12 convention — key-count × hours rows at any corpus size; only
+    // the partial-agg groupBy sees raw events): one spine explode, one
+    // left join, four IGNORE-NULLS window lookups (prev/next value and
+    // hour), and an EXACT integer interpolation on scaled-long cents —
+    // v0 + (v1−v0)·(h−h0) div (h1−h0), where Spark's `div` and DuckDB's
+    // `//` share truncation semantics (verified on negative numerators),
+    // so the hash pins every interpolated cent. Spine bounds come from
+    // each key's own observed min/max, so prev/next ALWAYS exist —
+    // no edge-case arm to go vacuously dead.
+    "w17_interpolate" -> ((s, d) => {
+      val grid = Tables.events(s, d)
+        .filter(col("event_type").isin("error", "signup"))
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("hr"))
+        .agg(sum(slong(col("value"), 2)).as("sv"))
+      val spine = grid.groupBy(col("event_type"))
+        .agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
+        .select(col("event_type"),
+          explode(sequence(col("mn"), col("mx"))).as("hr"))
+      val wPrev = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      spine.join(grid, Seq("event_type", "hr"), "left")
+        .select(col("event_type"), col("hr"), col("sv"),
+          last(col("sv"), ignoreNulls = true).over(wPrev).as("v0"),
+          last(when(col("sv").isNotNull, col("hr")), ignoreNulls = true)
+            .over(wPrev).as("h0"),
+          first(col("sv"), ignoreNulls = true).over(wNext).as("v1"),
+          first(when(col("sv").isNotNull, col("hr")), ignoreNulls = true)
+            .over(wNext).as("h1"))
+        .select(col("event_type"), col("hr"),
+          when(col("sv").isNotNull, col("sv")).otherwise(
+            col("v0") + expr("(v1 - v0) * (hr - h0) div (h1 - h0)"))
+            .as("filled_cents"),
+          col("sv").isNotNull.as("observed"))
+    }),
+
     "w16_cumulative_distinct" -> ((s, d) => {
       val days = Tables.events(s, d)
         .select(col("user_id"),
@@ -514,6 +557,41 @@ object Windows {
     // w13: the oracle recomputes each day's window with the direct
     // per-day COUNT(DISTINCT) rescan the engine's range expansion
     // exists to avoid — day-count-sized correlation, fine at gate scale
+    // w17: the same grid/spine/neighbor-lookup recomputed independently;
+    // `//` truncates exactly like the engine's `div`, so interpolated
+    // cents match bit-for-bit
+    "w17_interpolate" ->
+      """WITH g AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+        |    SUM(CAST(ROUND(value * 1e2, 0) AS BIGINT)) AS sv
+        |  FROM events WHERE event_type IN ('error', 'signup')
+        |  GROUP BY 1, 2
+        |), b AS (
+        |  SELECT event_type, MIN(hr) AS mn, MAX(hr) AS mx FROM g GROUP BY 1
+        |), spine AS (
+        |  SELECT event_type, unnest(generate_series(mn, mx)) AS hr FROM b
+        |), j AS (
+        |  SELECT s.event_type, s.hr, g.sv,
+        |    last_value(g.sv IGNORE NULLS) OVER w0 AS v0,
+        |    last_value(CASE WHEN g.sv IS NOT NULL THEN s.hr END IGNORE NULLS)
+        |      OVER w0 AS h0,
+        |    first_value(g.sv IGNORE NULLS) OVER w1 AS v1,
+        |    first_value(CASE WHEN g.sv IS NOT NULL THEN s.hr END IGNORE NULLS)
+        |      OVER w1 AS h1
+        |  FROM spine s LEFT JOIN g USING (event_type, hr)
+        |  WINDOW
+        |    w0 AS (PARTITION BY s.event_type ORDER BY s.hr
+        |           ROWS UNBOUNDED PRECEDING),
+        |    w1 AS (PARTITION BY s.event_type ORDER BY s.hr
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT event_type, hr,
+        |  CAST(CASE WHEN sv IS NOT NULL THEN sv
+        |       ELSE v0 + (v1 - v0) * (hr - h0) // (h1 - h0) END AS BIGINT)
+        |    AS filled_cents,
+        |  sv IS NOT NULL AS observed
+        |FROM j""".stripMargin,
+
     // w16: the per-day rescan the engine's first-visit identity refuses
     "w16_cumulative_distinct" ->
       """WITH fd AS (
