@@ -214,6 +214,30 @@ object ScalarFns {
     // INTERVAL literals. Pure scan-local codegen at any scale. The
     // year-month add crosses month-length boundaries on the fixture's
     // random dates, pinning both engines' clamp-to-month-end rule.
+    // F22: ORDERED STRING AGGREGATION (r14) — listagg WITHIN GROUP
+    // (Spark 4's ANSI form of string_agg), the report/export surface
+    // every BI layer leans on. Determinism REQUIRES the WITHIN GROUP
+    // order (an unordered listagg is partitioning-dependent and could
+    // never hash-check); the explicit (lang, doc_id) order makes both
+    // engines emit the identical concatenation. Per-group state is the
+    // group's own strings — the a7/w15 per-entity bound; the id list is
+    // capped per group (top-8 by doc_id via the l6 partial top-k shape)
+    // so row width stays bounded at any corpus size.
+    "f22_listagg" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("source"), col("lang"), col("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 8)
+        .groupBy(col("source"))
+        .agg(
+          expr("listagg(lang, '|') WITHIN GROUP (ORDER BY lang, doc_id)")
+            .as("langs"),
+          expr("listagg(CAST(doc_id AS STRING), ',') WITHIN GROUP (ORDER BY doc_id)")
+            .as("first_ids"))
+    }),
+
     "f21_interval_arith" -> ((s, d) => {
       Tables.orders(s, d).filter(col("o_orderkey") % 7 === 0).select(
         col("o_orderkey"),
@@ -417,6 +441,20 @@ object ScalarFns {
         |  CASE WHEN o_custkey % 500 = 0 THEN NULL ELSE o_orderkey END
         |    AS safe_add
         |FROM orders""".stripMargin,
+
+    // f22: string_agg with ORDER BY is DuckDB's spelling of the same
+    // ordered concatenation; the top-8 cap recomputed via row_number
+    "f22_listagg" ->
+      """WITH t AS (
+        |  SELECT source, lang, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents
+        |)
+        |SELECT source,
+        |  string_agg(lang, '|' ORDER BY lang, doc_id) AS langs,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+        |    AS first_ids
+        |FROM t WHERE rn <= 8 GROUP BY source""".stripMargin,
 
     // f21: the same arithmetic with INTERVAL literals; EXTRACT(DAY ...)
     // truncates toward zero in both engines

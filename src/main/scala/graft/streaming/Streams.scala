@@ -725,6 +725,56 @@ object Streams {
       s.table("t28_final")
         .select(unix_micros(col("window.start")).as("win_us"),
           col("event_type"), col("n"))
+    }),
+
+    // T29 (r14): EXACTLY-ONCE PARQUET FILE SINK under the external
+    // oracle — the one sink class t22–t28 left engine-graded: the memory
+    // sink and foreachBatch grade operator state, but a production
+    // stream lands in FILES, where exactly-once rests on the sink's
+    // transactional _spark_metadata log (a file becomes visible only
+    // when its batch commits; a directory listing would also count
+    // orphans from failed batches). The event feed streams one file per
+    // trigger through a projection into a parquet sink (append mode, its
+    // own checkpoint), and the finished output is read back through the
+    // metadata-aware reader and hash-compared to DuckDB's recompute from
+    // the raw events — any dropped batch, double-committed file, or
+    // projection drift breaks it. Fresh sink+checkpoint dirs per run
+    // keep the entry rerun-deterministic.
+    "t29_stream_file_sink" -> ((s, d) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val tag = Integer.toHexString(d.hashCode)
+      val base = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_t29_$tag").toString
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(base))
+      val feed = s"$base/feed"
+      graft.Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .repartition(3).write.mode("overwrite").json(feed)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", org.apache.spark.sql.types.DoubleType)))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").json(feed)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            expr("CAST(ROUND(value * 1e2, 0) AS BIGINT)").as("cents"))
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(s"$base/out")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("cents"))
     })
   )
 
@@ -803,6 +853,13 @@ object Streams {
       """SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1, 2""".stripMargin,
+
+    // t29: the batch side of the file-sink parity — every event exactly
+    // once, with the projection recomputed
+    "t29_stream_file_sink" ->
+      """SELECT event_id, user_id, event_type,
+        |  CAST(ROUND(value * 1e2, 0) AS BIGINT) AS cents
+        |FROM events""".stripMargin,
 
     // t28: both covering 10-minute windows per event made explicit —
     // the floor-to-5-minute start and its predecessor

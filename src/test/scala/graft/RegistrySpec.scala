@@ -25,6 +25,7 @@ class RegistrySpec extends AnyFunSuite {
     ("Sketches", operators.Sketches.queries, operators.Sketches.oracles),
     ("PipelineOps", operators.PipelineOps.queries, operators.PipelineOps.oracles),
     ("Pq", operators.Pq.queries, operators.Pq.oracles),
+    ("Bpe", operators.Bpe.queries, operators.Bpe.oracles),
     ("Streams", streaming.Streams.queries, streaming.Streams.oracles))
 
   test("no query key is defined by two modules (shadowing)") {
