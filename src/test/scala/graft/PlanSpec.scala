@@ -41,6 +41,17 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("(o_year") && p.contains("1997"), p)
   }
 
+  test("A18's top-k heap partial-aggregates before the shuffle " +
+      "(map-side combine, unlike the window form)") {
+    val p = plan(Aggregates.queries("a18_topk_heap")(spark, sf("sf0.001")))
+    // the Aggregator plans as a two-level ObjectHashAggregate pair with
+    // the exchange between them: partial heaps bound what leaves a task
+    // to k rows per (group, partition)
+    val aggs = p.linesIterator.count(_.contains("ObjectHashAggregate"))
+    assert(aggs >= 2, p.take(2000))
+    assert(!p.contains("Window"), "top-k heap must not fall back to a window: " + p.take(1000))
+  }
+
   test("J16 grows a runtime bloom probe at scale thresholds and stays " +
       "clean at fixture scale") {
     val key = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
