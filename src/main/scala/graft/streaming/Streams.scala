@@ -775,6 +775,58 @@ object Streams {
       s.read.parquet(s"$base/out")
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("cents"))
+    }),
+
+    // T30 (r14): EXACTLY-ONCE RESUME ACROSS RUNS under the external
+    // oracle — Trigger.AvailableNow, the trigger a cron-scheduled
+    // incremental backfill actually uses (process everything available
+    // in bounded batches, then TERMINATE; processAllAvailable is a test
+    // harness, not a deployment mode). Two separate runs share one
+    // checkpoint: run 1 lands the even half of the events, MORE files
+    // arrive, run 2 must pick up ONLY the new ones — re-processing run
+    // 1's files doubles rows, missing the delivery drops them, and the
+    // final parquet output must hash-equal every event exactly once.
+    // This is the across-RESTART half of the exactly-once contract
+    // (t1/t29 grade within-run); the checkpoint + sink metadata log
+    // carry it.
+    "t30_available_now_resume" -> ((s, d) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val tag = Integer.toHexString(d.hashCode)
+      val base = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_t30_$tag").toString
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(base))
+      val feed = s"$base/feed"
+      val events = graft.Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      events.filter(col("event_id") % 2 === 0)
+        .repartition(2).write.mode("overwrite").json(feed)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType)))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      def runOnce(): Unit = {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").json(feed)
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .outputMode("append").start()
+        q.awaitTermination() // AvailableNow self-terminates when drained
+      }
+      try {
+        runOnce()
+        events.filter(col("event_id") % 2 === 1)
+          .repartition(2).write.mode("append").json(feed)
+        runOnce()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(s"$base/out")
+        .select(col("event_id"), col("user_id"), col("event_type"))
     })
   )
 
@@ -853,6 +905,11 @@ object Streams {
       """SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1, 2""".stripMargin,
+
+    // t30: the across-run parity — every event exactly once no matter
+    // which run delivered it
+    "t30_available_now_resume" ->
+      "SELECT event_id, user_id, event_type FROM events",
 
     // t29: the batch side of the file-sink parity — every event exactly
     // once, with the projection recomputed
