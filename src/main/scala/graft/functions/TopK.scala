@@ -50,6 +50,41 @@ class TopKTerms(k: Int) extends Aggregator[(Double, String), Vector[(Double, Str
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
 }
 
+/** [[TopK]] over (value, id) LONG pairs — the a18 grouped top-k
+  * kernel: exact integer ordering (value desc, id asc; total because
+  * ids are unique), same k-bounded partial buffers, so the grouped
+  * aggregate ships k rows per (group, partition) where the window-rank
+  * form shuffles every input row.
+  */
+class TopKLong(k: Int) extends Aggregator[(Long, Long), Vector[(Long, Long)], Seq[(Long, Long)]] {
+
+  private def better(a: (Long, Long), b: (Long, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  private def insert(buf: Vector[(Long, Long)], x: (Long, Long)): Vector[(Long, Long)] = {
+    if (buf.size >= k && !better(x, buf.last)) buf
+    else {
+      val pos = buf.indexWhere(cur => better(x, cur)) match {
+        case -1 => buf.size
+        case p => p
+      }
+      (buf.take(pos) :+ x) ++ buf.drop(pos).take(k - pos - 1)
+    }
+  }
+
+  override def zero: Vector[(Long, Long)] = Vector.empty
+  override def reduce(buf: Vector[(Long, Long)], x: (Long, Long)): Vector[(Long, Long)] =
+    insert(buf, x)
+  override def merge(a: Vector[(Long, Long)], b: Vector[(Long, Long)]): Vector[(Long, Long)] =
+    b.foldLeft(a)(insert)
+  override def finish(buf: Vector[(Long, Long)]): Seq[(Long, Long)] = buf
+
+  override def bufferEncoder: Encoder[Vector[(Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[(Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}
+
 class TopK(k: Int) extends Aggregator[(Double, Long), Vector[(Double, Long)], Seq[(Double, Long)]] {
 
   private def better(a: (Double, Long), b: (Double, Long)): Boolean =

@@ -26,35 +26,6 @@ object SumCount extends org.apache.spark.sql.expressions.Aggregator[
     bufferEncoder
 }
 
-/** Bounded TOP-K Aggregator (a18): keeps each group's k best
-  * (value desc, id asc) pairs in a sorted buffer capped at k, so the
-  * PARTIAL aggregate bounds what leaves a map task to k rows per
-  * (group, partition) — where the window-rank formulation (w5) shuffles
-  * EVERY input row to sort it, this shuffles ≤ k·groups·partitions.
-  * That asymmetry is the whole point at 100 TB: top-3-per-customer over
-  * a trillion orders moves ~3 rows per customer per task, not the
-  * orders table. The (value desc, id asc) struct order is total (ids
-  * unique), so partial-merge order can never change the result.
-  */
-case class TopKBuf(items: Seq[(Long, Long)])
-
-class TopKPairs(k: Int) extends org.apache.spark.sql.expressions.Aggregator[
-    (Long, Long), TopKBuf, TopKBuf] {
-  private def better(a: (Long, Long), b: (Long, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
-  override def zero: TopKBuf = TopKBuf(Vector.empty)
-  override def reduce(buf: TopKBuf, x: (Long, Long)): TopKBuf =
-    if (buf.items.size == k && !better(x, buf.items.last)) buf
-    else TopKBuf((buf.items :+ x).sortWith(better).take(k))
-  override def merge(a: TopKBuf, b: TopKBuf): TopKBuf =
-    TopKBuf((a.items ++ b.items).sortWith(better).take(k))
-  override def finish(r: TopKBuf): TopKBuf = r
-  override def bufferEncoder: org.apache.spark.sql.Encoder[TopKBuf] =
-    org.apache.spark.sql.Encoders.product[TopKBuf]
-  override def outputEncoder: org.apache.spark.sql.Encoder[TopKBuf] =
-    bufferEncoder
-}
-
 /** Aggregation operators (SURVEY.md §2B A1–A8).
   *
   * All grouped aggregates rely on Spark's automatic partial+final hash
@@ -194,15 +165,16 @@ object Aggregates {
     // differ from the JVM's — the relative error is ~1e-12, far inside
     // the rounding guard.
     // A18: BOUNDED TOP-K AGGREGATE (r14) — top-3 orders per customer
-    // via the [[TopKPairs]] partial-aggregating heap instead of w5's
+    // via the k-bounded partial-aggregating buffer ([[graft.functions
+    // .TopKLong]], the same kernel family l3/l6 ship) instead of w5's
     // window rank: the window form shuffles and sorts EVERY row inside
     // each key; this form's map-side combine bounds what leaves a task
     // to k rows per (customer, partition) — the shape that makes
-    // top-k-per-entity survive a trillion-row fact table. The struct
-    // order (cents desc, orderkey asc) is total, so partial-merge order
+    // top-k-per-entity survive a trillion-row fact table. The
+    // (cents desc, orderkey asc) order is total, so partial-merge order
     // cannot change the result and the hash pins it exactly.
     "a18_topk_heap" -> ((s, d) => {
-      val topk = udaf(new TopKPairs(3))
+      val topk = udaf(new graft.functions.TopKLong(3))
       Tables.orders(s, d)
         .select(col("o_custkey"),
           expr("CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)").as("cents"),
@@ -210,7 +182,7 @@ object Aggregates {
         .groupBy(col("o_custkey"))
         .agg(topk(col("cents"), col("o_orderkey")).as("top"))
         .select(col("o_custkey"),
-          posexplode(col("top.items")).as(Seq("pos", "it")))
+          posexplode(col("top")).as(Seq("pos", "it")))
         .select(col("o_custkey"), (col("pos") + 1).cast(IntegerType).as("rank"),
           col("it._2").as("o_orderkey"), col("it._1").as("cents"))
     }),
