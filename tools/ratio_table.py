@@ -62,7 +62,13 @@ FILE_WRITERS = {"s4_csv_roundtrip", "s5_ndjson_roundtrip",
                 # feeds and run multi-trigger streaming executions
                 "sql16_merge_evolution", "sql17_update_nested",
                 "t24_stream_session_merge", "t25_stream_cdc_apply",
-                "t26_stream_dedup", "m32_time_travel"}
+                "t26_stream_dedup", "m32_time_travel",
+                # r14 second wave: snapshot/manifest write round-trips
+                # and streaming feed+execution entries
+                "m33_table_changes", "m34_incremental_agg",
+                "m35_write_audit_publish", "m37_snapshot_expire",
+                "t27_stream_static_enrich", "t28_stream_sliding_window",
+                "t29_stream_file_sink", "t30_available_now_resume"}
 PINNED_SUBSET_R10 = [
     "a13_minmax_by", "a14_mode", "a1_ungrouped_agg", "a2_group_agg",
     "a7_collect_list", "f10_casts", "f11_url_fns", "f1_string_fns",
