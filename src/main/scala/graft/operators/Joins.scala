@@ -419,6 +419,48 @@ object Joins {
     // Spark plans EqualNullSafe as a HASH join key (coalesce-wrapped
     // internally), so the plan is the same broadcast/shuffled hash join
     // as a plain equi join — no nested loop, scale shape unchanged.
+    // J17: COST-BASED JOIN REORDER (r14) — the statistics discipline a
+    // 100 TB warehouse runs on: catalog tables carry ANALYZE'd row/
+    // column statistics, and with CBO enabled Catalyst reorders an
+    // inner-join chain by estimated cardinality instead of executing
+    // the user's textual order. The entry materializes the fact and two
+    // dims as catalog tables, runs ANALYZE TABLE … COMPUTE STATISTICS
+    // FOR COLUMNS on the join keys (metadata-sized: one stats pass per
+    // table, stored in the catalog), and executes the 3-way join
+    // WRITTEN worst-order-first (fact ⋈ fact-sized dim first, selective
+    // dim last). Correctness is order-independent — the oracle pins the
+    // result; PlanSpec owns the plan property (with CBO + stats the
+    // optimized join tree starts from the selective side; without CBO
+    // it follows the text). Stats collection is the knob that keeps
+    // broadcast/reorder decisions honest when estimates would lie.
+    "j17_cbo_reorder" -> ((s, d) => {
+      val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
+      val (li, od, cu) = (s"j17_li_$tag", s"j17_od_$tag", s"j17_cu_$tag")
+      def save(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        val path = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), s"graft_$name").toString
+        df.write.mode("overwrite").option("path", path).saveAsTable(name)
+      }
+      save(li, Tables.lineitem(s, d).select(col("l_orderkey"),
+        expr("CAST(ROUND(l_extendedprice * 1e2, 0) AS BIGINT)").as("cents")))
+      save(od, Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey")))
+      save(cu, Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment")))
+      s.sql(s"ANALYZE TABLE $li COMPUTE STATISTICS FOR COLUMNS l_orderkey")
+      s.sql(s"ANALYZE TABLE $od COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_custkey")
+      s.sql(s"ANALYZE TABLE $cu COMPUTE STATISTICS FOR COLUMNS c_custkey, c_mktsegment")
+      s.sql(
+        s"""SELECT c.c_mktsegment, COUNT(*) AS n,
+           |  CAST(SUM(l.cents) AS BIGINT) AS cents_total
+           |FROM $li l
+           |JOIN $od o ON l.l_orderkey = o.o_orderkey
+           |JOIN $cu c ON o.o_custkey = c.c_custkey
+           |WHERE c.c_mktsegment = 'BUILDING'
+           |GROUP BY c.c_mktsegment""".stripMargin)
+    }),
+
     // J16: RUNTIME-FILTERED JOIN (r14) — the bloom semi-join reduction
     // (Catalyst's InjectRuntimeFilter) that makes a selective dim join
     // cheap at 100 TB: the filtered creation side (parts at one size of
@@ -816,6 +858,18 @@ object Joins {
     // j15: IS NOT DISTINCT FROM ≡ Spark's <=>; the NULL group (the
     // NULLIF'd 'en' majority) must appear in the output or the hash
     // breaks — a plain-equality oracle would lose 44% of the rows
+    // j17: result is join-order-independent; the oracle recomputes it
+    // from the raw tables
+    "j17_cbo_reorder" ->
+      """SELECT c.c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(l.l_extendedprice * 1e2, 0) AS BIGINT))
+        |    AS BIGINT) AS cents_total
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY c.c_mktsegment""".stripMargin,
+
     // j16: the runtime filter is plan-only — the oracle is the plain
     // selective join+agg
     "j16_runtime_filter" ->

@@ -686,6 +686,46 @@ object PipelineOps {
           sum(col("cents")).cast(LongType).as("cents_total"))
     }),
 
+    // M38: SNAPSHOT ROLLBACK (r14) — the bad-deploy undo that completes
+    // the time-travel family (m32 read-AS-OF, m33 diff, m37 expire):
+    // rolling a table back to version N is a METADATA operation — commit
+    // a new snapshot whose manifest is v_N's file list — never a data
+    // rewrite (the "restore" that copies bytes costs a table scan at
+    // 100 TB; this costs a manifest write). Here v1 commits the 1995
+    // orders, v2 appends a CORRUPT delta (1996 rows with doubled
+    // amounts — the bad deploy), and v3 rolls back to v1's manifest; the
+    // entry reads v3 and the oracle recomputes the CLEAN 1995 state, so
+    // a rollback that leaks v2's files (corrupt rows visible) or loses
+    // part of v1 breaks the hash. The rolled-back-PAST files stay on
+    // disk for m37's expire to reclaim — rollback and GC are separate
+    // concerns, exactly as in a real table format.
+    "m38_snapshot_rollback" -> ((s, d) => {
+      val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_m38_table_$tag").toString
+      def files(): Set[String] = {
+        val fs = new java.io.File(dir).listFiles()
+        if (fs == null) Set.empty
+        else fs.map(_.getName).filter(_.endsWith(".parquet")).toSet
+      }
+      val orders = Tables.orders(s, d).select(
+        year(col("o_orderdate")).as("yr"),
+        expr("CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)").as("cents"))
+      orders.filter(col("yr") === 1995)
+        .repartition(2).write.mode("overwrite").parquet(dir)
+      val v1 = files()
+      // the bad deploy: corrupt 1996 rows (amounts doubled) appended
+      orders.filter(col("yr") === 1996)
+        .select(col("yr"), (col("cents") * 2).as("cents"))
+        .repartition(2).write.mode("append").parquet(dir)
+      // rollback = new snapshot referencing exactly v1's manifest
+      val v3 = v1
+      s.read.parquet(v3.toSeq.sorted.map(f => s"$dir/$f"): _*)
+        .groupBy(col("yr"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).cast(LongType).as("cents_total"))
+    }),
+
     // M36: PAGERANK over the order–part bipartite graph (r14) — the
     // iterative graph-scoring primitive web-corpus curation ranks
     // domains/documents with (quality propagation over a link graph;
@@ -1905,6 +1945,15 @@ object PipelineOps {
         |  CAST(SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS BIGINT)
         |    AS cents_total
         |FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+        |GROUP BY 1""".stripMargin,
+
+    // m38: the rolled-back table is the clean 1995 state — leaked
+    // corrupt v2 files or a lost v1 file both break it
+    "m38_snapshot_rollback" ->
+      """SELECT year(o_orderdate) AS yr, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS BIGINT)
+        |    AS cents_total
+        |FROM orders WHERE year(o_orderdate) = 1995
         |GROUP BY 1""".stripMargin,
 
     // m36: all five damped-update iterations unrolled in exact BIGINT

@@ -52,6 +52,31 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("Window"), "top-k heap must not fall back to a window: " + p.take(1000))
   }
 
+  test("J17 reorders the join chain by cost once catalog stats exist") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    def bottomJoin(): String = {
+      val df = Joins.queries("j17_cbo_reorder")(spark, sf("sf0.001"))
+      val joins = df.queryExecution.optimizedPlan.collect { case j: LJoin => j }
+      joins.last.toString // pre-order: last = the innermost join
+    }
+    val (cbo, reorder) = ("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    val (prevC, prevR) = (spark.conf.get(cbo), spark.conf.get(reorder))
+    try {
+      // without CBO the optimizer keeps the TEXTUAL order: the innermost
+      // join is fact ⋈ orders (the worst-first order the query writes)
+      spark.conf.set(cbo, "false"); spark.conf.set(reorder, "false")
+      val off = bottomJoin()
+      assert(off.contains("l_orderkey") && !off.contains("c_custkey"), off.take(800))
+      // with CBO + ANALYZE'd stats the chain re-roots on the selective
+      // side: the innermost join now involves the filtered customer dim
+      spark.conf.set(cbo, "true"); spark.conf.set(reorder, "true")
+      val on = bottomJoin()
+      assert(on.contains("c_custkey"), on.take(800))
+    } finally {
+      spark.conf.set(cbo, prevC); spark.conf.set(reorder, prevR)
+    }
+  }
+
   test("J16 grows a runtime bloom probe at scale thresholds and stays " +
       "clean at fixture scale") {
     val key = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
