@@ -48,6 +48,16 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(m.map(x => (x._2, x._3)) === Seq("a" -> "b", "ab" -> "</w>"))
   }
 
+  test("the trainer's first merge is l28b's rank-1 pair (the hashed twin " +
+      "pins the kernel every round reuses)") {
+    val d = sf("sf0.001")
+    val m1 = merges(Bpe.train(Tables.documents(spark, d), 1)).head
+    val top = Bpe.queries("l28b_bpe_pairs")(spark, d)
+      .filter(org.apache.spark.sql.functions.col("rank") === 1).head()
+    assert((m1._2, m1._3, m1._4) ===
+      ((top.getString(1), top.getString(2), top.getLong(3))))
+  }
+
   test("merge counts are freq-weighted, not word-distinct") {
     // 'xy' appears 5 times, 'yz' twice: (x,y) must outrank (y,z) on
     // weighted count even though both occur in exactly one distinct word

@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.PipelineOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** File-level laws of the snapshot family (m32/m33/m37/m38) that the
+  * entries' hashed aggregates cannot see directly: which files exist,
+  * which are referenced, and that untouched files stay byte-identical.
+  */
+class SnapshotSpec extends AnyFunSuite with SparkTestBase {
+
+  private def tag(d: String) =
+    s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
+
+  private def parquetFiles(dir: String): Set[String] = {
+    val fs = new java.io.File(dir).listFiles()
+    if (fs == null) Set.empty
+    else fs.map(_.getName).filter(_.endsWith(".parquet")).toSet
+  }
+
+  test("m37: the post-expire directory is exactly the retained manifest " +
+      "(shared files kept, expired-only files deleted)") {
+    val d = sf("sf0.001")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_m37_table_${tag(d)}"
+    PipelineOps.queries("m37_snapshot_expire")(spark, d).collect()
+    // construction: v1 = 2 files (A, shared with v3), B = 2 files
+    // (expired-only, must be deleted), C = 1 compacted file → the
+    // post-expire directory is exactly A∪C = 3 files
+    val after = parquetFiles(dir)
+    assert(after.size === 3, s"expected A(2)∪C(1), got $after")
+    // every remaining file is referenced: the plain directory read is
+    // the full clean 2-year state (B surviving would double 1996;
+    // deleting shared A would lose 1995)
+    val total = spark.read.parquet(dir)
+      .groupBy(col("yr")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val want = Tables.orders(spark, d)
+      .select(year(col("o_orderdate")).as("yr"))
+      .filter(col("yr").isin(1995, 1996))
+      .groupBy(col("yr")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(total === want, s"directory ≠ retained snapshot: $total vs $want")
+  }
+
+  test("m38: rollback hides the corrupt delta while its files remain on " +
+      "disk (metadata undo, not a data rewrite)") {
+    val d = sf("sf0.001")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_m38_table_${tag(d)}"
+    val out = PipelineOps.queries("m38_snapshot_rollback")(spark, d)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the rolled-back read sees ONLY 1995
+    assert(out.keySet === Set(1995), out.keySet.toString)
+    // but the corrupt 1996 files are still present in the directory
+    // (rollback is a manifest write; GC is m37's separate concern)
+    val dirYears = spark.read.parquet(dir)
+      .select(col("yr")).distinct().collect().map(_.getInt(0)).toSet
+    assert(dirYears === Set(1995, 1996),
+      s"expected the corrupt delta to remain on disk: $dirYears")
+  }
+
+  test("m33: the appended delta never rewrites base files (byte-identical " +
+      "v1 across the append)") {
+    val d = sf("sf0.001")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_m33_probe"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(dir))
+    val orders = Tables.orders(spark, d).select(
+      year(col("o_orderdate")).as("yr"),
+      expr("CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)").as("cents"))
+    orders.filter(col("yr") === 1995)
+      .repartition(2).write.mode("overwrite").parquet(dir)
+    def digests(): Map[String, String] =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map { f =>
+          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+          f.getName -> java.util.Base64.getEncoder.encodeToString(
+            java.security.MessageDigest.getInstance("MD5").digest(bytes))
+        }.toMap
+    val before = digests()
+    orders.filter(col("yr") === 1996)
+      .repartition(2).write.mode("append").parquet(dir)
+    val after = digests()
+    assert(before.keySet.subsetOf(after.keySet))
+    before.foreach { case (name, md5) =>
+      assert(after(name) === md5, s"append rewrote base file $name")
+    }
+    assert((after.keySet -- before.keySet).nonEmpty)
+  }
+}
