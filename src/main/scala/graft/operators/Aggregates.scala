@@ -127,6 +127,37 @@ object Aggregates {
           round(expr("percentile(value, 0.95)"), 4).as("p95"))
     }),
 
+    // A19: ROBUST OUTLIER DETECTION via MAD (r14) — the data-quality
+    // monitor mean/stddev can't provide (one wild value drags the mean
+    // toward itself and inflates sigma until nothing is an outlier;
+    // median and MAD have breakdown point 0.5): per event type, the
+    // median, the median absolute deviation, and how many events sit
+    // beyond the standard |v − med| > 3·1.4826·MAD fence (1.4826 scales
+    // MAD to sigma under normality). Two grouped exact percentiles (the
+    // a8 convention: `percentile` ≡ DuckDB's quantile_cont, identical
+    // double interpolation) with a type-keyed broadcast join back —
+    // per-type medians are group-cardinality-sized, so both extra
+    // passes cost one scan each and no corpus-sized shuffle; the fence
+    // COUNT is a partial agg. Outliers exist at every SF (the fixture's
+    // value tail), so the fence predicate is live both ways.
+    "a19_mad_outliers" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val med = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val mad = ev.join(broadcast(med), "event_type")
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(abs(value - med), 0.5)").as("mad"),
+          first(col("med")).as("med"))
+      ev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(first(col("med")), 4).as("med"),
+          round(first(col("mad")), 4).as("mad"),
+          sum(when(abs(col("value") - col("med")) >
+            lit(3) * lit(1.4826) * col("mad"), 1L).otherwise(0L))
+            .cast(LongType).as("n_outliers"))
+    }),
+
     // A8b: approximate percentile (GK sketch) — returns a member of the
     // input, not an interpolation, so no SQL oracle; rows-only + spec.
     "a8b_approx_percentile" -> ((s, d) => {
@@ -387,6 +418,27 @@ object Aggregates {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty, COUNT(*) AS n_rows
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    // a19: same two-level median/MAD recompute; quantile_cont is the
+    // established percentile() twin, and the fence count re-derives
+    // from the same exact doubles
+    "a19_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1
+        |), mad AS (
+        |  SELECT e.event_type,
+        |    quantile_cont(abs(e.value - m.med), 0.5) AS mad,
+        |    ANY_VALUE(m.med) AS med
+        |  FROM events e JOIN med m USING (event_type) GROUP BY 1
+        |)
+        |SELECT e.event_type, COUNT(*) AS n,
+        |  ROUND(ANY_VALUE(a.med), 4) AS med,
+        |  ROUND(ANY_VALUE(a.mad), 4) AS mad,
+        |  CAST(SUM(CASE WHEN abs(e.value - a.med) >
+        |    3 * 1.4826 * a.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM events e JOIN mad a USING (event_type)
+        |GROUP BY 1""".stripMargin,
 
     // a18: the window-rank recompute of the same total order — any
     // heap insert/merge/trim bug diverges on some (customer, rank)

@@ -686,6 +686,82 @@ object PipelineOps {
           sum(col("cents")).cast(LongType).as("cents_total"))
     }),
 
+    // M39: ATOMIC MULTI-TABLE COMMIT (r14) — the transaction boundary a
+    // warehouse needs when a base table and its derived rollup must
+    // never be observed at different versions (the classic torn read:
+    // yesterday's rollup against today's base). The mechanism is the
+    // snapshot family's manifest move one level up: each commit writes
+    // BOTH tables' new generations, then publishes ONE commit file
+    // naming both generation paths; a reader resolves the latest commit
+    // file and reads exactly the generations it names. Generations
+    // without a commit file are invisible — the entry writes a real
+    // TORN generation (balances doubled, rollup never written, no
+    // commit) after v2, and the reader must still serve v2 of both.
+    // The output joins the base re-aggregate against the stored rollup
+    // per segment, so the oracle catches every failure: a torn read
+    // (doubled base), a version mix (rollup ≠ base), or a lost commit.
+    // Commit cost = the new generations + one tiny file; at 100 TB the
+    // commit file is bytes and the atomicity comes from its single
+    // create, exactly as table formats do it.
+    "m39_multi_table_commit" -> ((s, d) => {
+      val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
+      val base = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_m39_$tag").toString
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(base))
+      val orders = Tables.orders(s, d).select(
+        col("o_custkey"), year(col("o_orderdate")).as("yr"),
+        expr("CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)").as("cents"))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      def balances(maxYr: Int): DataFrame = orders
+        .filter(col("yr") <= maxYr)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      def rollup(bal: DataFrame): DataFrame = bal
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("cents")).cast(LongType).as("cents_total"))
+      def commit(v: Int, bal: DataFrame): Unit = {
+        bal.write.mode("overwrite").parquet(s"$base/balances/gen=$v")
+        rollup(bal).write.mode("overwrite").parquet(s"$base/rollup/gen=$v")
+        // the atomic publish: one file naming both generations
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$base/commits"))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$base/commits/v$v.txt"),
+          s"balances=$base/balances/gen=$v\nrollup=$base/rollup/gen=$v\n")
+      }
+      commit(1, balances(1995))
+      commit(2, balances(1996))
+      // the torn write: a new balances generation lands (doubled — the
+      // bad job), the rollup never does, and NO commit file exists
+      balances(1996).select(col("o_custkey"), col("n"),
+          (col("cents") * 2).as("cents"))
+        .write.mode("overwrite").parquet(s"$base/balances/gen=3")
+      // reader: resolve the LATEST COMMIT FILE, read what it names
+      val latest = new java.io.File(s"$base/commits").listFiles()
+        .map(_.getName.stripPrefix("v").stripSuffix(".txt").toInt).max
+      val named = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$base/commits/v$latest.txt"))
+        .linesIterator.map { l =>
+          val Array(k, v) = l.split("=", 2); k -> v
+        }.toMap
+      val bal = s.read.parquet(named("balances"))
+      val roll = s.read.parquet(named("rollup"))
+      rollup(bal)
+        .withColumnRenamed("n_cust", "base_n_cust")
+        .withColumnRenamed("cents_total", "base_cents")
+        .join(roll, "c_mktsegment")
+        .select(col("c_mktsegment"), col("base_n_cust"), col("base_cents"),
+          col("n_cust").as("rollup_n_cust"),
+          col("cents_total").as("rollup_cents"))
+    }),
+
     // M38: SNAPSHOT ROLLBACK (r14) — the bad-deploy undo that completes
     // the time-travel family (m32 read-AS-OF, m33 diff, m37 expire):
     // rolling a table back to version N is a METADATA operation — commit
@@ -1946,6 +2022,26 @@ object PipelineOps {
         |    AS cents_total
         |FROM orders WHERE year(o_orderdate) IN (1995, 1996)
         |GROUP BY 1""".stripMargin,
+
+    // m39: both columnsets recomputed from raw orders at the committed
+    // version (1995+1996, UNdoubled) — a torn read, version mix, or
+    // lost commit all diverge
+    "m39_multi_table_commit" ->
+      """WITH bal AS (
+        |  SELECT o_custkey, COUNT(*) AS n,
+        |    SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS cents
+        |  FROM orders WHERE year(o_orderdate) <= 1996
+        |  GROUP BY 1
+        |), r AS (
+        |  SELECT c.c_mktsegment, COUNT(*) AS n_cust,
+        |    CAST(SUM(b.cents) AS BIGINT) AS cents_total
+        |  FROM bal b JOIN customer c ON b.o_custkey = c.c_custkey
+        |  GROUP BY 1
+        |)
+        |SELECT c_mktsegment, n_cust AS base_n_cust,
+        |  cents_total AS base_cents, n_cust AS rollup_n_cust,
+        |  cents_total AS rollup_cents
+        |FROM r""".stripMargin,
 
     // m38: the rolled-back table is the clean 1995 state — leaked
     // corrupt v2 files or a lost v1 file both break it

@@ -380,6 +380,37 @@ object Ingest {
         .select(col("o_orderkey"), col("cents"), col("priority"))
     }),
 
+    // S16: XML PARSING (r14) — Spark 4's built-in XML surface, the
+    // enterprise feed format the scan family hadn't covered: each order
+    // is serialized to an XML record, then parsed back BOTH ways the
+    // engine offers — from_xml into a typed struct (schema-directed,
+    // the ingestion path) and xpath_string (the ad-hoc extraction
+    // path) — and the parsed fields must round-trip to the original
+    // columns, which the oracle pins by recomputing them from the raw
+    // table (any truncation, entity mishandling, or type-coercion drift
+    // in either parser breaks the hash; the status field exercises
+    // non-ASCII-free text, priority carries spaces and '-'). Scan-local
+    // codegen: serialize + parse live in one projection, no shuffle at
+    // any scale.
+    "s16_xml" -> ((s, d) => {
+      val orders = Tables.orders(s, d).filter(col("o_orderkey") % 5 === 0)
+      val xml = concat(
+        lit("<rec><id>"), col("o_orderkey"),
+        lit("</id><status>"), col("o_orderstatus"),
+        lit("</status><priority>"), col("o_orderpriority"),
+        lit("</priority><total>"),
+        expr("CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)"),
+        lit("</total></rec>"))
+      orders.select(col("o_orderkey"), xml.as("x"))
+        .select(col("o_orderkey"),
+          expr("from_xml(x, 'id BIGINT, status STRING, priority STRING, total BIGINT')")
+            .as("p"),
+          expr("xpath_string(x, '/rec/priority')").as("xp_priority"))
+        .select(col("o_orderkey"), col("p.id").as("id"),
+          col("p.status").as("status"), col("p.total").as("total_cents"),
+          col("xp_priority"))
+    }),
+
     // S8: in-memory source (unit-test seam).
     "s8_inmemory" -> ((s, _) => {
       import s.implicits._
@@ -407,6 +438,14 @@ object Ingest {
       |) t(id, status, variant, winner, white_name, eco, n_clocks)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // s16: the parsed fields must round-trip to the raw columns the XML
+    // was synthesized from
+    "s16_xml" ->
+      """SELECT o_orderkey, o_orderkey AS id, o_orderstatus AS status,
+        |  CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT) AS total_cents,
+        |  o_orderpriority AS xp_priority
+        |FROM orders WHERE o_orderkey % 5 = 0""".stripMargin,
+
     "s1_parquet_scan" -> Tables.names
       .map(n => s"SELECT '$n' AS tbl, COUNT(*) AS n_rows FROM $n")
       .mkString("\nUNION ALL\n"),

@@ -59,6 +59,27 @@ class SnapshotSpec extends AnyFunSuite with SparkTestBase {
       s"expected the corrupt delta to remain on disk: $dirYears")
   }
 
+  test("m39: the torn generation exists on disk but no commit names it — " +
+      "the reader serves the last committed version of BOTH tables") {
+    val d = sf("sf0.001")
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_m39_${tag(d)}"
+    val out = PipelineOps.queries("m39_multi_table_commit")(spark, d).collect()
+    // snapshot consistency: re-aggregated base equals stored rollup in
+    // every segment (a torn or mixed read breaks one side)
+    out.foreach { r =>
+      assert(r.getLong(1) === r.getLong(3), r.toString) // n_cust
+      assert(r.getLong(2) === r.getLong(4), r.toString) // cents
+    }
+    // the torn balances generation is physically present…
+    val gens = new java.io.File(s"$base/balances").listFiles()
+      .map(_.getName).filter(_.startsWith("gen=")).toSet
+    assert(gens === Set("gen=1", "gen=2", "gen=3"), gens.toString)
+    // …but only v1/v2 were ever published
+    val commits = new java.io.File(s"$base/commits").listFiles()
+      .map(_.getName).toSet
+    assert(commits === Set("v1.txt", "v2.txt"), commits.toString)
+  }
+
   test("m33: the appended delta never rewrites base files (byte-identical " +
       "v1 across the append)") {
     val d = sf("sf0.001")
