@@ -478,6 +478,40 @@ object SqlFrontend {
       s.sql(sql8WalkSql)
     }),
     "sql9_lateral_topk" -> ((s, d) => { withViews(s, d); s.sql(lateralSql) }),
+
+    // SQL18: SQL SCRIPTING (r14) — Spark 4's procedural BEGIN…END
+    // blocks (DECLARE + session-variable SET + a final SELECT), the
+    // parameterized-report surface analysts actually write: the script
+    // computes a 90th-percentile price cutoff into a variable, then the
+    // final statement filters by it. The whole block is ONE spark.sql
+    // call; non-final statements execute eagerly in order and the last
+    // SELECT's frame is returned — no string interpolation, no driver
+    // round-trip between the two statements beyond the scalar variable.
+    // DuckDB has no Spark scripting, so the oracle re-expresses the
+    // same computation with a scalar subquery (percentile ≡
+    // quantile_cont, the a8 convention). Scripting is gated by a conf;
+    // set for the call, restored after (the returned frame carries the
+    // bound variable as a literal, so later execution is unaffected).
+    "sql18_scripting" -> ((s, d) => {
+      withViews(s, d)
+      val key = "spark.sql.scripting.enabled"
+      val prev = s.conf.get(key, "false")
+      s.conf.set(key, "true")
+      try {
+        s.sql(
+          """BEGIN
+            |  DECLARE cutoff BIGINT;
+            |  SET cutoff = (SELECT CAST(ROUND(percentile(o_totalprice, 0.9)
+            |    * 1e2, 0) AS BIGINT) FROM orders);
+            |  SELECT o_orderpriority, COUNT(*) AS n,
+            |    CAST(SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT))
+            |      AS BIGINT) AS cents_total
+            |  FROM orders
+            |  WHERE CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT) > cutoff
+            |  GROUP BY o_orderpriority;
+            |END""".stripMargin)
+      } finally s.conf.set(key, prev)
+    }),
     "sql10_setops_text" -> ((s, d) => { withViews(s, d); s.sql(setOpsSql) }),
     "sql7_native_fn" -> ((s, d) => {
       withViews(s, d)
@@ -517,6 +551,18 @@ object SqlFrontend {
     "sql7_native_fn" -> nativeFnOracleSql,
     "sql8_recursive_cte" -> recursiveSql,
     "sql9_lateral_topk" -> lateralSql,
+
+    // sql18: the script's computation as one statement — the variable
+    // becomes a scalar subquery
+    "sql18_scripting" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS BIGINT)
+        |    AS cents_total
+        |FROM orders
+        |WHERE CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT) >
+        |  (SELECT CAST(ROUND(quantile_cont(o_totalprice, 0.9) * 1e2, 0)
+        |     AS BIGINT) FROM orders)
+        |GROUP BY o_orderpriority""".stripMargin,
     "sql10_setops_text" -> setOpsSql,
     "sql11_ctas" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
