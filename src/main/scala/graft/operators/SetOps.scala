@@ -91,6 +91,25 @@ object SetOps {
             .otherwise(col("value")).as("v"))
         .orderBy(col("v").desc_nulls_first, col("event_id"))
         .limit(20)
+    }),
+
+    // O9: TRANSPOSE (r14) — Spark 4's Dataset.transpose, the report
+    // reshape that turns a metrics-per-group frame sideways (groups
+    // become columns, metrics become rows). Runs on an AGGREGATED
+    // frame by construction — transpose collects the index column to
+    // name the output columns, so its input must be group-sized, never
+    // the corpus (the same bound a pivot's value list carries; here ~5
+    // event types). Metrics are cast to one common type (DOUBLE, the
+    // API's coercion rule) and rounded; the oracle rebuilds the
+    // transposed frame explicitly with one UNION ALL arm per metric
+    // row, so the reshape's cell placement is hash-pinned.
+    "o9_transpose" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          round(graft.Exprs.lsum(col("value"), 2), 2).as("sum_value"),
+          countDistinct(col("user_id")).cast("double").as("n_users"))
+        .transpose(col("event_type"))
     })
   )
 
@@ -133,6 +152,40 @@ object SetOps {
         |  CASE WHEN event_id < 7 THEN NULL ELSE value END AS v
         |FROM events
         |ORDER BY v DESC NULLS FIRST, event_id
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+
+    // o9: the transposed frame rebuilt explicitly — one UNION ALL arm
+    // per metric row, one conditional-MAX cell per event type
+    "o9_transpose" ->
+      """WITH a AS (
+        |  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    ROUND(CAST(SUM(CAST(ROUND(value * 1e2, 0) AS BIGINT))
+        |      AS DOUBLE) / 1e2, 2) AS sum_value,
+        |    CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n_users
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT 'n' AS key,
+        |  MAX(CASE WHEN event_type = 'click' THEN n END) AS click,
+        |  MAX(CASE WHEN event_type = 'error' THEN n END) AS error,
+        |  MAX(CASE WHEN event_type = 'purchase' THEN n END) AS purchase,
+        |  MAX(CASE WHEN event_type = 'signup' THEN n END) AS signup,
+        |  MAX(CASE WHEN event_type = 'view' THEN n END) AS view
+        |FROM a
+        |UNION ALL
+        |SELECT 'sum_value',
+        |  MAX(CASE WHEN event_type = 'click' THEN sum_value END),
+        |  MAX(CASE WHEN event_type = 'error' THEN sum_value END),
+        |  MAX(CASE WHEN event_type = 'purchase' THEN sum_value END),
+        |  MAX(CASE WHEN event_type = 'signup' THEN sum_value END),
+        |  MAX(CASE WHEN event_type = 'view' THEN sum_value END)
+        |FROM a
+        |UNION ALL
+        |SELECT 'n_users',
+        |  MAX(CASE WHEN event_type = 'click' THEN n_users END),
+        |  MAX(CASE WHEN event_type = 'error' THEN n_users END),
+        |  MAX(CASE WHEN event_type = 'purchase' THEN n_users END),
+        |  MAX(CASE WHEN event_type = 'signup' THEN n_users END),
+        |  MAX(CASE WHEN event_type = 'view' THEN n_users END)
+        |FROM a""".stripMargin
   )
 }
