@@ -143,16 +143,19 @@ object Aggregates {
     "a19_mad_outliers" -> ((s, d) => {
       val ev = Tables.events(s, d).select(col("event_type"), col("value"))
       val med = ev.groupBy(col("event_type"))
-        .agg(expr("percentile(value, 0.5)").as("med"))
+        .agg(expr("percentile(value, 0.5)").as("med_raw"))
+      // med/mad round to 4dp BEFORE the fence (ADVICE r14): the fence
+      // then compares identical doubles on both engines instead of each
+      // engine's own last-ulp percentile interpolation
       val mad = ev.join(broadcast(med), "event_type")
         .groupBy(col("event_type"))
-        .agg(expr("percentile(abs(value - med), 0.5)").as("mad"),
-          first(col("med")).as("med"))
+        .agg(round(expr("percentile(abs(value - med_raw), 0.5)"), 4).as("mad"),
+          round(first(col("med_raw")), 4).as("med"))
       ev.join(broadcast(mad), "event_type")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
-          round(first(col("med")), 4).as("med"),
-          round(first(col("mad")), 4).as("mad"),
+          first(col("med")).as("med"),
+          first(col("mad")).as("mad"),
           sum(when(abs(col("value") - col("med")) >
             lit(3) * lit(1.4826) * col("mad"), 1L).otherwise(0L))
             .cast(LongType).as("n_outliers"))
@@ -420,21 +423,23 @@ object Aggregates {
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
 
     // a19: same two-level median/MAD recompute; quantile_cont is the
-    // established percentile() twin, and the fence count re-derives
-    // from the same exact doubles
+    // established percentile() twin. med/mad round to 4dp BEFORE the
+    // fence (ADVICE r14) so both engines compare identical doubles —
+    // the raw interpolations differ in the last ulp and a point within
+    // an ulp of the fence could otherwise flip the count
     "a19_mad_outliers" ->
       """WITH med AS (
-        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med_raw
         |  FROM events GROUP BY 1
         |), mad AS (
         |  SELECT e.event_type,
-        |    quantile_cont(abs(e.value - m.med), 0.5) AS mad,
-        |    ANY_VALUE(m.med) AS med
+        |    ROUND(quantile_cont(abs(e.value - m.med_raw), 0.5), 4) AS mad,
+        |    ROUND(ANY_VALUE(m.med_raw), 4) AS med
         |  FROM events e JOIN med m USING (event_type) GROUP BY 1
         |)
         |SELECT e.event_type, COUNT(*) AS n,
-        |  ROUND(ANY_VALUE(a.med), 4) AS med,
-        |  ROUND(ANY_VALUE(a.mad), 4) AS mad,
+        |  ANY_VALUE(a.med) AS med,
+        |  ANY_VALUE(a.mad) AS mad,
         |  CAST(SUM(CASE WHEN abs(e.value - a.med) >
         |    3 * 1.4826 * a.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM events e JOIN mad a USING (event_type)

@@ -451,7 +451,7 @@ object Joins {
       s.sql(s"ANALYZE TABLE $li COMPUTE STATISTICS FOR COLUMNS l_orderkey")
       s.sql(s"ANALYZE TABLE $od COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_custkey")
       s.sql(s"ANALYZE TABLE $cu COMPUTE STATISTICS FOR COLUMNS c_custkey, c_mktsegment")
-      s.sql(
+      try s.sql(
         s"""SELECT c.c_mktsegment, COUNT(*) AS n,
            |  CAST(SUM(l.cents) AS BIGINT) AS cents_total
            |FROM $li l
@@ -459,6 +459,13 @@ object Joins {
            |JOIN $cu c ON o.o_custkey = c.c_custkey
            |WHERE c.c_mktsegment = 'BUILDING'
            |GROUP BY c.c_mktsegment""".stripMargin)
+      finally
+        // ADVICE r14: scope the scratch catalog state to this entry. The
+        // returned frame is ANALYZED by now — its LogicalRelations hold
+        // the resolved file index plus the stats snapshot CBO reads —
+        // and the tables are external, so dropping the catalog entries
+        // neither deletes the files nor breaks later execution/PlanSpec.
+        Seq(li, od, cu).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
     }),
 
     // J16: RUNTIME-FILTERED JOIN (r14) — the bloom semi-join reduction

@@ -17,6 +17,14 @@ import org.apache.spark.sql.types.StructType
   */
 object Streams {
 
+  /** Scratch-directory tag for a dataset dir: the sanitized-path
+    * convention the m-family entries use (ADVICE r14 — a 32-bit
+    * hashCode tag can collide across distinct datasets; the path
+    * suffix cannot).
+    */
+  private def dirTag(d: String): String =
+    s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
+
   /** One event for the typed/stateful paths. */
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
@@ -423,7 +431,7 @@ object Streams {
     "t22_stream_batch_parity" -> ((s, d) => {
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
       val feed = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-        s"graft_t22_feed_${Integer.toHexString(d.hashCode)}").toString
+        s"graft_t22_feed_${dirTag(d)}").toString
       graft.Tables.events(s, d)
         .select(col("event_id"), unix_micros(col("ts")).as("us"), col("event_type"))
         .repartition(3).write.mode("overwrite").json(feed)
@@ -469,7 +477,7 @@ object Streams {
     // t8/t8b's StreamCheck scenario; THIS entry pins the join itself.
     "t23_stream_interval_join" -> ((s, d) => {
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-      val tag = Integer.toHexString(d.hashCode)
+      val tag = dirTag(d)
       val base = graft.Tables.events(s, d)
         .select(col("event_id"), col("user_id"),
           unix_micros(col("ts")).as("us"), col("event_type"))
@@ -524,7 +532,7 @@ object Streams {
     "t24_stream_session_merge" -> ((s, d) => {
       import org.apache.spark.sql.types.{LongType, StructField, StructType}
       val feed = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-        s"graft_t24_feed_${Integer.toHexString(d.hashCode)}").toString
+        s"graft_t24_feed_${dirTag(d)}").toString
       graft.Tables.events(s, d)
         .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
         .repartition(4).write.mode("overwrite").json(feed)
@@ -562,7 +570,7 @@ object Streams {
     // unmatched-delete no-op.
     "t25_stream_cdc_apply" -> ((s, d) => {
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-      val tag = Integer.toHexString(d.hashCode)
+      val tag = dirTag(d)
       val feed = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_t25_feed_$tag").toString
       val tbl = s"t25_balance_$tag"
@@ -627,7 +635,7 @@ object Streams {
     "t26_stream_dedup" -> ((s, d) => {
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
       val feed = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-        s"graft_t26_feed_${Integer.toHexString(d.hashCode)}").toString
+        s"graft_t26_feed_${dirTag(d)}").toString
       val base = graft.Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"))
       base.repartition(2).write.mode("overwrite").json(feed)
@@ -664,7 +672,7 @@ object Streams {
     "t27_stream_static_enrich" -> ((s, d) => {
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
       val feed = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-        s"graft_t27_feed_${Integer.toHexString(d.hashCode)}").toString
+        s"graft_t27_feed_${dirTag(d)}").toString
       graft.Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"))
         .repartition(3).write.mode("overwrite").json(feed)
@@ -701,7 +709,7 @@ object Streams {
     "t28_stream_sliding_window" -> ((s, d) => {
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
       val feed = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-        s"graft_t28_feed_${Integer.toHexString(d.hashCode)}").toString
+        s"graft_t28_feed_${dirTag(d)}").toString
       graft.Tables.events(s, d)
         .select(col("event_id"), unix_micros(col("ts")).as("us"),
           col("event_type"))
@@ -742,7 +750,7 @@ object Streams {
     // keep the entry rerun-deterministic.
     "t29_stream_file_sink" -> ((s, d) => {
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-      val tag = Integer.toHexString(d.hashCode)
+      val tag = dirTag(d)
       val base = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"), s"graft_t29_$tag").toString
       def rm(f: java.io.File): Unit = {
@@ -791,7 +799,7 @@ object Streams {
     // carry it.
     "t30_available_now_resume" -> ((s, d) => {
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-      val tag = Integer.toHexString(d.hashCode)
+      val tag = dirTag(d)
       val base = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"), s"graft_t30_$tag").toString
       def rm(f: java.io.File): Unit = {
