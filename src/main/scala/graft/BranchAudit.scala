@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import java.nio.file.{Files, Paths}
 
@@ -68,7 +68,25 @@ object BranchAudit {
     // a data-quality EXPECTATIONS entry counts violations: zero on the
     // clean fixture is the asserted-healthy outcome, not vacuity
     ("m19_expectations", "CASE WHEN",
-      "expectation violation counters are zero on a clean fixture by design")
+      "expectation violation counters are zero on a clean fixture by design"),
+    // r15 (lambda-probe coverage made these visible): Spark's DEFAULT
+    // array_sort comparator is engine-synthesized with null-handling
+    // arms; no fixture array contains null elements, so over the full
+    // ordered-pair liveness domain those arms cannot fire — an engine
+    // contract arm, not a user branch
+    ("*", "(IF(((namedlambdavariable() IS NULL) AND",
+      "engine-default array_sort comparator both-null arm; fixture arrays contain no null elements"),
+    ("*", "(IF((namedlambdavariable() IS NULL)",
+      "engine-default array_sort comparator null arm; fixture arrays contain no null elements"),
+    // f4 exists to DEMONSTRATE nullif: nullif(x, x) is NULL by
+    // definition, so the non-null arm is structurally unreachable by
+    // construction — that unreachability is the documented semantics
+    ("f4_conditional_fns", "nullif(c_name, c_name)",
+      "nullif(x,x) is NULL by definition; the demonstration makes the arm structurally unreachable"),
+    ("f4_conditional_fns", "IF((c_name = c_name)",
+      "nullif's expansion: x=x is always true here (non-null names), the pass-through arm cannot fire"),
+    ("w12_period_over_period", "prev_sv AS DOUBLE) = 0.0",
+      "zero-denominator guard (NULLIF twin); every fixture period has sales, so the zero arm is fixture-vacuous")
   )
 
   private def allowlisted(entry: String, exprSql: String): Option[String] =
@@ -77,6 +95,35 @@ object BranchAudit {
         if (e == "*" || e == entry) &&
           exprSql.toLowerCase.contains(frag.toLowerCase) => reason
     }
+
+  /** Inline `With` common-expression definitions so the conditionals
+    * inside them become self-contained (r15: the 9 `CommonExpressionRef`
+    * skips were all With bodies whose defs are plain child-attribute
+    * expressions — after substitution they audit like any other site).
+    */
+  private def inlineWith(e: Expression): Expression = e.transformUp {
+    case w: With =>
+      val defs = w.defs.map(d => d.id -> d.child).toMap
+      w.child.transformUp {
+        case r: CommonExpressionRef if defs.contains(r.id) => defs(r.id)
+      }
+  }
+
+  /** True iff `e` references a lambda variable NOT bound by a complete
+    * LambdaFunction inside `e` itself — only then is the expression
+    * element-level; a row-level conditional that merely CONTAINS a
+    * higher-order function (bound lambda) audits like any other row
+    * site (r15: that distinction recovers 10 of the r14 skips).
+    */
+  private def hasFreeLambdaVar(e: Expression,
+      bound: Set[ExprId] = Set.empty): Boolean = e match {
+    case v: NamedLambdaVariable => !bound(v.exprId)
+    case lf: LambdaFunction =>
+      val b2 = bound ++ lf.arguments.collect {
+        case v: NamedLambdaVariable => v.exprId }
+      hasFreeLambdaVar(lf.function, b2)
+    case other => other.children.exists(hasFreeLambdaVar(_, bound))
+  }
 
   /** Per-arm hit indicators for one conditional expression. */
   private def arms(e: Expression): Seq[(String, Expression)] = {
@@ -103,6 +150,87 @@ object BranchAudit {
     }
   }
 
+  /** Long-valued per-row hit count for a ROW-level boolean indicator. */
+  private def rowCount(ind: Expression): Expression =
+    If(ind, Literal(1L), Literal(0L))
+
+  /** Count of TRUE elements in an array<boolean> (0 for a null array). */
+  private def trueCount(arr: Expression): Expression = {
+    import org.apache.spark.sql.types.{BooleanType, LongType}
+    val b = NamedLambdaVariable("__hit", BooleanType, nullable = true)
+    Coalesce(Seq(
+      Cast(Size(ArrayFilter(arr,
+        LambdaFunction(Coalesce(Seq(b, Literal(false))), Seq(b)))), LongType),
+      Literal(0L)))
+  }
+
+  /** Element-domain probes for a conditional inside a higher-order
+    * function's lambda (r15: previously the whole class was skipped as
+    * "references span multiple children" — 28 of the 40 r14 skips).
+    * The SAME iteration domain is rebuilt with the arm indicator as the
+    * lambda body and TRUE elements are counted per row: hits then count
+    * DATA ELEMENTS meeting the arm's condition, the element-level
+    * analogue of the row-level audit. For an array_sort comparator the
+    * domain is all ordered element pairs (i ≠ j) — the comparisons a
+    * sort COULD make; an arm no pair can trigger is dead for this data
+    * under any visit order. Folds (aggregate()) stay skipped: their arm
+    * firing depends on the running accumulator, which no per-element
+    * probe can replay.
+    */
+  private def lambdaProbe(hof: HigherOrderFunction, e: Expression)
+      : Either[String, Seq[(String, Expression)]] = {
+    import scala.util.{Left, Right}
+    import org.apache.spark.sql.types.IntegerType
+    val f = hof.functions.collectFirst {
+      case lf: LambdaFunction if lf.exists(_ eq e) => lf
+    } match {
+      case Some(lf) => lf
+      case None => return Left("conditional not inside the HOF lambda")
+    }
+    val binders = f.arguments.collect { case v: NamedLambdaVariable => v }
+    val lambdaVars = e.collect { case v: NamedLambdaVariable => v }.distinct
+    if (!lambdaVars.forall(v => binders.exists(_.exprId == v.exprId)))
+      return Left("captures an outer lambda's variable (nested lambda)")
+    if (hof.arguments.exists(_.exists(_.isInstanceOf[NamedLambdaVariable])))
+      return Left("HOF argument is itself lambda-bound (nested domain)")
+    val indicators = arms(e)
+    def overArray(arg: Expression) = Right(indicators.map { case (n, ind) =>
+      (n, trueCount(ArrayTransform(arg, LambdaFunction(ind, f.arguments))))
+    })
+    def overMap(arg: Expression) = Right(indicators.map { case (n, ind) =>
+      (n, trueCount(MapValues(TransformValues(arg,
+        LambdaFunction(ind, f.arguments)))))
+    })
+    hof match {
+      case t: ArrayTransform => overArray(t.argument)
+      case t: ArrayFilter => overArray(t.argument)
+      case t: ArrayExists => overArray(t.argument)
+      case t: ArrayForAll => overArray(t.argument)
+      case t: TransformValues => overMap(t.argument)
+      case t: TransformKeys => overMap(t.argument)
+      case t: MapFilter => overMap(t.argument)
+      case t: MapZipWith => Right(indicators.map { case (n, ind) =>
+        (n, trueCount(MapValues(MapZipWith(t.left, t.right,
+          LambdaFunction(ind, f.arguments)))))
+      })
+      case t: ArraySort if binders.size == 2 =>
+        val Seq(x, y) = binders
+        val iV = NamedLambdaVariable("__i", IntegerType, nullable = false)
+        val jV = NamedLambdaVariable("__j", IntegerType, nullable = false)
+        Right(indicators.map { case (n, ind) =>
+          val pairInd = And(Not(EqualTo(iV, jV)),
+            Coalesce(Seq(ind, Literal(false))))
+          val inner = ArrayTransform(t.argument,
+            LambdaFunction(pairInd, Seq(y, jV)))
+          val outer = ArrayTransform(t.argument,
+            LambdaFunction(inner, Seq(x, iV)))
+          (n, trueCount(Flatten(outer)))
+        })
+      case other => Left("unsupported HOF " +
+        s"${other.getClass.getSimpleName} (fold/accumulator domain)")
+    }
+  }
+
   private case class Site(entry: String, node: String, exprSql: String,
       child: LogicalPlan, armExprs: Seq[(String, Expression)])
 
@@ -115,30 +243,73 @@ object BranchAudit {
     val out = scala.collection.mutable.ArrayBuffer[Site]()
     val skipped = scala.collection.mutable.ArrayBuffer[(String, String)]()
     plan.foreach { node =>
-      val conditionals = node.expressions.flatMap(_.collect {
-        case c: CaseWhen => c: Expression
-        case c: If => c: Expression
-        case c: Coalesce if c.children.size > 1 => c: Expression
-      })
-      conditionals.foreach { e =>
-        val sql = try e.sql catch { case _: Throwable => e.toString }
-        if (!seen(sql)) {
-          seen += sql
-          val hasAgg = e.exists(_.isInstanceOf[AggregateExpression])
-          // a branch of a With common-expression cannot be evaluated
-          // standalone (its CommonExpressionRef has no definition here)
-          val hasCER = e.exists(
-            _.getClass.getSimpleName.startsWith("CommonExpressionRef"))
-          val evalChild = node.children.find(c => e.references.subsetOf(c.outputSet))
-          if (hasAgg || hasCER || !e.deterministic) skipped += ((sql.take(160),
-            if (hasAgg) "wraps an aggregate result"
-            else if (hasCER) "references a With common-expression"
-            else "non-deterministic"))
-          else evalChild match {
-            case Some(ch) =>
-              out += Site(entry, node.nodeName, sql, ch, arms(e))
-            case None => skipped += ((sql.take(160),
-              "references span multiple children"))
+      node.expressions.map(inlineWith).foreach { top =>
+        val conditionals = top.collect {
+          case c: CaseWhen => c: Expression
+          case c: If => c: Expression
+          case c: Coalesce if c.children.size > 1 => c: Expression
+        }
+        val hofs = top.collect { case h: HigherOrderFunction => h }
+        conditionals.foreach { e =>
+          val sql = try e.sql catch { case _: Throwable => e.toString }
+          if (!seen(sql)) {
+            seen += sql
+            val hasAgg = e.exists(_.isInstanceOf[AggregateExpression])
+            val isLambda = hasFreeLambdaVar(e)
+            if (hasAgg || !e.deterministic) skipped += ((sql.take(160),
+              if (hasAgg) "wraps an aggregate result" else "non-deterministic"))
+            else if (isLambda) {
+              // innermost enclosing HOF = the one with the smallest
+              // lambda tree still containing the conditional
+              val enclosing = hofs
+                .filter(h => h.functions.exists(_.exists(_ eq e)))
+                .sortBy(_.functions.map(_.collect { case x => x }.size).sum)
+                .headOption
+              enclosing match {
+                case None => skipped += ((sql.take(160),
+                  "lambda conditional with no enclosing HOF"))
+                case Some(h) => lambdaProbe(h, e) match {
+                  case scala.util.Left(why) => skipped += ((sql.take(160), why))
+                  case scala.util.Right(cnts0) =>
+                    // pre-aggregation probe (VERDICT r14 item 8): a
+                    // probe wrapping an aggregate result (the
+                    // sort_array(collect_list(..)) comparators) cannot
+                    // evaluate against the raw child — materialize the
+                    // aggregate per group first, then count over the
+                    // per-group arrays
+                    val (cnts, child) = node match {
+                      case agg: Aggregate
+                          if cnts0.exists(_._2.exists(
+                            _.isInstanceOf[AggregateExpression])) =>
+                        val aggExprs = cnts0.flatMap(_._2.collect {
+                          case ae: AggregateExpression => ae }).distinct
+                        val aliases = aggExprs.zipWithIndex.map {
+                          case (ae, i) => Alias(ae, s"__probe$i")() }
+                        val rewritten = cnts0.map { case (n, c) =>
+                          (n, c.transform { case ae: AggregateExpression =>
+                            aliases(aggExprs.indexWhere(_ fastEquals ae))
+                              .toAttribute }) }
+                        (rewritten, Some(Aggregate(agg.groupingExpressions,
+                          aliases, agg.child): LogicalPlan))
+                      case _ =>
+                        val refs = AttributeSet(cnts0.flatMap(_._2.references))
+                        (cnts0, node.children.find(c =>
+                          refs.subsetOf(c.outputSet)))
+                    }
+                    child match {
+                      case Some(ch) =>
+                        out += Site(entry, node.nodeName + "/lambda", sql, ch, cnts)
+                      case None => skipped += ((sql.take(160),
+                        "probe references span multiple children"))
+                    }
+                }
+              }
+            } else node.children.find(c => e.references.subsetOf(c.outputSet)) match {
+              case Some(ch) => out += Site(entry, node.nodeName, sql, ch,
+                arms(e).map { case (n, ind) => (n, rowCount(ind)) })
+              case None => skipped += ((sql.take(160),
+                "references span multiple children"))
+            }
           }
         }
       }
@@ -183,10 +354,8 @@ object BranchAudit {
           try {
             val childDf = ColumnBridge.ofRows(spark, child)
             val flat = ss.flatMap(s => s.armExprs.map(a => (s, a._1, a._2)))
-            val aggCols = flat.map { case (_, _, ind) =>
-              org.apache.spark.sql.functions.sum(
-                org.apache.spark.sql.functions.when(
-                  ColumnBridge.column(ind), 1L).otherwise(0L))
+            val aggCols = flat.map { case (_, _, cnt) =>
+              org.apache.spark.sql.functions.sum(ColumnBridge.column(cnt))
             }
             val row = childDf.agg(aggCols.head, aggCols.tail: _*).head()
             flat.zipWithIndex.map { case ((s, armName, _), i) =>

@@ -289,14 +289,19 @@ object PipelineOps {
     val n = nodes.count() // scalar: the share denominator
     var ranks = nodes.select(col("id"), lit(1000000000L).as("r"))
     for (_ <- 1 to iters) {
-      val share = ranks.join(sinks, "id")
+      // every join strategy is PINNED (shuffle-hash): an AQE broadcast
+      // decision here would both reintroduce the per-iteration driver
+      // build m36 removed and make the per-round job count data-sized —
+      // JobLinearitySpec asserts it constant
+      val share = ranks.join(sinks.hint("shuffle_hash"), "id")
         .agg(coalesce(sum(col("r")), lit(0L)).as("sunk"))
         .select(expr(s"sunk div ${n}").as("share"))
       val contrib = weighted
         .join(ranks.hint("shuffle_hash"), weighted("src") === ranks("id"))
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("m"))
-      ranks = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+      ranks = nodes.join(contrib.hint("shuffle_hash"),
+          nodes("id") === contrib("dst"), "left")
         .crossJoin(broadcast(share))
         .select(nodes("id"),
           expr("CAST(150000000 + 17 * ((coalesce(m, CAST(0 AS BIGINT)) + share) div 20) AS BIGINT)").as("r"))

@@ -512,6 +512,28 @@ object SqlFrontend {
             |END""".stripMargin)
       } finally s.conf.set(key, prev)
     }),
+    // SQL19 (r15): NAMED-PARAMETER SQL — `spark.sql(text, args)`, the
+    // injection-safe report path (VERDICT r14 missing #5): parameter
+    // markers bind as TYPED literals (string/int/double here) instead
+    // of string-spliced SQL, so a hostile segment name cannot escape
+    // its literal and the plan cache can key on the constant text. The
+    // oracle is the same text with the literals substituted — binding
+    // must be semantically identical to writing the literal.
+    "sql19_parameterized" -> ((s, d) => {
+      withViews(s, d)
+      s.sql(
+        """SELECT o_orderpriority, COUNT(*) AS n,
+          |  CAST(SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS BIGINT)
+          |    AS cents_total
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |WHERE c_mktsegment = :seg
+          |  AND year(o_orderdate) >= :min_year
+          |  AND o_totalprice > :price_floor
+          |GROUP BY o_orderpriority""".stripMargin,
+        Map("seg" -> "BUILDING", "min_year" -> 1995,
+          "price_floor" -> 1000.0))
+    }),
+
     "sql10_setops_text" -> ((s, d) => { withViews(s, d); s.sql(setOpsSql) }),
     "sql7_native_fn" -> ((s, d) => {
       withViews(s, d)
@@ -563,6 +585,18 @@ object SqlFrontend {
         |  (SELECT CAST(ROUND(quantile_cont(o_totalprice, 0.9) * 1e2, 0)
         |     AS BIGINT) FROM orders)
         |GROUP BY o_orderpriority""".stripMargin,
+    // sql19: the identical text with the bound parameters substituted
+    // as literals — parameter binding must not change semantics
+    "sql19_parameterized" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS BIGINT)
+        |    AS cents_total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND year(o_orderdate) >= 1995
+        |  AND o_totalprice > 1000.0
+        |GROUP BY o_orderpriority""".stripMargin,
+
     "sql10_setops_text" -> setOpsSql,
     "sql11_ctas" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,

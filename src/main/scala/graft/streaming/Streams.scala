@@ -25,6 +25,34 @@ object Streams {
   private def dirTag(d: String): String =
     s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
 
+  /** Write `df` as the b-th SINGLE-FILE batch of `feed`, with an
+    * explicitly stamped ascending modification time. The file source
+    * orders new files by (mtime, path) and `maxFilesPerTrigger=1`
+    * makes one batch per file, so explicit mtimes pin BATCH MEMBERSHIP
+    * AND ORDER — the property the watermark-progression entries
+    * (t31/t32) and the cross-batch state entries (t33/t34) are graded
+    * on. (Relying on write-time mtimes would race on filesystems with
+    * coarse timestamps; t23's hash-partitioned feeds tolerate any
+    * order by design, these feeds must not.)
+    */
+  private def stageBatch(s: SparkSession, feed: String, b: Int,
+      df: DataFrame): Unit = {
+    val stage = new java.io.File(s"${feed}_stage")
+    df.repartition(1).write.mode("overwrite").json(stage.toString)
+    val part = stage.listFiles.filter(_.getName.startsWith("part-")).head
+    val dst = java.nio.file.Paths.get(feed, f"batch$b%02d.json")
+    java.nio.file.Files.createDirectories(dst.getParent)
+    java.nio.file.Files.move(part.toPath, dst,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    java.nio.file.Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(1700000000000L + b * 60000L))
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmTree))
+    f.delete(): Unit
+  }
+
   /** One event for the typed/stateful paths. */
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
@@ -835,8 +863,209 @@ object Streams {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.read.parquet(s"$base/out")
         .select(col("event_id"), col("user_id"), col("event_type"))
-    })
+    }),
+
+    // T31 (r15): WATERMARK LATE-DROP under the external oracle — the
+    // t5 semantics, previously the last engine-graded aggregation
+    // class (VERDICT r14 item 2). Batch membership is PINNED by
+    // stamped feed mtimes: batch 0 carries events with id%3≠0, batch 1
+    // the id%3=0 remainder — by then the watermark stands at
+    // max(batch-0 event time) − 15 days, so about half of batch 1 is
+    // PROVABLY late (its 5-minute window closed below the watermark)
+    // and must be dropped, while the other half must merge into open
+    // windows. Two sentinel 'flush' rows (batches 2/3, +30d/+60d)
+    // push the watermark past every real window so append mode emits
+    // them all; the sentinels filter out of the result. DuckDB
+    // recomputes the kept set from the same split + watermark rule —
+    // a row dropped too eagerly, kept too long, or a window emitted
+    // with the late rows included all break the hash. The 15-day delay
+    // is dividable by the window width and the fixture's µs-fraction
+    // max timestamp is not window-aligned at any SF (checked), so the
+    // ≤-vs-< boundary convention is inert.
+    //
+    // Batch 1 is a sentinel AT max(batch-0 time): Spark's stateful
+    // operators filter late rows against the PREVIOUS batch's
+    // watermark (eventTimeWatermarkForLateEvents — one-batch lag,
+    // verified empirically: without the spacer, batch-1 late rows
+    // sail through against watermark 0) while eviction uses the
+    // current one; the spacer batch brings the batch-0 watermark into
+    // force for the late batch without advancing it further.
+    "t31_watermark_late_drop" -> ((s, d) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_t31_${dirTag(d)}").toString
+      rmTree(new java.io.File(base))
+      val feed = s"$base/feed"
+      val ev = graft.Tables.events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"),
+          col("event_type"))
+      val a = ev.filter(col("event_id") % 3 =!= 0)
+      val maxAUs = a.agg(max(col("us"))).head().getLong(0)
+      val maxUs = ev.agg(max(col("us"))).head().getLong(0)
+      def flush(b: Int, us: Long) = s.range(1)
+        .select(lit(-b.toLong).as("event_id"), lit(us).as("us"),
+          lit("flush").as("event_type"))
+      stageBatch(s, feed, 0, a)
+      stageBatch(s, feed, 1, flush(1, maxAUs)) // spacer: wm now in force
+      stageBatch(s, feed, 2, ev.filter(col("event_id") % 3 === 0))
+      stageBatch(s, feed, 3, flush(3, maxUs + 30L * 86400000000L))
+      stageBatch(s, feed, 4, flush(4, maxUs + 60L * 86400000000L))
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("us", LongType),
+        StructField("event_type", StringType)))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").json(feed)
+          .withColumn("ts", timestamp_micros(col("us")))
+          .withWatermark("ts", "15 days")
+          .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(unix_micros(col("window.start")).as("win_us"),
+            col("event_type"), col("n"))
+          .writeStream.format("memory").queryName("t31_final")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table("t31_final").filter(col("event_type") =!= "flush")
+        .select(col("win_us"), col("event_type"), col("n"))
+    }),
+
+    // T32 (r15): INTERVAL-JOIN EVICTION under the external oracle —
+    // t8b's left-outer stream-stream join with REALISTIC watermarks
+    // (t23 pins the join under an infinite watermark; this pins the
+    // state lifecycle). Click batch 0 + recent purchases (≥ Jan 28)
+    // batch 0 arrive on time; the older purchases arrive in batch 1,
+    // AFTER the watermark has advanced to min(max click, max recent
+    // purchase) − 5 days, so purchases below it are LATE-DROPPED —
+    // they produce neither a pair nor an outer-null row (the row
+    // vanishes: the observable half of eviction) — while late-but-
+    // above-watermark purchases must still find every qualifying click
+    // in state (Spark's eviction threshold wm−interval is exactly
+    // calibrated so non-late inputs never miss an evicted partner;
+    // OVER-eviction would drop pairs and break the hash). Outer nulls
+    // for never-matched purchases emit once the sentinel batches push
+    // the watermark past their timestamps. Sub-day µs timestamps make
+    // every boundary convention tie-free (checked per SF).
+    "t32_interval_join_eviction" -> ((s, d) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_t32_${dirTag(d)}").toString
+      rmTree(new java.io.File(base))
+      val (cFeed, pFeed) = (s"$base/clicks", s"$base/purchases")
+      val cutUs = 1706400000000000L // 2024-01-28T00:00:00Z
+      val ev = graft.Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+      val clicks = ev.filter(col("event_type") === "click")
+      val pa = ev.filter(col("event_type") === "purchase")
+        .filter(col("us") >= cutUs)
+      val maxCUs = clicks.agg(max(col("us"))).head().getLong(0)
+      val maxPaUs = pa.agg(max(col("us"))).head().getLong(0)
+      val maxUs = ev.agg(max(col("us"))).head().getLong(0)
+      def one(b: Int, us: Long, typ: String) = s.range(1)
+        .select(lit(-b.toLong).as("event_id"), lit(-1L).as("user_id"),
+          lit(us).as("us"), lit(typ).as("event_type"))
+      // slot-1 spacers AT each side's batch-0 max: the t31 one-batch
+      // watermark lag — the late purchase batch must arrive with the
+      // batch-0 watermark already in force, not advanced further
+      stageBatch(s, cFeed, 0, clicks)
+      stageBatch(s, cFeed, 1, one(1, maxCUs, "spacer"))
+      stageBatch(s, cFeed, 2, one(2, maxUs + 30L * 86400000000L, "flush"))
+      stageBatch(s, cFeed, 3, one(3, maxUs + 60L * 86400000000L, "flush"))
+      stageBatch(s, pFeed, 0, pa)
+      stageBatch(s, pFeed, 1, one(4, maxPaUs, "spacer"))
+      stageBatch(s, pFeed, 2, ev.filter(col("event_type") === "purchase")
+        .filter(col("us") < cutUs))
+      stageBatch(s, pFeed, 3, one(5, maxUs + 30L * 86400000000L, "flush"))
+      stageBatch(s, pFeed, 4, one(6, maxUs + 60L * 86400000000L, "flush"))
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("us", LongType), StructField("event_type", StringType)))
+      def feed(dir: String): DataFrame = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").json(dir)
+        .withColumn("ts", timestamp_micros(col("us")))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = intervalJoinLeftOuter(feed(pFeed), feed(cFeed),
+            watermark = "5 days", interval = "4 hours")
+          .select(col("p_id"), col("c_id"), col("p_user").as("user_id"))
+          .writeStream.format("memory").queryName("t32_final")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table("t32_final").filter(col("user_id") >= 0)
+        .select(col("p_id"), col("c_id"), col("user_id"))
+    }),
+
+    // T33 (r15): ARBITRARY STATEFUL PROCESSOR under the external
+    // oracle — t11's transformWithState running stats graded by DuckDB
+    // (VERDICT r14 item 9, the last hand-rolled state machine still
+    // self-graded). Three mtime-pinned batches partition the events by
+    // id%3; update mode emits each active user's CUMULATIVE
+    // (n, total, distinct types) once per batch, so the finished table
+    // is the full per-batch state trajectory, which DuckDB recomputes
+    // with windowed cumulative sums + a first-seen-batch type count.
+    // Values ride as exact whole-double cents (order-independent FP).
+    "t33_stateful_running_stats" -> ((s, d) =>
+      statefulTrajectory(s, d, "t33", evs => runningStats(evs).toDF(), "update")),
+
+    // T34 (r15): t7's flatMapGroupsWithState sessionizer under the same
+    // external grading — the cumulative (n, total) trajectory plus the
+    // closed_by_timeout=false flag of the NoTimeout deterministic mode.
+    "t34_stateful_sessionize" -> ((s, d) =>
+      statefulTrajectory(s, d, "t34",
+        evs => sessionize(evs, timeoutMs = 0).toDF(), "append"))
   )
+
+  /** Shared harness for t33/t34: cents-valued Ev feed in three
+    * id%3-pinned batches through a stateful processor into a memory
+    * sink, under the RocksDB store provider (required by
+    * transformWithState; harmless for flatMapGroupsWithState).
+    */
+  private def statefulTrajectory(s: SparkSession, d: String, tag: String,
+      proc: Dataset[Ev] => DataFrame, mode: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_${tag}_${dirTag(d)}").toString
+    rmTree(new java.io.File(base))
+    val feed = s"$base/feed"
+    val ev = graft.Tables.events(s, d)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("user_id"), col("event_type"),
+        expr("CAST(CAST(ROUND(value * 1e2, 0) AS BIGINT) AS DOUBLE)").as("value"))
+    (0 to 2).foreach(b => stageBatch(s, feed, b,
+      ev.filter(col("event_id") % 3 === b)))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("us", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevStore = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import s.implicits._
+      val evs = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").json(feed)
+        .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+          col("user_id"), col("event_type"), col("value")).as[Ev]
+      val q = proc(evs)
+        .writeStream.format("memory").queryName(s"${tag}_final")
+        .outputMode(mode).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevStore match {
+        case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    s.table(s"${tag}_final")
+  }
 
   val oracles: Map[String, String] = Map(
     // the batch side of the parity contract: plain GROUP BY over the
@@ -937,6 +1166,99 @@ object Streams {
         |  SELECT (us // 300000000) * 300000000 - 300000000, event_type FROM e
         |)
         |SELECT win_us, event_type, COUNT(*) AS n
-        |FROM w GROUP BY 1, 2""".stripMargin
+        |FROM w GROUP BY 1, 2""".stripMargin,
+
+    // t31: the watermark rule recomputed — after batch 0 (id%3≠0) the
+    // watermark is max(batch-0 time) − 15 days; a batch-1 row survives
+    // iff its 5-minute window's END is still above that
+    "t31_watermark_late_drop" ->
+      """WITH e AS (
+        |  SELECT event_id, epoch_us(ts) AS us, event_type FROM events
+        |), a AS (SELECT * FROM e WHERE event_id % 3 <> 0),
+        |b AS (SELECT * FROM e WHERE event_id % 3 = 0),
+        |wm AS (SELECT MAX(us) - 1296000000000 AS w1 FROM a),
+        |kept AS (
+        |  SELECT us, event_type FROM a
+        |  UNION ALL
+        |  SELECT b.us, b.event_type FROM b, wm
+        |  WHERE (b.us // 300000000) * 300000000 + 300000000 > wm.w1
+        |)
+        |SELECT (us // 300000000) * 300000000 AS win_us, event_type,
+        |  COUNT(*) AS n
+        |FROM kept GROUP BY 1, 2""".stripMargin,
+
+    // t32: live purchases = the on-time recent set plus the late set
+    // above the watermark (min(max click, max recent purchase) − 5
+    // days); each live purchase left-joins every click in its 4-hour
+    // look-back — a below-watermark purchase contributes NOTHING (no
+    // pair, no null row)
+    "t32_interval_join_eviction" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us, event_type
+        |  FROM events
+        |), c AS (SELECT * FROM e WHERE event_type = 'click'),
+        |pa AS (SELECT * FROM e WHERE event_type = 'purchase'
+        |       AND us >= 1706400000000000),
+        |pb AS (SELECT * FROM e WHERE event_type = 'purchase'
+        |       AND us < 1706400000000000),
+        |wm AS (SELECT LEAST((SELECT MAX(us) FROM c),
+        |                    (SELECT MAX(us) FROM pa))
+        |         - 432000000000 AS w1),
+        |live AS (
+        |  SELECT event_id, user_id, us FROM pa
+        |  UNION ALL
+        |  SELECT pb.event_id, pb.user_id, pb.us FROM pb, wm
+        |  WHERE pb.us >= wm.w1
+        |)
+        |SELECT l.event_id AS p_id, c.event_id AS c_id, l.user_id
+        |FROM live l LEFT JOIN c ON c.user_id = l.user_id
+        |  AND c.us >= l.us - 14400000000 AND c.us <= l.us""".stripMargin,
+
+    // t33: the per-batch state trajectory recomputed — cumulative
+    // count/sum up to each active batch, distinct types by first-seen
+    // batch; one row per (user, batch with that user's events)
+    "t33_stateful_running_stats" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id % 3 AS b, event_type,
+        |    CAST(CAST(ROUND(value * 1e2, 0) AS BIGINT) AS DOUBLE) AS cents
+        |  FROM events
+        |), per AS (
+        |  SELECT user_id, b, COUNT(*) AS n_b, SUM(cents) AS s_b
+        |  FROM e GROUP BY 1, 2
+        |), ft AS (
+        |  SELECT user_id, event_type, MIN(b) AS fb FROM e GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT user_id, b,
+        |    SUM(n_b) OVER (PARTITION BY user_id ORDER BY b) AS n_events,
+        |    SUM(s_b) OVER (PARTITION BY user_id ORDER BY b) AS total_value
+        |  FROM per
+        |)
+        |SELECT c.user_id, CAST(c.n_events AS BIGINT) AS n_events,
+        |  CAST(c.total_value AS DOUBLE) AS total_value,
+        |  CAST((SELECT COUNT(*) FROM ft
+        |        WHERE ft.user_id = c.user_id AND ft.fb <= c.b) AS BIGINT)
+        |    AS n_types
+        |FROM cum c""".stripMargin,
+
+    // t34: same trajectory minus the type count, plus the NoTimeout
+    // mode's constant closed_by_timeout flag
+    "t34_stateful_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id % 3 AS b,
+        |    CAST(CAST(ROUND(value * 1e2, 0) AS BIGINT) AS DOUBLE) AS cents
+        |  FROM events
+        |), per AS (
+        |  SELECT user_id, b, COUNT(*) AS n_b, SUM(cents) AS s_b
+        |  FROM e GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT user_id, b,
+        |    SUM(n_b) OVER (PARTITION BY user_id ORDER BY b) AS n_events,
+        |    SUM(s_b) OVER (PARTITION BY user_id ORDER BY b) AS total_value
+        |  FROM per
+        |)
+        |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(total_value AS DOUBLE) AS total_value,
+        |  FALSE AS closed_by_timeout
+        |FROM cum""".stripMargin
   )
 }

@@ -119,6 +119,98 @@ class ExtractSpec extends AnyFunSuite {
     assert(envWins.apiUrl === "http://env/api" && envWins.username === "fileuser")
   }
 
+  /** Scripted stub: serves the listed responses in request order (the
+    * last repeats), exposing the request count — the 429/5xx retry
+    * scenarios need per-request behavior the single-response stub
+    * can't express.
+    */
+  private def withScriptedServer(
+      responses: Seq[(Int, Map[String, String], String)])(
+      f: (String, () => Int) => Unit): Unit = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val count = new java.util.concurrent.atomic.AtomicInteger(0)
+    server.createContext("/", { exchange =>
+      val (status, headers, body) =
+        responses(math.min(count.getAndIncrement(), responses.size - 1))
+      headers.foreach { case (k, v) => exchange.getResponseHeaders.add(k, v) }
+      val bytes = body.getBytes("UTF-8")
+      exchange.sendResponseHeaders(status, if (bytes.isEmpty) -1 else bytes.length.toLong)
+      if (bytes.nonEmpty) exchange.getResponseBody.write(bytes)
+      exchange.close()
+    })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}/api/games/user",
+      () => count.get())
+    finally server.stop(0)
+  }
+
+  test("429 then 200: one bounded retry, then the extract lands one file " +
+      "and advances the watermark") {
+    withScriptedServer(Seq(
+      (429, Map("Retry-After" -> "0"), "rate limited"),
+      (200, Map.empty[String, String], """{"id":"g1"}""" + "\n"))) { (url, requests) =>
+      val state = tempDir
+      val delays = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val client = new LichessClient(
+        LichessConfig(url, "u", maxRetries = 2, retryBaseMs = 1),
+        LichessClient.defaultClient, delays += _)
+      val out = new Extract(state).run(client.fetch, state.resolve("raw"), 100L)
+      assert(out.isDefined)
+      assert(new String(java.nio.file.Files.readAllBytes(out.get)).trim
+        === """{"id":"g1"}""")
+      assert(new Extract(state).loadWatermark() === Some(100L))
+      assert(requests() === 2)
+      assert(delays.toSeq === Seq(0L)) // Retry-After: 0 honored verbatim
+    }
+  }
+
+  test("Retry-After seconds are honored (and capped at retryMaxMs)") {
+    withScriptedServer(Seq(
+      (429, Map("Retry-After" -> "7"), ""),
+      (429, Map("Retry-After" -> "999999"), ""),
+      (200, Map.empty[String, String], """{"id":"g"}"""))) { (url, requests) =>
+      val delays = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val client = new LichessClient(
+        LichessConfig(url, "u", maxRetries = 3, retryMaxMs = 10000),
+        LichessClient.defaultClient, delays += _)
+      assert(client.fetch(None, 1L).toVector === Vector("""{"id":"g"}"""))
+      assert(requests() === 3)
+      assert(delays.toSeq === Seq(7000L, 10000L))
+    }
+  }
+
+  test("retries exhausted on persistent 5xx: exponential schedule, throw, " +
+      "watermark untouched") {
+    withScriptedServer(Seq((500, Map.empty[String, String], "oops"))) {
+      (url, requests) =>
+      val state = tempDir
+      val delays = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val client = new LichessClient(
+        LichessConfig(url, "u", maxRetries = 2, retryBaseMs = 4),
+        LichessClient.defaultClient, delays += _)
+      val ex = new Extract(state)
+      val err = intercept[java.io.IOException] {
+        ex.run(client.fetch, state.resolve("raw"), 100L)
+      }
+      assert(err.getMessage.contains("after 3 attempts"))
+      assert(requests() === 3)
+      assert(delays.toSeq === Seq(4L, 8L)) // base · 2^attempt
+      assert(ex.loadWatermark() === None) // at-least-once preserved
+    }
+  }
+
+  test("plain 4xx is not retried — the request is wrong, not the moment") {
+    withScriptedServer(Seq((404, Map.empty[String, String], "no such user"))) {
+      (url, requests) =>
+      val client = new LichessClient(
+        LichessConfig(url, "u", maxRetries = 5),
+        LichessClient.defaultClient, _ => fail("must not sleep on 4xx"))
+      intercept[java.io.IOException] { client.fetch(None, 1L) }
+      assert(requests() === 1)
+    }
+  }
+
   test("retried window overwrites the same file (idempotent names)") {
     val state = tempDir
     val raw = state.resolve("raw")
