@@ -193,13 +193,14 @@ object PipelineOps {
     * vector and per-iteration contribution shuffle are node-count-
     * sized, far below the fact-table sizing the session default
     * targets — 32 near-empty state partitions per stage at fixture
-    * scale just pays task floor ×32 per iteration. ~32 MB of scan per
-    * partition, floor 8; at 100 TB the formula lands at the cap and
-    * the session conf governs.
+    * scale just pays task floor ×32 per iteration. ~8 MB of scan per
+    * partition, floor 8 (sf0.1 lands at the floor; sf1 gets ~3× the
+    * width — the r15 sf1 run at a hard 8 starved 32 cores); at 100 TB
+    * the formula hits the cap and the session conf governs.
     */
   private def prPartitions(s: org.apache.spark.sql.SparkSession, d: String): Int = {
     val bytes = Tables.lineitem(s, d).queryExecution.optimizedPlan.stats.sizeInBytes
-    math.max(8, math.min(2000, (bytes / (32L << 20)).toLong.toInt))
+    math.max(8, math.min(2000, (bytes / (8L << 20)).toLong.toInt))
   }
 
   /** m36 kernel: PageRank on the symmetric order–part graph (every node
