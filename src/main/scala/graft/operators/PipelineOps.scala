@@ -233,12 +233,7 @@ object PipelineOps {
     var ranks = weighted.select(col("src").as("id")).distinct()
       .select(col("id"), lit(1000000000L).as("r"))
     for (i <- 1 to iters) {
-      val upd = weighted
-        .join(ranks.hint("shuffle_hash"), weighted("src") === ranks("id"))
-        .select(col("dst"), expr("r div deg").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("m"))
-        .select(col("dst").as("id"),
-          (lit(150000000L) + lit(17L) * expr("m div 20")).as("r"))
+      val upd = pagerankStep(weighted, ranks)
       // bound the plan depth every ckptEvery rounds AND at the tail, so
       // the returned frame is independent of the iteration state (the
       // checkpointed RDDs release via the ContextCleaner once the loop's
@@ -248,6 +243,19 @@ object PipelineOps {
     }
     ranks.select(col("id").as("node_id"), col("r").as("score"))
   }
+
+  /** One damped-update iteration — factored so PlanSpec can pin the
+    * physical shape: the rank-side join strategy is shuffle-hash BY
+    * HINT (never a per-iteration broadcast build, never a sort-merge
+    * sort of the edge list), independent of what AQE would size-guess.
+    */
+  private[graft] def pagerankStep(weighted: DataFrame, ranks: DataFrame): DataFrame =
+    weighted
+      .join(ranks.hint("shuffle_hash"), weighted("src") === ranks("id"))
+      .select(col("dst"), expr("r div deg").as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+      .select(col("dst").as("id"),
+        (lit(150000000L) + lit(17L) * expr("m div 20")).as("r"))
 
   /** m36b kernel: PageRank on a DIRECTED graph with dangling-mass
     * correction — per iteration the total rank parked on sinks is
