@@ -280,14 +280,24 @@ object PipelineOps {
       d: String, iters: Int): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
-    // each reusable frame materializes exactly once as deserialized row
-    // partitions (the m36 localCheckpoint-not-cache rationale)
-    val fwd = li.select(col("l_orderkey"), col("l_linenumber"),
+    val fwd0 = li.select(col("l_orderkey"), col("l_linenumber"),
         col("l_partkey").as("src"))
       .join(li.select(col("l_orderkey"),
         (col("l_linenumber") - 1).as("l_linenumber"),
         col("l_partkey").as("dst")), Seq("l_orderkey", "l_linenumber"))
-      .select(col("src"), col("dst")).distinct().localCheckpoint(true)
+      .select(col("src"), col("dst")).distinct()
+    pagerankDirectedFrom(fwd0, iters)
+  }
+
+  /** The dangling-mass iteration over an explicit (src, dst) edge
+    * frame — factored so PagerankSpec can hand-verify the sink-share
+    * arithmetic on a 3-node chain where every integer is computable on
+    * paper (the oracle pins the fixture graph; the spec owns the LAW).
+    */
+  private[graft] def pagerankDirectedFrom(fwd0: DataFrame, iters: Int): DataFrame = {
+    // each reusable frame materializes exactly once as deserialized row
+    // partitions (the m36 localCheckpoint-not-cache rationale)
+    val fwd = fwd0.localCheckpoint(true)
     val nodes = fwd.select(col("src").as("id"))
       .union(fwd.select(col("dst").as("id"))).distinct().localCheckpoint(true)
     val deg = fwd.groupBy(col("src")).agg(count(lit(1)).as("deg"))

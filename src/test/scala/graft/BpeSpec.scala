@@ -17,6 +17,38 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     df.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
       r.getLong(3))).sortBy(_._1).toSeq
 
+  test("fuse law: ≡ the one-pass recursive specification on generated " +
+      "sequences (left-to-right, non-overlapping, concatenation-preserving)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // the executable SPECIFICATION: consume two symbols on a match,
+    // one otherwise — structural recursion, no indices to get wrong
+    def fuseRef(syms: List[String], l: String, r: String): List[String] =
+      syms match {
+        case a :: b :: rest if a == l && b == r => (l + r) :: fuseRef(rest, l, r)
+        case a :: rest => a :: fuseRef(rest, l, r)
+        case Nil => Nil
+      }
+    val sym = Gen.oneOf("a", "b", "ab", "ba", "</w>")
+    val caseGen = for {
+      n <- Gen.choose(0, 12)
+      syms <- Gen.listOfN(n, sym)
+      l <- sym
+      r <- sym
+    } yield (syms, l, r)
+    // fixed seeds (the PropertySpec convention — exactly reproducible);
+    // the tiny alphabet with composite symbols ("ab" next to "a","b")
+    // makes overlap and self-pair (l == r) cases dense
+    (1L to 400L).foreach { seed =>
+      val (syms, l, r) =
+        caseGen.pureApply(Gen.Parameters.default, Seed(seed))
+      val got = Bpe.fuse(syms, l, r)
+      assert(got === fuseRef(syms, l, r), s"seed=$seed syms=$syms pair=($l,$r)")
+      assert(got.mkString === syms.mkString,
+        s"fuse must preserve the concatenation: seed=$seed")
+    }
+  }
+
   test("fuse is greedy left-to-right and non-overlapping") {
     assert(Bpe.fuse(Seq("a", "a", "a"), "a", "a") === Seq("aa", "a"))
     assert(Bpe.fuse(Seq("a", "a", "a", "a"), "a", "a") === Seq("aa", "aa"))
