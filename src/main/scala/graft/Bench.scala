@@ -230,6 +230,17 @@ object Bench {
         (n, value, hot)
       }
       val total = med.map(_._2).filter(_ >= 0).sum
+      // VERDICT r15 item 8: the externally graded streaming-machinery
+      // entries (t22+, multi-batch feeds + state stores) are the gate-
+      // excluded class and keep growing — split their wall-clock out so
+      // the driver's tail carries BOTH totals alongside per-query keys
+      def isStreamMachinery(n: String): Boolean = {
+        val p = n.takeWhile(_ != '_')
+        p.length > 1 && p.head == 't' && p.tail.forall(_.isDigit) &&
+          p.tail.toInt >= 22
+      }
+      val streamTotal =
+        med.collect { case (n, v, _) if v >= 0 && isStreamMachinery(n) => v }.sum
       val qs = med.map { case (k, v, _) => "\"" + k.takeWhile(_ != '_') + "\":" + f3(v) }
         .mkString("{", ",", "}")
       // compact line caps the hot list at 24 ids (the realistic case is
@@ -276,6 +287,7 @@ object Bench {
             (if (v >= 0) math.round(v * scale).toString else "-1")
         }.mkString("{", ",", "}")
         s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":$runs,""" +
+        s""""stream_total":${f3(streamTotal)},"gate_total":${f3(total - streamTotal)},""" +
         s""""n":${med.count(_._2 >= 0)},"ext_peak":${f3(extPeak)},$rec""" +
         s""""hot_n":${hotAll.size},"q_unit":"$unit","queries":$qs,"sf":"$sfDir"}"""
       }
@@ -284,6 +296,7 @@ object Bench {
         .mkString("{", ",", "}")
       val headLine =
         s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":$runs,""" +
+        s""""stream_total":${f3(streamTotal)},"gate_total":${f3(total - streamTotal)},""" +
         s""""n":${med.count(_._2 >= 0)},"ext_peak":${f3(extPeak)},$rec""" +
         s""""hot_n":${hotAll.size},"queries":$headline,"sf":"$sfDir"}"""
       shortLine = Seq(tail("cs", 100.0), tail("ds", 10.0), headLine)
@@ -305,6 +318,7 @@ object Bench {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(fullPath),
         s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":$runs,""" +
+          s""""stream_total":${f3(streamTotal)},"gate_total":${f3(total - streamTotal)},""" +
           s""""load_avg":[${f3(loadBefore)},${f3(loadAvg)}],""" +
           // ext_gate = the configured clean-pass threshold; ext_peak =
           // the worst external-CPU reading actually measured (named so

@@ -307,7 +307,7 @@ object PipelineOps {
       .localCheckpoint(true)
     val n = nodes.count() // scalar: the share denominator
     var ranks = nodes.select(col("id"), lit(1000000000L).as("r"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       // every join strategy is PINNED (shuffle-hash): an AQE broadcast
       // decision here would both reintroduce the per-iteration driver
       // build m36 removed and make the per-round job count data-sized —
@@ -319,12 +319,16 @@ object PipelineOps {
         .join(ranks.hint("shuffle_hash"), weighted("src") === ranks("id"))
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("m"))
-      ranks = nodes.join(contrib.hint("shuffle_hash"),
+      val upd = nodes.join(contrib.hint("shuffle_hash"),
           nodes("id") === contrib("dst"), "left")
         .crossJoin(broadcast(share))
         .select(nodes("id"),
           expr("CAST(150000000 + 17 * ((coalesce(m, CAST(0 AS BIGINT)) + share) div 20) AS BIGINT)").as("r"))
-        .localCheckpoint(true)
+      // checkpoint every 2 iterations + the tail, m36's measured cadence
+      // (VERDICT r15 #3: each eager checkpoint is a blocking
+      // materialization a long directed run pays per round for nothing —
+      // plan depth stays bounded at 2 updates, hash unchanged)
+      ranks = if (i % 2 == 0 || i == iters) upd.localCheckpoint(true) else upd
     }
     ranks.select(col("id").as("node_id"), col("r").as("score"))
   }

@@ -117,15 +117,21 @@ class LichessClient(cfg: LichessConfig,
   }
 
   private def backoffMs(attempt: Int): Long =
-    math.min(cfg.retryMaxMs, cfg.retryBaseMs << attempt)
+    // clamp the shift: a large configured maxRetries (>~55) would
+    // overflow the Long shift into a garbled (possibly negative) delay
+    math.min(cfg.retryMaxMs, cfg.retryBaseMs << math.min(attempt, 20))
 
-  /** `Retry-After` in millis, when present and a plain seconds value
-    * (the form the export API sends); HTTP-date forms fall back to the
-    * exponential schedule. */
+  /** `Retry-After` in millis, when present and a plain numeric seconds
+    * value — integer or fractional, rounded up so a "1.5" never sleeps
+    * less than the server asked (RFC 9110 only licenses integers, but
+    * proxies emit fractions in the wild); HTTP-date forms fall back to
+    * the exponential schedule. */
   private def retryAfterMs(resp: HttpResponse[String]): Option[Long] =
     Option(resp.headers().firstValue("Retry-After").orElse(null))
-      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
-      .map(secs => math.min(cfg.retryMaxMs, math.max(0L, secs) * 1000L))
+      .flatMap(v => scala.util.Try(v.trim.toDouble).toOption)
+      .filter(d => !d.isNaN && !d.isInfinite)
+      .map(secs => math.min(cfg.retryMaxMs,
+        math.ceil(math.max(0.0, secs) * 1000.0).toLong))
 
   def fetch(since: Option[Long], until: Long): Iterator[String] = {
     val req = HttpRequest.newBuilder(requestUri(since, until))

@@ -18,12 +18,17 @@ import org.apache.spark.sql.types.StructType
 object Streams {
 
   /** Scratch-directory tag for a dataset dir: the sanitized-path
-    * convention the m-family entries use (ADVICE r14 — a 32-bit
-    * hashCode tag can collide across distinct datasets; the path
-    * suffix cannot).
+    * suffix (human-readable in /tmp listings) PLUS an 8-hex SHA-1 of
+    * the FULL path (ADVICE r15 — two dataset roots sharing a 24-char
+    * sanitized tail would otherwise map to the same feed dir and
+    * interleave staged batches across concurrent runs).
     */
-  private def dirTag(d: String): String =
-    s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
+  private def dirTag(d: String): String = {
+    val sha = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map(b => f"$b%02x").mkString
+    s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24) + s"_$sha"
+  }
 
   /** Write `df` as the b-th SINGLE-FILE batch of `feed`, with an
     * explicitly stamped ascending modification time. The file source
@@ -39,7 +44,12 @@ object Streams {
       df: DataFrame): Unit = {
     val stage = new java.io.File(s"${feed}_stage")
     df.repartition(1).write.mode("overwrite").json(stage.toString)
-    val part = stage.listFiles.filter(_.getName.startsWith("part-")).head
+    val parts = stage.listFiles.filter(_.getName.startsWith("part-"))
+    // the single-file contract IS the batch-membership pin: silently
+    // taking head of a multi-file write would drop rows from the batch
+    require(parts.length == 1,
+      s"stageBatch: expected exactly 1 part file under $stage, got ${parts.length}")
+    val part = parts.head
     val dst = java.nio.file.Paths.get(feed, f"batch$b%02d.json")
     java.nio.file.Files.createDirectories(dst.getParent)
     java.nio.file.Files.move(part.toPath, dst,
@@ -935,8 +945,9 @@ object Streams {
     // T32 (r15): INTERVAL-JOIN EVICTION under the external oracle —
     // t8b's left-outer stream-stream join with REALISTIC watermarks
     // (t23 pins the join under an infinite watermark; this pins the
-    // state lifecycle). Click batch 0 + recent purchases (≥ Jan 28)
-    // batch 0 arrive on time; the older purchases arrive in batch 1,
+    // state lifecycle). Click batch 0 + recent purchases (within 3
+    // days of the fixture max) batch 0 arrive on time; older purchases
+    // arrive in batch 1,
     // AFTER the watermark has advanced to min(max click, max recent
     // purchase) − 5 days, so purchases below it are LATE-DROPPED —
     // they produce neither a pair nor an outer-null row (the row
@@ -954,16 +965,24 @@ object Streams {
         s"graft_t32_${dirTag(d)}").toString
       rmTree(new java.io.File(base))
       val (cFeed, pFeed) = (s"$base/clicks", s"$base/purchases")
-      val cutUs = 1706400000000000L // 2024-01-28T00:00:00Z
       val ev = graft.Tables.events(s, d)
         .select(col("event_id"), col("user_id"),
           unix_micros(col("ts")).as("us"), col("event_type"))
       val clicks = ev.filter(col("event_type") === "click")
-      val pa = ev.filter(col("event_type") === "purchase")
-        .filter(col("us") >= cutUs)
+      val purchases = ev.filter(col("event_type") === "purchase")
+      // ADVICE r15: derive the recent/old purchase cut from the
+      // fixture's own time range instead of a fixed epoch — max(us) −
+      // 3 days keeps the original geometry (cut above the 5-day
+      // watermark, so live AND dropped old purchases both exist) at
+      // any fixture date range; the oracle computes the identical cut
+      val maxUs = ev.agg(max(col("us"))).head().getLong(0)
+      val cutUs = maxUs - 3L * 86400000000L
+      val pa = purchases.filter(col("us") >= cutUs)
+      require(clicks.limit(1).count() == 1 && pa.limit(1).count() == 1 &&
+        purchases.filter(col("us") < cutUs).limit(1).count() == 1,
+        "t32: fixture must carry clicks plus purchases on both sides of the cut")
       val maxCUs = clicks.agg(max(col("us"))).head().getLong(0)
       val maxPaUs = pa.agg(max(col("us"))).head().getLong(0)
-      val maxUs = ev.agg(max(col("us"))).head().getLong(0)
       def one(b: Int, us: Long, typ: String) = s.range(1)
         .select(lit(-b.toLong).as("event_id"), lit(-1L).as("user_id"),
           lit(us).as("us"), lit(typ).as("event_type"))
@@ -1196,11 +1215,12 @@ object Streams {
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS us, event_type
         |  FROM events
-        |), c AS (SELECT * FROM e WHERE event_type = 'click'),
-        |pa AS (SELECT * FROM e WHERE event_type = 'purchase'
-        |       AND us >= 1706400000000000),
-        |pb AS (SELECT * FROM e WHERE event_type = 'purchase'
-        |       AND us < 1706400000000000),
+        |), cut AS (SELECT MAX(us) - 259200000000 AS c FROM e),
+        |c AS (SELECT * FROM e WHERE event_type = 'click'),
+        |pa AS (SELECT e.* FROM e, cut WHERE event_type = 'purchase'
+        |       AND us >= cut.c),
+        |pb AS (SELECT e.* FROM e, cut WHERE event_type = 'purchase'
+        |       AND us < cut.c),
         |wm AS (SELECT LEAST((SELECT MAX(us) FROM c),
         |                    (SELECT MAX(us) FROM pa))
         |         - 432000000000 AS w1),

@@ -113,10 +113,13 @@ class JobLinearitySpec extends AnyFunSuite with SparkTestBase {
     assertLinear("m36/ckpt2", counts)
   }
 
-  test("m36b pagerank (directed + dangling mass): constant jobs per iteration") {
+  test("m36b pagerank (directed + dangling mass): constant jobs per 2-round block") {
+    // r16: m36b adopted m36's measured checkpoint cadence (every 2
+    // rounds + tail), so the constant-cost unit is the 2-round block,
+    // exactly like the m36/ckpt2 law above
     val d = sf("sf0.001")
     warmup(d)
-    val counts = Seq(1, 2, 3).map { it =>
+    val counts = Seq(2, 4, 6).map { it =>
       it -> jobsDuring(s"m36d_$it") {
         operators.PipelineOps.pagerankDirected(spark, d, iters = it)
           .foreach(_ => ())
