@@ -534,6 +534,59 @@ object SqlFrontend {
           "price_floor" -> 1000.0))
     }),
 
+    // SQL20 (r16): OPTIMISTIC-CONCURRENCY RETRY — the two-writer DML
+    // race under the external oracle (VERDICT r15 item 3). Writer A
+    // reads its base version and writes scratch; writer B slips in
+    // between A's read and A's publish (the beforeReserve seam — the
+    // deterministic stand-in for a second backfill job) and commits
+    // first. A's publish MUST throw GraftConcurrentCommitException with
+    // the table holding exactly B's commit (never a silent interleave,
+    // never a lost B), and A's RETRY re-reads the new base and applies
+    // exactly once. The oracle recomputes B-then-A applied sequentially
+    // — a lost update, a double-applied retry, or a torn mix all break
+    // the hash. Cost model: conflict detection is one lock-file create
+    // (metadata) — retries re-pay only the loser's rewrite, exactly
+    // like Delta/Iceberg commit conflicts.
+    "sql20_concurrent_retry" -> ((s, d) => {
+      withViews(s, d)
+      val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
+      val tbl = s"sql20_balance_$tag"
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_$tbl").toString
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(path))
+      s.sql(
+        s"""CREATE TABLE $tbl USING parquet LOCATION '$path' AS
+           |SELECT o_custkey AS custkey, COUNT(*) AS n,
+           |  SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS cents
+           |FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey""".stripMargin)
+      val updA = s"UPDATE $tbl SET cents = cents + 100 WHERE n >= 2"
+      var fired = false
+      graft.plans.TableCommit.beforeReserveHook = () => {
+        if (!fired) {
+          fired = true // guard BEFORE running B: B's own reserve re-enters
+          s.sql(s"UPDATE $tbl SET cents = cents * 2 WHERE custkey % 2 = 0")
+        }
+      }
+      val conflicted = try {
+        try { s.sql(updA); false }
+        catch { case t: Throwable =>
+          val chain = Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+          if (chain.exists(
+            _.isInstanceOf[graft.plans.GraftConcurrentCommitException])) true
+          else throw t
+        }
+      } finally graft.plans.TableCommit.beforeReserveHook = () => ()
+      require(conflicted && fired,
+        "sql20: the interleaved writer must force a commit conflict")
+      s.sql(updA) // the retry: re-reads B's version, applies exactly once
+      s.sql(s"SELECT custkey, n, cents FROM $tbl")
+    }),
+
     "sql10_setops_text" -> ((s, d) => { withViews(s, d); s.sql(setOpsSql) }),
     "sql7_native_fn" -> ((s, d) => {
       withViews(s, d)
@@ -596,6 +649,21 @@ object SqlFrontend {
         |  AND year(o_orderdate) >= 1995
         |  AND o_totalprice > 1000.0
         |GROUP BY o_orderpriority""".stripMargin,
+
+    // sql20: the final table after BOTH writers landed — B (the
+    // interleaving winner: doubles even customers) applied first, A's
+    // retry (the +100 bonus for n >= 2) applied exactly once on top; a
+    // lost update or a double-applied retry both break the hash
+    "sql20_concurrent_retry" ->
+      """WITH t AS (
+        |  SELECT o_custkey AS custkey, COUNT(*) AS n,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+        |)
+        |SELECT custkey, n,
+        |  CAST(CASE WHEN custkey % 2 = 0 THEN cents * 2 ELSE cents END
+        |    + CASE WHEN n >= 2 THEN 100 ELSE 0 END AS BIGINT) AS cents
+        |FROM t""".stripMargin,
 
     "sql10_setops_text" -> setOpsSql,
     "sql11_ctas" ->

@@ -165,6 +165,12 @@ case class GraftMergeIntoCommand(merge: MergeIntoTable)
   override def run(spark: SparkSession): Seq[Row] = {
     val table = MergeIntoParquetRewrite.v1Table(merge.targetTable).getOrElse(
       throw new IllegalStateException("MERGE target is not a v1 catalog table"))
+    // heal a crashed predecessor commit; record this statement's OCC base
+    TableCommit.recover(spark, table)
+    val base = {
+      val (fs0, loc0) = TableCommit.fsOf(spark, table)
+      TableCommit.begin(fs0, loc0)
+    }
     val checkCardinality =
       spark.conf.get("spark.graft.merge.cardinalityCheck", "true").toBoolean
     validate(merge)
@@ -214,7 +220,7 @@ case class GraftMergeIntoCommand(merge: MergeIntoTable)
         // target (it must see every existing key), but only the join
         // columns; the commit appends new files, touching none
         CopyOnWrite.prunedCommit(spark, table,
-          insertOnlyRows(merge), Nil, Nil)
+          insertOnlyRows(merge), Nil, Nil, base)
       case Some(lr) =>
         val touched = CopyOnWrite.touchedFiles(
           CopyOnWrite.withFileColumn(spark, merge.targetTable)
@@ -228,17 +234,17 @@ case class GraftMergeIntoCommand(merge: MergeIntoTable)
           case Some(pruned) if touched.size < all =>
             CopyOnWrite.prunedCommit(spark, table,
               mergedPlanFor(merge.copy(targetTable = pruned), checkCardinality),
-              touched, Nil)
+              touched, Nil, base)
           case _ =>
             CopyOnWrite.overwrite(spark, table,
-              mergedPlanFor(merge, checkCardinality))
+              mergedPlanFor(merge, checkCardinality), base)
         }
       case None =>
         // copy-on-write full rewrite: scratch-materialize, read back
         // (breaks the self-overwrite lineage), INSERT OVERWRITE by
         // position — shared with the UPDATE/DELETE commands
         CopyOnWrite.overwrite(spark, table,
-          mergedPlanFor(merge, checkCardinality))
+          mergedPlanFor(merge, checkCardinality), base)
     }
     Seq.empty
   }

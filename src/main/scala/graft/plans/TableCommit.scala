@@ -1,0 +1,294 @@
+package graft.plans
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.CatalogTable
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Another writer committed a version of the table between this
+  * writer's read and its publish. The losing writer's scratch is rolled
+  * back and the table holds exactly the winner's commit — retry the
+  * statement to re-read the new base and re-apply (sql20 exercises
+  * exactly that loop under the DuckDB oracle).
+  */
+class GraftConcurrentCommitException(msg: String)
+  extends RuntimeException(msg)
+
+/** Injected fault for the commit-atomicity specs — a stand-in for the
+  * process dying at a named point of the commit protocol.
+  */
+private[graft] class GraftInjectedCrash(point: String)
+  extends RuntimeException(s"injected crash at $point")
+
+/** Snapshot-manifest commit protocol for the DML copy-on-write paths
+  * (VERDICT r15 items 2+3) — the m32/m39 manifest machinery moved under
+  * sql13/14/15, so the file-level swap window stops being the declared
+  * crash hole, and two writers stop being able to silently interleave.
+  *
+  * Layout: `<tableLocation>/_graft_commits/` (underscore-prefixed, so
+  * every Spark file listing ignores it) holds one manifest per commit:
+  *
+  * {{{
+  * v3.lock   — zero-byte reservation, created EXCLUSIVELY (the OCC
+  *             arbiter: exactly one writer can own version 3)
+  * v3.txt    — the manifest, LINE format:
+  *               status=applied|pending
+  *               scratch=<rel>          (pruned commits: scratch dir)
+  *               add=<srcRel>|<dstRel>  (rename, idempotent on replay)
+  *               del=<rel>              (delete, idempotent on replay)
+  *               live=<rel>             (the post-commit data-file set)
+  *             written to a temp name and RENAMED in, so a reader never
+  *             observes a half manifest
+  * }}}
+  *
+  * Protocol (pruned copy-on-write commit):
+  *
+  *  1. `begin` — the writer records the current version BEFORE reading
+  *     any table state its rewrite depends on.
+  *  2. scratch write — all new files land under a dot-prefixed dir
+  *     inside the table location; nothing visible changes.
+  *  3. `reserve(base)` — optimistic concurrency check-and-claim: if the
+  *     current version moved past `base`, or another writer owns
+  *     `base+1`'s lock, throw [[GraftConcurrentCommitException]] — the
+  *     first writer's commit is never lost, the second must re-read.
+  *  4. publish `v{base+1}.txt` with `status=applied` — THE commit
+  *     point: one atomic metadata write naming the post-commit file
+  *     set. A crash before it leaves the pre-commit table byte-exact; a
+  *     crash after it leaves the post-commit state fully recoverable.
+  *  5. apply — rename the scratch files in FIRST, delete the replaced
+  *     files SECOND (a torn window can duplicate rows for a plain
+  *     directory reader, never lose them — the old delete-first order
+  *     served rows-missing tables), then drop the scratch dir.
+  *
+  * A crash anywhere inside step 5 is healed by [[recover]] (replayed
+  * automatically at the start of every graft DML command on the table):
+  * renames and deletes are idempotent, so rolling the latest applied
+  * manifest forward converges the directory to exactly its `live` set.
+  * [[readLive]] serves the committed state even BEFORE recovery runs,
+  * by resolving still-pending renames back to their scratch source —
+  * the manifest-aware read a lakehouse format gives its readers.
+  *
+  * The full-rewrite fallback (INSERT OVERWRITE via Spark's committer)
+  * reserves its version the same way (concurrent writers are detected
+  * BEFORE any mutation) and publishes `status=pending` → overwrite →
+  * republish `status=applied`; a crash mid-overwrite leaves a pending
+  * manifest and a directory in Spark's own committer's hands — the one
+  * residual (and now explicitly narrowed) deviation from atomicity.
+  */
+private[graft] object TableCommit {
+
+  /** Test seams (driver-side, single JVM): `crashPoint` names a
+    * protocol point to die at; `beforeReserveHook` lets a spec
+    * interleave a second writer between scratch write and reserve.
+    */
+  @volatile private[graft] var crashPoint: Option[String] = None
+  @volatile private[graft] var beforeReserveHook: () => Unit = () => ()
+
+  private def maybeCrash(point: String): Unit =
+    if (crashPoint.contains(point)) throw new GraftInjectedCrash(point)
+
+  def commitsDir(loc: HPath): HPath = new HPath(loc, "_graft_commits")
+
+  def fsOf(spark: SparkSession, table: CatalogTable): (FileSystem, HPath) = {
+    val loc = new HPath(table.location)
+    (loc.getFileSystem(ColumnBridge.hadoopConf(spark)), loc)
+  }
+
+  /** Current committed-or-claimed version: the max N over v{N}.lock and
+    * v{N}.txt (a crashed reservation still holds its number, so later
+    * writers never collide with it); 0 when the table has no manifests.
+    */
+  def currentVersion(fs: FileSystem, loc: HPath): Int = {
+    val dir = commitsDir(loc)
+    if (!fs.exists(dir)) 0
+    else fs.listStatus(dir).map(_.getPath.getName).collect {
+      case n if n.startsWith("v") && (n.endsWith(".txt") || n.endsWith(".lock")) =>
+        n.stripPrefix("v").stripSuffix(".txt").stripSuffix(".lock")
+    }.flatMap(s => scala.util.Try(s.toInt).toOption)
+      .foldLeft(0)(math.max)
+  }
+
+  /** The version this writer's rewrite is based on — call before
+    * reading any table state the rewrite depends on.
+    */
+  def begin(fs: FileSystem, loc: HPath): Int = currentVersion(fs, loc)
+
+  /** Check-and-claim `base + 1`. Throws [[GraftConcurrentCommitException]]
+    * when the table moved past `base` or another writer already claimed
+    * the slot (exclusive create of the lock file is the tie-breaker).
+    */
+  def reserve(fs: FileSystem, loc: HPath, base: Int): Int = {
+    beforeReserveHook()
+    maybeCrash("beforeReserve")
+    val now = currentVersion(fs, loc)
+    if (now != base) throw new GraftConcurrentCommitException(
+      s"table at $loc moved from version $base to $now since this " +
+        "statement read it — re-run the statement against the new state")
+    val v = base + 1
+    fs.mkdirs(commitsDir(loc))
+    val lock = new HPath(commitsDir(loc), s"v$v.lock")
+    val out = try fs.create(lock, false) catch {
+      case _: java.io.IOException => throw new GraftConcurrentCommitException(
+        s"version $v of table at $loc was claimed by a concurrent " +
+          "writer — re-run the statement against the new state")
+    }
+    out.close()
+    v
+  }
+
+  case class Manifest(version: Int, applied: Boolean, scratch: Option[String],
+      adds: Seq[(String, String)], dels: Seq[String], live: Seq[String])
+
+  private def render(m: Manifest): String = {
+    val sb = new StringBuilder
+    sb.append(s"status=${if (m.applied) "applied" else "pending"}\n")
+    m.scratch.foreach(s => sb.append(s"scratch=$s\n"))
+    m.adds.foreach { case (s, d) => sb.append(s"add=$s|$d\n") }
+    m.dels.foreach(d => sb.append(s"del=$d\n"))
+    m.live.foreach(l => sb.append(s"live=$l\n"))
+    sb.toString
+  }
+
+  private def parse(v: Int, text: String): Manifest = {
+    val lines = text.linesIterator.toSeq
+    def vals(k: String): Seq[String] =
+      lines.collect { case l if l.startsWith(s"$k=") => l.stripPrefix(s"$k=") }
+    Manifest(v,
+      applied = vals("status").headOption.contains("applied"),
+      scratch = vals("scratch").headOption,
+      adds = vals("add").map { a =>
+        val Array(s, d) = a.split("\\|", 2); (s, d)
+      },
+      dels = vals("del"),
+      live = vals("live"))
+  }
+
+  /** Write (or rewrite) version `v`'s manifest: temp file + rename, so
+    * no reader ever sees a partial manifest. The caller must hold
+    * `v`'s lock (i.e. have come through [[reserve]]).
+    */
+  def publish(fs: FileSystem, loc: HPath, m: Manifest): Unit = {
+    maybeCrash("beforePublish")
+    val dir = commitsDir(loc)
+    val tmp = new HPath(dir, s".tmp_v${m.version}_${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    out.write(render(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    val dst = new HPath(dir, s"v${m.version}.txt")
+    fs.delete(dst, false) // republish (pending -> applied) replaces
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"graft commit: rename $tmp -> $dst failed")
+  }
+
+  def readManifest(fs: FileSystem, loc: HPath, v: Int): Option[Manifest] = {
+    val p = new HPath(commitsDir(loc), s"v$v.txt")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      Some(parse(v, text))
+    }
+  }
+
+  /** The manifest at the HIGHEST published version (locks-only claims —
+    * in-flight or crashed-before-publish writers — don't count: nothing
+    * of theirs ever touched the table). None when the table predates
+    * the protocol. A `pending` result means a full-rewrite commit is in
+    * flux (or died mid-flight) — the one state the protocol declares
+    * non-recoverable, so callers must NOT roll an OLDER applied
+    * manifest forward over it.
+    */
+  def latestManifest(fs: FileSystem, loc: HPath): Option[Manifest] = {
+    val dir = commitsDir(loc)
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).map(_.getPath.getName).collect {
+      case n if n.startsWith("v") && n.endsWith(".txt") =>
+        n.stripPrefix("v").stripSuffix(".txt")
+    }.flatMap(s => scala.util.Try(s.toInt).toOption)
+      .sorted.lastOption
+      .flatMap(v => readManifest(fs, loc, v))
+  }
+
+  /** Roll the latest applied manifest forward: complete its renames and
+    * deletes (both idempotent), then drop its scratch dir. A no-op on a
+    * converged table and on tables without manifests — every graft DML
+    * command calls this first, so a crashed commit heals on the next
+    * statement (or via an explicit call).
+    */
+  def recover(spark: SparkSession, table: CatalogTable): Unit = {
+    val (fs, loc) = fsOf(spark, table)
+    latestManifest(fs, loc).filter(_.applied).foreach { m =>
+      var moved = false
+      m.adds.foreach { case (src, dst) =>
+        val (s, d) = (new HPath(loc, src), new HPath(loc, dst))
+        if (!fs.exists(d)) {
+          if (!fs.exists(s)) throw new IllegalStateException(
+            s"graft recover: v${m.version} add $src -> $dst has neither " +
+              "source nor destination — manifest does not match disk")
+          fs.mkdirs(d.getParent)
+          if (!fs.rename(s, d)) throw new java.io.IOException(
+            s"graft recover: rename $s -> $d failed")
+          moved = true
+        }
+      }
+      val liveSet = m.live.toSet
+      m.dels.foreach { d =>
+        // a replaced file that re-entered the live set cannot exist
+        // (scratch names are UUID-fresh), but guard anyway
+        if (!liveSet.contains(d) && fs.delete(new HPath(loc, d), false))
+          moved = true
+      }
+      m.scratch.foreach(s => fs.delete(new HPath(loc, s), true))
+      if (moved) spark.catalog.refreshTable(table.identifier.quotedString)
+    }
+  }
+
+  /** Manifest-aware read of the committed state — exact even while the
+    * directory is torn mid-apply: each live file resolves to its final
+    * path when present, else to its still-unmoved scratch source.
+    * Falls back to the plain directory read when the table has no
+    * applied manifest.
+    */
+  def readLive(spark: SparkSession, table: CatalogTable): DataFrame = {
+    val (fs, loc) = fsOf(spark, table)
+    latestManifest(fs, loc).filter(_.applied) match {
+      case None => spark.read.schema(table.dataSchema)
+        .parquet(loc.toString)
+      case Some(m) =>
+        val srcOf = m.adds.map { case (s, d) => d -> s }.toMap
+        val paths = m.live.map { rel =>
+          val p = new HPath(loc, rel)
+          if (fs.exists(p)) p.toString
+          else srcOf.get(rel).map(s => new HPath(loc, s).toString)
+            .filter(s => fs.exists(new HPath(s)))
+            .getOrElse(throw new IllegalStateException(
+              s"graft readLive: live file $rel of v${m.version} is at " +
+                "neither its final nor its scratch path"))
+        }
+        val reader = spark.read.schema(table.schema)
+        (if (table.partitionColumnNames.nonEmpty)
+          reader.option("basePath", loc.toString) else reader)
+          .parquet(paths: _*)
+    }
+  }
+
+  /** Relative paths of every data file under `root` (partition subdirs
+    * preserved; committer metadata and dot/underscore entries skipped).
+    */
+  def listDataFiles(fs: FileSystem, root: HPath): Seq[String] = {
+    def walk(dir: HPath): Seq[String] =
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (name.startsWith(".") || name.startsWith("_")) Nil
+        else if (st.isDirectory) walk(st.getPath)
+        else Seq(st.getPath.toUri.getPath
+          .stripPrefix(root.toUri.getPath).stripPrefix("/"))
+      }
+    walk(root)
+  }
+
+  private[graft] def maybeCrashApply(point: String): Unit = maybeCrash(point)
+}

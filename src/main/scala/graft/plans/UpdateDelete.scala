@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.CatalogTable
 import org.apache.spark.sql.catalyst.expressions._
@@ -76,8 +76,18 @@ object DmlParquetRewrite extends Rule[LogicalPlan] {
   * `spark.graft.dml.filePruning=false` ops dial.
   *
   * Both shapes write scratch BEFORE touching the target, so a failure
-  * mid-rewrite leaves the table intact; the swap window itself is the
-  * declared v1-table deviation from a lakehouse format's atomic commit.
+  * mid-rewrite leaves the table intact. Since r16, BOTH shapes also
+  * ride the [[TableCommit]] snapshot-manifest protocol: the pruned
+  * commit is CRASH-ATOMIC (one metadata write is the commit point; a
+  * crash on either side of it leaves exactly the pre- or post-commit
+  * state, `CommitAtomicitySpec` injects the faults) and every commit is
+  * version-checked at publish, so two concurrent writers cannot
+  * silently interleave — the loser throws
+  * [[GraftConcurrentCommitException]] and must re-read
+  * (sql20 exercises retry-after-conflict under the oracle). The one
+  * residual deviation from a lakehouse format's atomicity is a crash
+  * INSIDE the full-rewrite fallback's INSERT OVERWRITE, bracketed by a
+  * `pending` manifest so the in-flux state is detectable.
   */
 private[plans] object CopyOnWrite {
 
@@ -149,13 +159,27 @@ private[plans] object CopyOnWrite {
 
   /** Full-table copy-on-write: scratch-materialize the complete post-DML
     * row set, read it back, INSERT OVERWRITE the target by position.
+    *
+    * Rides the [[TableCommit]] version protocol (r16): the version slot
+    * is RESERVED before any mutation — so two concurrent writers are
+    * arbitrated here exactly like on the pruned path, before either can
+    * damage the other — and a `pending` manifest brackets the
+    * non-atomic overwrite window (a crash inside it is the narrowed
+    * residual deviation: Spark's own committer owns that directory
+    * state; the pending manifest at least makes the in-flux state
+    * DETECTABLE instead of silent).
     */
   def overwrite(spark: SparkSession, table: CatalogTable,
-      rewritten: LogicalPlan): Unit = {
+      rewritten: LogicalPlan, base: Int): Unit = {
     val df = ColumnBridge.ofRows(spark, rewritten)
     val scratch = java.nio.file.Files
       .createTempDirectory("graft_cow_").resolve("out").toString
     df.write.mode(SaveMode.Overwrite).parquet(scratch)
+    val (fs, loc) = TableCommit.fsOf(spark, table)
+    // OCC claim BEFORE the first byte of the target moves
+    val v = TableCommit.reserve(fs, loc, base)
+    TableCommit.publish(fs, loc, TableCommit.Manifest(
+      v, applied = false, None, Nil, Nil, Nil))
     // the commit REPLACES the whole table, so the insert must run in
     // STATIC partition-overwrite mode regardless of the session conf:
     // under a user's partitionOverwriteMode=dynamic, a DELETE that
@@ -168,9 +192,13 @@ private[plans] object CopyOnWrite {
       .write.mode(SaveMode.Overwrite)
       .insertInto(table.identifier.quotedString)
     finally prevMode match {
-      case Some(v) => spark.conf.set(modeKey, v)
+      case Some(v0) => spark.conf.set(modeKey, v0)
       case None => spark.conf.unset(modeKey)
     }
+    // overwrite landed: republish as applied with the final file set
+    TableCommit.publish(fs, loc, TableCommit.Manifest(
+      v, applied = true, None, Nil, Nil,
+      TableCommit.listDataFiles(fs, loc).sorted))
     // scratch cleanup is best-effort; the table no longer references it
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
@@ -183,57 +211,77 @@ private[plans] object CopyOnWrite {
     * touched files plus any inserted rows) under a dot-prefixed scratch
     * dir INSIDE the table location — invisible to listings, and on the
     * table's own filesystem so the swap is pure rename, no byte copy —
-    * then delete `touched` and move the new files in, preserving
-    * partition subdirectories. Untouched files are never opened, let
-    * alone rewritten. The swap happens only after the scratch write
-    * fully succeeds, so errors (including MERGE's in-flight cardinality
-    * AssertTrue) leave the target untouched.
+    * then swap at the file level, preserving partition subdirectories.
+    * Untouched files are never opened, let alone rewritten.
+    *
+    * The swap is CRASH-ATOMIC under the [[TableCommit]] manifest
+    * protocol (r16 — this closes the r15 declared deviation at the old
+    * delete-then-rename window): the commit point is ONE atomic
+    * metadata write (the `status=applied` manifest naming the
+    * post-commit file set); everything before it rolls back to the
+    * byte-identical pre-commit table, everything after it rolls forward
+    * idempotently ([[TableCommit.recover]]), and the apply order is
+    * rename-in-then-delete so even a mid-apply plain-directory reader
+    * can only ever see duplicated rows, never missing ones
+    * ([[TableCommit.readLive]] sees exactly the committed state
+    * throughout). Errors during the scratch write (including MERGE's
+    * in-flight cardinality AssertTrue) still leave the target
+    * untouched — the manifest is only published after scratch fully
+    * succeeds.
     */
   def prunedCommit(spark: SparkSession, table: CatalogTable,
       rewritten: LogicalPlan, touched: Seq[String],
-      partitionCols: Seq[String]): Unit = {
+      partitionCols: Seq[String], base: Int): Unit = {
     val df = ColumnBridge.ofRows(spark, rewritten)
-    val loc = new HPath(table.location)
-    val fs = loc.getFileSystem(ColumnBridge.hadoopConf(spark))
-    val scratch = new HPath(loc, s".graft_cow_${java.util.UUID.randomUUID()}")
+    val (fs, loc) = TableCommit.fsOf(spark, table)
+    val scratchName = s".graft_cow_${java.util.UUID.randomUUID()}"
+    val scratch = new HPath(loc, scratchName)
+    var published = false
     try {
       val w = df.write.mode(SaveMode.Overwrite)
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(scratch.toString)
-      touched.foreach { f =>
-        fs.delete(new HPath(new java.net.URI(f)), false)
+      // manifest content: scratch files move to the mirrored table
+      // paths (UUID part names cannot collide), touched files go away,
+      // live = (current − touched) ∪ new
+      val adds = TableCommit.listDataFiles(fs, scratch)
+        .map(rel => (s"$scratchName/$rel", rel))
+      val locPath = loc.toUri.getPath
+      val dels = touched.map(f => new HPath(new java.net.URI(f))
+        .toUri.getPath.stripPrefix(locPath).stripPrefix("/"))
+      val live = (TableCommit.listDataFiles(fs, loc).toSet --
+        dels) ++ adds.map(_._2)
+      val v = TableCommit.reserve(fs, loc, base) // OCC check-and-claim
+      TableCommit.publish(fs, loc, TableCommit.Manifest(
+        v, applied = true, Some(scratchName), adds, dels, live.toSeq.sorted))
+      published = true // THE commit point: pre-commit state ends here
+      TableCommit.maybeCrashApply("afterPublish")
+      // apply: renames FIRST, deletes SECOND — a torn window duplicates
+      // rows for a plain-directory reader, never loses them
+      adds.foreach { case (src, dst) =>
+        val (s0, d0) = (new HPath(loc, src), new HPath(loc, dst))
+        fs.mkdirs(d0.getParent)
+        if (!fs.rename(s0, d0)) throw new java.io.IOException(
+          s"graft CoW commit: rename $s0 -> $d0 failed")
       }
-      moveDataFiles(fs, scratch, scratch, loc)
-    } finally {
+      TableCommit.maybeCrashApply("betweenMoveAndDelete")
+      dels.foreach(d => fs.delete(new HPath(loc, d), false))
       fs.delete(scratch, true)
+    } catch {
+      case e: Throwable =>
+        // before the commit point nothing visible changed: roll the
+        // scratch back so the table is byte-identical to pre-statement.
+        // After it, leave scratch + manifest for recover() to roll
+        // forward — deleting scratch here would destroy committed rows.
+        if (!published) fs.delete(scratch, true)
+        throw e
+    } finally {
       // drop the relation/file-listing caches AND the catalog's stale
       // size stats (insertInto's own commit path does the same)
       spark.catalog.refreshTable(table.identifier.quotedString)
       ColumnBridge.updateTableStats(spark, table)
     }
   }
-
-  /** Move every data file under `dir` to the mirrored path under
-    * `destRoot` (partition subdirs preserved); committer metadata
-    * (_SUCCESS, .crc) is skipped. Scratch part-file names embed a job
-    * UUID, so they cannot collide with existing table files.
-    */
-  private def moveDataFiles(fs: FileSystem, root: HPath, dir: HPath,
-      destRoot: HPath): Unit =
-    fs.listStatus(dir).foreach { st =>
-      val name = st.getPath.getName
-      if (st.isDirectory) {
-        if (!name.startsWith(".") && !name.startsWith("_"))
-          moveDataFiles(fs, root, st.getPath, destRoot)
-      } else if (!name.startsWith("_") && !name.startsWith(".")) {
-        val rel = st.getPath.toUri.getPath
-          .stripPrefix(root.toUri.getPath).stripPrefix("/")
-        val dest = new HPath(destRoot, rel)
-        fs.mkdirs(dest.getParent)
-        if (!fs.rename(st.getPath, dest)) throw new java.io.IOException(
-          s"graft CoW commit: rename ${st.getPath} -> $dest failed")
-      }
-    }
 }
 
 /** Nested-field assignment support shared by UPDATE and MERGE (VERDICT
@@ -316,6 +364,13 @@ case class GraftUpdateCommand(update: UpdateTable) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val table = MergeIntoParquetRewrite.v1Table(update.table).getOrElse(
       throw new IllegalStateException("UPDATE target is not a v1 catalog table"))
+    // heal a crashed predecessor commit, then record the version this
+    // statement's rewrite is based on (the OCC base)
+    TableCommit.recover(spark, table)
+    val base = {
+      val (fs0, loc0) = TableCommit.fsOf(spark, table)
+      TableCommit.begin(fs0, loc0)
+    }
     // keys must be a column or a struct-field chain; array/map element
     // assignment would be silently missed below — reject loudly (the
     // MERGE ADVICE-r12 rule, relaxed in r14 to admit struct paths)
@@ -361,14 +416,14 @@ case class GraftUpdateCommand(update: UpdateTable) extends LeafRunnableCommand {
           case Some(pruned) if touched.size < all =>
             CopyOnWrite.prunedCommit(spark, table,
               Project(outCols(pruned), pruned), touched,
-              table.partitionColumnNames)
+              table.partitionColumnNames, base)
           case _ =>
             CopyOnWrite.overwrite(spark, table,
-              Project(outCols(update.table), update.table))
+              Project(outCols(update.table), update.table), base)
         }
       case None =>
         CopyOnWrite.overwrite(spark, table,
-          Project(outCols(update.table), update.table))
+          Project(outCols(update.table), update.table), base)
     }
     Seq.empty
   }
@@ -380,6 +435,11 @@ case class GraftDeleteCommand(delete: DeleteFromTable) extends LeafRunnableComma
   override def run(spark: SparkSession): Seq[Row] = {
     val table = MergeIntoParquetRewrite.v1Table(delete.table).getOrElse(
       throw new IllegalStateException("DELETE target is not a v1 catalog table"))
+    TableCommit.recover(spark, table)
+    val base = {
+      val (fs0, loc0) = TableCommit.fsOf(spark, table)
+      TableCommit.begin(fs0, loc0)
+    }
     // DELETE removes rows where the predicate is TRUE; FALSE and NULL
     // both keep (SQL three-valued semantics), hence the coalesce; the
     // expression binds to the original attributes, which the pruned
@@ -404,14 +464,14 @@ case class GraftDeleteCommand(delete: DeleteFromTable) extends LeafRunnableComma
           case Some(pruned) if touched.size < all =>
             CopyOnWrite.prunedCommit(spark, table,
               Filter(keep, pruned), touched,
-              table.partitionColumnNames)
+              table.partitionColumnNames, base)
           case _ =>
             CopyOnWrite.overwrite(spark, table,
-              Filter(keep, delete.table))
+              Filter(keep, delete.table), base)
         }
       case None =>
         CopyOnWrite.overwrite(spark, table,
-          Filter(keep, delete.table))
+          Filter(keep, delete.table), base)
     }
     Seq.empty
   }
