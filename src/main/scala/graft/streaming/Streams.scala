@@ -293,6 +293,9 @@ object Streams {
     /** Committed high-water mark — what a transactional sink would keep
       * in its batch-version table. */
     @volatile var lastBatch: Long = -1L
+    /** Batches the replay gate turned away (t35 requires ≥1 after its
+      * forced crash-replay, proving the gate actually arbitrated). */
+    @volatile var gateSkips: Long = 0L
 
     /** Row-level latest-wins merge for ONE task's partition. Idempotent
       * by construction (re-merging an already-stored row hits the
@@ -359,7 +362,7 @@ object Streams {
                 (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))))
             }
           store.commit(batchId)
-        }
+        } else store.gateSkips += 1
         ()
       }
   }
@@ -1036,7 +1039,181 @@ object Streams {
     // closed_by_timeout=false flag of the NoTimeout deterministic mode.
     "t34_stateful_sessionize" -> ((s, d) =>
       statefulTrajectory(s, d, "t34",
-        evs => sessionize(evs, timeoutMs = 0).toDF(), "append"))
+        evs => sessionize(evs, timeoutMs = 0).toDF(), "append")),
+
+    // T35 (r16): UPSERT REPLAY GATE under the external oracle — t9's
+    // effectively-once foreachBatch sink graded by DuckDB (VERDICT r15
+    // item 4). Three mtime-pinned batches (id%3) flow through
+    // [[upsertSink]] into an [[UpsertStore]]; then the last batch's
+    // COMMIT MARKER is deleted from the checkpoint and the query
+    // restarts — the file source re-delivers that batch with the same
+    // id (the crash-after-sink-commit-before-checkpoint-commit replay),
+    // and the store's batch high-water gate must turn it away
+    // (gateSkips ≥ 1 pins that the replay actually happened). The
+    // final store IS the output: latest event per user under the
+    // (ts, event_id) total order, which DuckDB recomputes from the raw
+    // events — a lost batch, a double-applied replay (the store's
+    // latest-wins merge is value-idempotent, but a broken gate plus a
+    // non-idempotent future merge is exactly what this guards), or a
+    // tie broken differently all break the hash.
+    "t35_upsert_replay_gate" -> ((s, d) => {
+      import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+      val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_t35_${dirTag(d)}").toString
+      rmTree(new java.io.File(base))
+      val (feed, ckpt) = (s"$base/feed", s"$base/ckpt")
+      val ev = graft.Tables.events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"),
+          col("user_id"), col("event_type"),
+          expr("CAST(CAST(ROUND(value * 1e2, 0) AS BIGINT) AS DOUBLE)").as("value"))
+      (0 to 2).foreach(b => stageBatch(s, feed, b,
+        ev.filter(col("event_id") % 3 === b)))
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("us", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      val store = new UpsertStore
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      def runStream(): Unit = {
+        import s.implicits._
+        val evs = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").json(feed)
+          .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+            col("user_id"), col("event_type"), col("value")).as[Ev]
+        val q = upsertSink(evs, store)
+          .option("checkpointLocation", ckpt).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      try {
+        runStream()
+        // the injected crash: the sink committed batch 2 but the
+        // checkpoint's commit marker never landed — on restart the
+        // engine re-delivers batch 2 under the same id
+        val commits = new java.io.File(s"$ckpt/commits")
+        val markers = commits.listFiles.filter(_.getName.forall(_.isDigit))
+        require(markers.nonEmpty, "t35: no commit markers in the checkpoint")
+        val last = markers.maxBy(_.getName.toInt)
+        // the local checksum FS keeps a .N.crc sidecar; it must go with
+        // the marker or the replayed commit write trips over it
+        new java.io.File(commits, s".${last.getName}.crc").delete()
+        require(last.delete(), "t35: could not drop the last commit marker")
+        runStream()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      require(store.gateSkips >= 1,
+        "t35: the replayed batch never reached the gate")
+      import s.implicits._
+      store.rows.toSeq
+        .map { case (k, (us, id, v)) => (k, us, id, v.toLong) }
+        .toDF("user_id", "us", "event_id", "cents")
+    }),
+
+    // T36 (r16): SCD2 TEMPORAL ENRICHMENT under the external oracle —
+    // t14's stream-side slowly-changing-dimension join graded by
+    // DuckDB. The dimension derives from the customer table with a
+    // fixture-derived cutover (max event time − 15 days): customers
+    // c%7=3 have NO history (their events drop — the unmatched arm),
+    // customers c%5=0 have history STARTING at the cutover (events
+    // before it predate every version and drop — the temporal-miss
+    // arm), everyone else upgrades tier at the cutover (half-open
+    // [from, to): the minute-of event enriches against the NEW
+    // version). Batching is irrelevant to the per-row stream-static
+    // join — the three id%3 batches pin the harness shape, and the
+    // oracle recomputes every (event, version-at-event-time) pair.
+    "t36_scd2_enrich" -> ((s, d) => {
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_t36_${dirTag(d)}").toString
+      rmTree(new java.io.File(base))
+      val feed = s"$base/feed"
+      val ev = graft.Tables.events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"),
+          col("user_id"))
+      val cutUs = ev.agg(max(col("us"))).head().getLong(0) -
+        15L * 86400000000L
+      val cust = graft.Tables.customer(s, d)
+        .filter(col("c_custkey") % 7 =!= 3)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val v2 = cust.select(col("user_id"),
+        concat(col("c_mktsegment"), lit("_v2")).as("tier"),
+        timestamp_micros(lit(cutUs)).as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"))
+      val v1 = cust.filter(col("user_id") % 5 =!= 0)
+        .select(col("user_id"), col("c_mktsegment").as("tier"),
+          timestamp_micros(lit(0L)).as("valid_from"),
+          timestamp_micros(lit(cutUs)).as("valid_to"))
+      val dim = v1.unionByName(v2)
+      (0 to 2).foreach(b => stageBatch(s, feed, b,
+        ev.filter(col("event_id") % 3 === b)))
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("us", LongType),
+        StructField("user_id", LongType)))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val events = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").json(feed)
+          .withColumn("ts", timestamp_micros(col("us")))
+        val q = enrichScd2(events, dim, "user_id")
+          .select(col("event_id"), col("tier"))
+          .writeStream.format("memory").queryName("t36_final")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table("t36_final").select(col("event_id"), col("tier"))
+    }),
+
+    // T37 (r16): STREAMING INCREMENTAL DEDUP under the external oracle
+    // — t15's within-stream content dedup + standing-corpus anti-join
+    // graded by DuckDB. The fixture plants no exact text duplicates at
+    // small SFs, so the feed RE-SHIPS documents across batches (the
+    // crawler re-fetch): batch b carries the id%3=b slice PLUS every
+    // id%5=0 document of the previous slice — cross-batch duplicates
+    // the dedup state must absorb. The standing corpus is src0/src1's
+    // digest set (stream-static anti join), so those documents never
+    // emit even on first sight. Output is DIGEST-level (each surviving
+    // content exactly once): a failed state lookup re-emits a digest, a
+    // leaky anti-join emits a corpus digest, an over-eager drop loses
+    // one — all hash-visible. Which same-text doc_id survives is
+    // engine-unspecified, so doc-level columns stay out by design.
+    "t37_stream_incremental_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_t37_${dirTag(d)}").toString
+      rmTree(new java.io.File(base))
+      val feed = s"$base/feed"
+      val docs = graft.Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("source"))
+      def slice(b: Int) = docs.filter(col("doc_id") % 3 === b)
+      def reship(b: Int) = slice(b).filter(col("doc_id") % 5 === 0)
+      stageBatch(s, feed, 0, slice(0).select(col("doc_id"), col("text")))
+      stageBatch(s, feed, 1, slice(1).unionAll(reship(0))
+        .select(col("doc_id"), col("text")))
+      stageBatch(s, feed, 2, slice(2).unionAll(reship(1))
+        .select(col("doc_id"), col("text")))
+      val corpus = docs.filter(col("source").isin("src0", "src1"))
+        .select(md5(col("text")
+          .cast(org.apache.spark.sql.types.BinaryType)).as("text_md5"))
+        .distinct()
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val in = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").json(feed)
+          // constant event time + a years-wide watermark: the dedup
+          // state must span every batch (t15's bounded-state lateness
+          // semantics are t5/t31's subject, not this entry's)
+          .withColumn("ts", timestamp_micros(lit(1700000000000000L)))
+        val q = streamingDedup(in, corpus, watermark = "3650 days")
+          .select(col("text_md5"))
+          .writeStream.format("memory").queryName("t37_final")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table("t37_final").select(col("text_md5"))
+    })
   )
 
   /** Shared harness for t33/t34: cents-valued Ev feed in three
@@ -1279,6 +1456,48 @@ object Streams {
         |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
         |  CAST(total_value AS DOUBLE) AS total_value,
         |  FALSE AS closed_by_timeout
-        |FROM cum""".stripMargin
+        |FROM cum""".stripMargin,
+
+    // t35: the final upsert store recomputed — latest event per user
+    // under the (ts, event_id) total order the store's merge guard
+    // implements; the replayed batch must leave this invariant intact
+    "t35_upsert_replay_gate" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CAST(ROUND(value * 1e2, 0) AS BIGINT) AS cents
+        |  FROM events
+        |), r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+        |  FROM e
+        |)
+        |SELECT user_id, us, event_id, cents FROM r WHERE rn = 1""".stripMargin,
+
+    // t36: every (event, dimension-version-at-event-time) pair
+    // recomputed — c%7=3 users have no history (drop), c%5=0 users'
+    // history starts at the cut (pre-cut events drop), everyone
+    // upgrades to the _v2 tier at the half-open cut
+    "t36_scd2_enrich" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+        |), cut AS (SELECT MAX(us) - 1296000000000 AS c FROM e)
+        |SELECT e.event_id,
+        |  CASE WHEN e.us >= cut.c THEN c.c_mktsegment || '_v2'
+        |       ELSE c.c_mktsegment END AS tier
+        |FROM e CROSS JOIN cut
+        |JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE c.c_custkey % 7 <> 3
+        |  AND (c.c_custkey % 5 <> 0 OR e.us >= cut.c)""".stripMargin,
+
+    // t37: each surviving content digest exactly once — every document
+    // digest minus the standing src0/src1 corpus, no matter how many
+    // batches re-shipped it
+    "t37_stream_incremental_dedup" ->
+      """WITH corpus AS (
+        |  SELECT DISTINCT md5(text) AS text_md5 FROM documents
+        |  WHERE source IN ('src0', 'src1')
+        |)
+        |SELECT DISTINCT md5(text) AS text_md5 FROM documents
+        |WHERE md5(text) NOT IN (SELECT text_md5 FROM corpus)""".stripMargin
   )
 }
