@@ -188,11 +188,24 @@ object BranchAudit {
       case None => return Left("conditional not inside the HOF lambda")
     }
     val binders = f.arguments.collect { case v: NamedLambdaVariable => v }
-    val lambdaVars = e.collect { case v: NamedLambdaVariable => v }.distinct
+    // FREE variables only (r16): a variable bound by a COMPLETE lambda
+    // nested inside the conditional (j12b's del1-within-del1 transform)
+    // is self-contained, not a capture — the r15 occurrence-based check
+    // skipped that whole class
+    def freeLambdaVars(x: Expression,
+        bound: Set[ExprId] = Set.empty): Seq[NamedLambdaVariable] = x match {
+      case v: NamedLambdaVariable => if (bound(v.exprId)) Nil else Seq(v)
+      case lf: LambdaFunction =>
+        val b2 = bound ++ lf.arguments.collect {
+          case v: NamedLambdaVariable => v.exprId }
+        freeLambdaVars(lf.function, b2)
+      case other => other.children.flatMap(freeLambdaVars(_, bound))
+    }
+    val lambdaVars = freeLambdaVars(e).distinct
     if (!lambdaVars.forall(v => binders.exists(_.exprId == v.exprId)))
       return Left("captures an outer lambda's variable (nested lambda)")
-    if (hof.arguments.exists(_.exists(_.isInstanceOf[NamedLambdaVariable])))
-      return Left("HOF argument is itself lambda-bound (nested domain)")
+    if (hof.arguments.exists(a => freeLambdaVars(a).nonEmpty))
+      return Left("HOF domain argument references an outer lambda variable (nested domain)")
     val indicators = arms(e)
     def overArray(arg: Expression) = Right(indicators.map { case (n, ind) =>
       (n, trueCount(ArrayTransform(arg, LambdaFunction(ind, f.arguments))))
@@ -226,8 +239,89 @@ object BranchAudit {
             LambdaFunction(inner, Seq(x, iV)))
           (n, trueCount(Flatten(outer)))
         })
+      case t: ArrayAggregate => foldPairProbe(t, e)
       case other => Left("unsupported HOF " +
         s"${other.getClass.getSimpleName} (fold/accumulator domain)")
+    }
+  }
+
+  /** Element-domain probe for a fold arm whose condition only consults
+    * the PREVIOUS ELEMENT (r16 — l23's run-length fold): when every
+    * accumulator reference inside an arm indicator is `acc.<field>` and
+    * the merge function assigns that field the bare element variable
+    * (`struct(x AS prev, ...)`), the indicator is a pure relation over
+    * consecutive elements — (seedField, a₀), (a₀, a₁), … — and that
+    * pair domain is rebuilt exactly with zip_with over the seed-shifted
+    * array. Arms that consult the RUNNING accumulator value itself
+    * (w15's EWMA `acc IS NULL`) have no element-domain replay — the
+    * fold state is the whole history — and stay skipped with that
+    * reason; their liveness is owned by the entry's spec vectors.
+    */
+  private def foldPairProbe(t: ArrayAggregate, e: Expression)
+      : Either[String, Seq[(String, Expression)]] = {
+    import scala.util.{Left, Right}
+    val mergeFn = t.merge match {
+      case lf: LambdaFunction => lf
+      case _ => return Left("fold merge is not a lambda")
+    }
+    if (!mergeFn.function.exists(_ eq e))
+      return Left("fold conditional outside the merge lambda (finish domain)")
+    val (accV, xV) = mergeFn.arguments match {
+      case Seq(a: NamedLambdaVariable, x: NamedLambdaVariable) => (a, x)
+      case _ => return Left("fold merge does not bind (acc, x)")
+    }
+    def fields(ex: Expression): Option[Seq[Expression]] = ex match {
+      case cns: CreateNamedStruct => Some(cns.valExprs)
+      case _ => None
+    }
+    (fields(mergeFn.function), fields(t.zero)) match {
+      case (Some(mFields), Some(zFields)) if mFields.size == zFields.size =>
+        val prevOrds = mFields.zipWithIndex.collect {
+          case (v, i) if v.semanticEquals(xV) => i
+        }.toSet
+        if (prevOrds.isEmpty)
+          return Left("fold accumulator carries no previous-element field " +
+            "— no element-domain replay; the entry's spec owns the arm")
+        val p = NamedLambdaVariable("__prev", xV.dataType, nullable = true)
+        val probes = arms(e).map { case (n, ind) =>
+          val rewritten = ind.transform {
+            case g: GetStructField => g.child match {
+              case v: NamedLambdaVariable
+                  if v.exprId == accV.exprId && prevOrds(g.ordinal) => p
+              case _ => g
+            }
+          }
+          val leftover = rewritten.exists {
+            case v: NamedLambdaVariable => v.exprId == accV.exprId
+            case _ => false
+          }
+          if (leftover) return Left("fold arm consults the running " +
+            "accumulator value (not a previous-element field) — no " +
+            "element-domain replay exists; the entry's spec owns the arm")
+          // ords referenced by THIS indicator pin the seed; they must
+          // agree (they all rewrote to the same __prev variable)
+          val seedOrds = ind.collect {
+            case g: GetStructField if g.child.isInstanceOf[NamedLambdaVariable] &&
+              g.child.asInstanceOf[NamedLambdaVariable].exprId == accV.exprId &&
+              prevOrds(g.ordinal) => g.ordinal
+          }.distinct
+          if (seedOrds.size > 1) return Left(
+            "fold arm mixes previous-element fields with distinct seeds")
+          val seed0 = seedOrds.headOption.map(zFields(_))
+            .getOrElse(Literal(null, xV.dataType))
+          val seed = if (seed0.dataType == xV.dataType) seed0
+            else Cast(seed0, xV.dataType)
+          val arr = t.argument
+          val shifted = Concat(Seq(CreateArray(Seq(seed)),
+            Slice(arr, Literal(1), Subtract(Size(arr), Literal(1)))))
+          val pairs = ZipWith(shifted, arr, LambdaFunction(rewritten, Seq(p, xV)))
+          (n, If(LessThanOrEqual(Size(arr), Literal(0)),
+            Literal(0L), trueCount(pairs)))
+        }
+        Right(probes)
+      case _ => Left("fold accumulates a scalar running value (no " +
+        "previous-element struct field) — no element-domain replay " +
+        "exists; the entry's spec owns the arm")
     }
   }
 
@@ -357,7 +451,23 @@ object BranchAudit {
             val aggCols = flat.map { case (_, _, cnt) =>
               org.apache.spark.sql.functions.sum(ColumnBridge.column(cnt))
             }
-            val row = childDf.agg(aggCols.head, aggCols.tail: _*).head()
+            val row = try childDf.agg(aggCols.head, aggCols.tail: _*).head()
+            catch {
+              // r16 (closes the s12 skips): Spark refuses a scan whose
+              // only referenced column is the PERMISSIVE-parse corrupt
+              // record — widen the probe with one real-column count so
+              // the scan is legal; the extra leading agg is dropped
+              case t: Throwable if String.valueOf(t.getMessage)
+                  .contains("QUERY_ONLY_CORRUPT_RECORD_COLUMN") =>
+                val real = child.output.find(
+                  !_.name.toLowerCase.contains("corrupt")).getOrElse(
+                  throw t)
+                val widened = org.apache.spark.sql.functions.count(
+                  ColumnBridge.column(real)) +: aggCols
+                childDf.agg(widened.head, widened.tail: _*).head()
+                  match { case r =>
+                    org.apache.spark.sql.Row.fromSeq(r.toSeq.drop(1)) }
+            }
             flat.zipWithIndex.map { case ((s, armName, _), i) =>
               (s, armName, if (row.isNullAt(i)) 0L else row.getLong(i))
             }

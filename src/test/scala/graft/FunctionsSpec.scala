@@ -231,4 +231,30 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(rows === Set(
       (1L, 0L, "a b c"), (1L, 1L, "c d e"), (1L, 2L, "e")))
   }
+
+  test("w15 EWMA fold arms: seed arm fires once, running arm folds the tail (hand vectors)") {
+    // the ONE BranchAudit skip left in r16: the fold's CASE consults the
+    // RUNNING accumulator (acc IS NULL), which no element-domain probe
+    // can replay — so this spec owns both arms with paper-computable
+    // vectors through the w15 entry's exact expression text
+    import spark.implicits._
+    val ewmaSql =
+      """aggregate(series, CAST(NULL AS DOUBLE),
+        |  (acc, x) -> CASE WHEN acc IS NULL THEN x.value
+        |              ELSE 0.2 * x.value + 0.8 * acc END)""".stripMargin
+    def ewma(vals: Double*): Double = Seq(vals)
+      .toDF("v")
+      .select(org.apache.spark.sql.functions.expr(
+        "transform(v, x -> named_struct('value', x))").as("series"))
+      .select(org.apache.spark.sql.functions.expr(ewmaSql).as("e"))
+      .head().getDouble(0)
+    // single element: ONLY the seed (acc IS NULL) arm fires
+    assert(math.abs(ewma(10.0) - 10.0) < 1e-12)
+    // longer series: seed fires exactly once, the running arm folds —
+    // 0.2*20 + 0.8*10 = 12; 0.2*30 + 0.8*12 = 15.6
+    assert(math.abs(ewma(10.0, 20.0, 30.0) - 15.6) < 1e-12)
+    // the running arm sees the accumulator, not the previous element:
+    // 0.2*5 + 0.8*12 = 10.6 (a previous-element mis-read gives 8.2... wrong fold)
+    assert(math.abs(ewma(10.0, 20.0, 5.0) - 10.6) < 1e-12)
+  }
 }
