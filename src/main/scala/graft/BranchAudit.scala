@@ -52,8 +52,20 @@ object BranchAudit {
       "na.fill arm: fires only for user,type combos absent from the grid; fixture grid is dense"),
     ("j12b_fuzzy_join2", "length(",
       "defensive empty-string guard; fixture names are never empty"),
+    // r16 sf1 spot-gate: at the salted sf1 corpus this guard genuinely
+    // fires (69,500 docs lose EVERY segment to the hot-df filter), so
+    // the r15 "never fires" reason was fixture-scoped — the arm is real
+    // and live at sf1; at sf0.01/0.1 no document loses all segments
     ("l16_line_dedup", "coalesce(",
-      "defensive null guard; fixture text/segments are non-null"),
+      "all-segments-hot arm: fires only when every segment of a doc is boilerplate; live at sf1 (BRANCHES_r16 _sf1), vacuous at sf0.01 where no doc is fully hot"),
+    // r16 sf1 spot-gate: the comparator VALUE arms need >=2-element
+    // arrays; the x100-salted sf1 corpus leaves <=1 kept segment per
+    // doc (every repeated segment is hot), so the pair liveness domain
+    // is empty there — the arms are live at sf0.01 (primary section)
+    ("l16_line_dedup", "namedlambdavariable() < namedlambdavariable()",
+      "array_sort comparator pair domain empty at the salted sf1 corpus (<=1 kept segment per doc); live at sf0.01"),
+    ("l16_line_dedup", "namedlambdavariable() > namedlambdavariable()",
+      "array_sort comparator pair domain empty at the salted sf1 corpus (<=1 kept segment per doc); live at sf0.01"),
     // canonicalUrl's default-port/empty-param-set arms: the synthetic
     // fixture URLs are https with params, but PropertySpec's URL law
     // drives these arms with generated http/:80/no-param vectors
