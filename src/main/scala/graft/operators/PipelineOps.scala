@@ -333,6 +333,30 @@ object PipelineOps {
     ranks.select(col("id").as("node_id"), col("r").as("score"))
   }
 
+  /** Create-exclusive commit-file publish for the snapshot family's
+    * metadata commits (m39; r16 — VERDICT r15 item 3's snapshot half):
+    * content lands under a temp name and RENAMES into place WITHOUT
+    * replace, so of two writers racing the same version exactly one
+    * wins and the loser throws [[graft.plans.GraftConcurrentCommitException]]
+    * with the first writer's commit intact — SnapshotSpec interleaves
+    * the race; readers see only whole files (rename atomicity).
+    */
+  private[graft] def atomicCommitFile(dir: String, name: String,
+      content: String): Unit = {
+    val d = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(d)
+    val tmp = java.nio.file.Files.createTempFile(d, ".tmp_", ".txt")
+    java.nio.file.Files.writeString(tmp, content)
+    try java.nio.file.Files.move(tmp, d.resolve(name)) // no REPLACE_EXISTING
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        java.nio.file.Files.delete(tmp)
+        throw new graft.plans.GraftConcurrentCommitException(
+          s"commit $name at $dir was claimed by a concurrent writer — " +
+            "re-read the table state and retry with the next version")
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     // M1: sessionization — split each user's event stream at >30-min
     // gaps; one lag + one running sum + one aggregate, all inside a
@@ -902,11 +926,11 @@ object PipelineOps {
       def commit(v: Int, bal: DataFrame): Unit = {
         bal.write.mode("overwrite").parquet(s"$base/balances/gen=$v")
         rollup(bal).write.mode("overwrite").parquet(s"$base/rollup/gen=$v")
-        // the atomic publish: one file naming both generations
-        java.nio.file.Files.createDirectories(
-          java.nio.file.Paths.get(s"$base/commits"))
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(s"$base/commits/v$v.txt"),
+        // the atomic publish: ONE create-exclusive file naming both
+        // generations (r16: [[atomicCommitFile]] — a concurrent second
+        // writer of the same version loses the rename race and throws,
+        // the same OCC arbitration as the DML TableCommit protocol)
+        atomicCommitFile(s"$base/commits", s"v$v.txt",
           s"balances=$base/balances/gen=$v\nrollup=$base/rollup/gen=$v\n")
       }
       commit(1, balances(1995))

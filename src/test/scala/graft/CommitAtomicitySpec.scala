@@ -173,6 +173,47 @@ class CommitAtomicitySpec extends AnyFunSuite with SparkTestBase {
     assert(rows(tbl) === afterB.map { case (k, v) => (k, v + 1) })
   }
 
+  test("partitioned target: pruned-commit crash recovery preserves partition subdirs") {
+    n += 1
+    val tbl = s"commit_spec_t$n"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_$tbl"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    rm(new java.io.File(path))
+    import spark.implicits._
+    (1L to 100L).map(k => (k, k * 10L, (k % 4).toString))
+      .toDF("k", "v", "p")
+      .write.partitionBy("p").parquet(path)
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT, p STRING) " +
+      s"USING parquet PARTITIONED BY (p) LOCATION '$path'")
+    spark.sql(s"MSCK REPAIR TABLE $tbl")
+    val prePart: Seq[(Long, Long)] =
+      (1L to 100L).map(k => (k, k * 10L)).sorted
+    def bumpP(s: Seq[(Long, Long)]) =
+      s.map { case (k, v) => if (k % 4 == 1 && k <= 10) (k, v + 1) else (k, v) }
+    // the WHERE pins one partition AND a k-range, so the commit's adds
+    // and dels both live under the p=1 subdirectory
+    val upd = s"UPDATE $tbl SET v = v + 1 WHERE p = '1' AND k <= 10"
+    TableCommit.crashPoint = Some("betweenMoveAndDelete")
+    try assertInjected(intercept[Throwable](spark.sql(upd)))
+    finally TableCommit.crashPoint = None
+    val table = catalogTable(tbl)
+    val live = TableCommit.readLive(spark, table)
+      .select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(live === bumpP(prePart), "partition-aware readLive mid-tear")
+    TableCommit.recover(spark, table)
+    assert(rows(tbl) === bumpP(prePart))
+    // manifest live paths carry the partition subdir and match disk
+    val (fs, loc) = TableCommit.fsOf(spark, table)
+    val m = TableCommit.latestManifest(fs, loc).get
+    assert(m.live.forall(_.matches("p=./.*")),
+      s"live paths must be partition-relative: ${m.live.take(3)}")
+    assert(TableCommit.listDataFiles(fs, loc).toSet === m.live.toSet)
+    // recover is idempotent: a second run changes nothing
+    TableCommit.recover(spark, table)
+    assert(rows(tbl) === bumpP(prePart))
+  }
+
   test("MERGE rides the same protocol: versions advance, recover is a no-op when converged") {
     val (tbl, _) = freshTable()
     import spark.implicits._

@@ -112,4 +112,22 @@ class SnapshotSpec extends AnyFunSuite with SparkTestBase {
     }
     assert((after.keySet -- before.keySet).nonEmpty)
   }
+
+  test("m39 commit publish: two writers racing one version — exactly one wins, " +
+      "the winner's content survives byte-identical") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_m39_race").toString + "/commits"
+    PipelineOps.atomicCommitFile(dir, "v1.txt", "writer=A\n")
+    val t = intercept[graft.plans.GraftConcurrentCommitException](
+      PipelineOps.atomicCommitFile(dir, "v1.txt", "writer=B\n"))
+    assert(t.getMessage.contains("v1.txt"))
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "v1.txt")) === "writer=A\n")
+    // the loser's temp is cleaned up — no stray files confuse a reader
+    assert(new java.io.File(dir).listFiles().map(_.getName).toSet === Set("v1.txt"))
+    // the loser retries on the NEXT version and lands
+    PipelineOps.atomicCommitFile(dir, "v2.txt", "writer=B\n")
+    assert(new java.io.File(dir).listFiles().map(_.getName).toSet ===
+      Set("v1.txt", "v2.txt"))
+  }
 }
