@@ -115,10 +115,68 @@ object Bpe {
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
   }
 
+  /** The ENCODE half of the tokenizer (l29): apply an ordered merge
+    * list to each word's symbol sequence with the production [[fuse]]
+    * kernel. Processing merges in ASCENDING RANK, each fused to
+    * exhaustion, equals the textbook lowest-rank-pair-first loop
+    * (Sennrich 2016): a pair containing a learned symbol can only be
+    * merged by a rule learned AFTER the rule that minted that symbol,
+    * so its rank is strictly higher — no lower-rank pair can ever
+    * reappear once its rank has been processed (BpeSpec pins the law on
+    * adversarial merge chains). One typed map per word — scan-local,
+    * zero shuffle beyond the word-frequency aggregate, which is the
+    * only honest shape for encoding a 100 TB corpus; the merge table
+    * rides in the task closure (vocabulary-sized, i.e. tiny).
+    */
+  private[graft] def encodeWords(wordFreqs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = wordFreqs.sparkSession
+    import spark.implicits._
+    wordFreqs.select(col("w"), concat(
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+        array(lit("</w>"))).as("syms"), col("freq"))
+      .as[(String, Seq[String], Long)]
+      .map { case (w, sy, f) =>
+        (w, merges.foldLeft(sy) { case (s2, (l, r)) => fuse(s2, l, r) }, f)
+      }
+      .toDF("w", "syms", "freq")
+  }
+
   val queries: Map[String, Q] = Map(
     // L28: the trainer — rows-only (iterative, data-dependent); BpeSpec
     // owns semantics, l28b is the hashed statistics twin
     "l28_bpe_train" -> ((s, d) => train(Tables.documents(s, d), 10)),
+
+    // L29 (r16): BPE ENCODE — the APPLY half a training pipeline
+    // actually runs over the corpus (l28 trains once; encode touches
+    // every byte). Three merges train on the bounded 3–6-char word
+    // slice (the l28c corpus), then every word of the slice is encoded
+    // by applying them in rank order; the oracle reuses l28c's
+    // unrolled per-round recursion — its post-round-3 state IS the
+    // encoded word set — so greedy order, overlap handling, AND the
+    // final token sequences are cross-engine-pinned. Output is
+    // word-level (encoded form + token count + corpus frequency): the
+    // strongest hash of the apply kernel itself.
+    "l29_bpe_encode" -> ((s, d) => {
+      val wf = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")).between(3, 6))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      val seqs = wf.select(concat(
+          expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+          array(lit("</w>"))).as("syms"), col("freq"))
+      // rounds-bounded driver collect (3 rows) — the merge TABLE is the
+      // tokenizer artifact and is always vocabulary-sized
+      val merges = trainFromSeqs(seqs, 3).collect()
+        .sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      encodeWords(wf, merges)
+        .select(col("w"),
+          array_join(col("syms"), " ").as("encoded"),
+          size(col("syms")).cast(org.apache.spark.sql.types.LongType)
+            .as("n_tokens"),
+          col("freq"))
+    }),
 
     // L28b: round-1 pair statistics, hash-checked — the exact
     // tokenization/initialization/weighted-count kernel every training
@@ -157,7 +215,63 @@ object Bpe {
     })
   )
 
+  /** The l28c/l29 shared oracle prefix: word-frequency init over the
+    * bounded slice plus `n` unrolled merge rounds — after round k,
+    * `b$k` holds the round's argmax merge and `s$k` the re-fused word
+    * set, so `s$n` is simultaneously the trainer's final state and the
+    * ENCODING of every word under the n-merge table.
+    */
+  private def mergeRoundsCte(n: Int): String = {
+    val rounds = (1 to n).map { k =>
+      val prev = s"s${k - 1}"
+      s"""p$k AS (
+         |  SELECT pr[1] AS l, pr[2] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(list_zip(syms[1:len(syms) - 1],
+         |                               syms[2:len(syms)])) AS pr, freq
+         |        FROM $prev)
+         |  GROUP BY 1, 2
+         |), b$k AS (
+         |  SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1
+         |), f$k AS (
+         |  SELECT w, syms, freq, 0 AS pos, CAST([] AS VARCHAR[]) AS acc
+         |  FROM $prev
+         |  UNION ALL
+         |  SELECT f.w, f.syms, f.freq,
+         |    CASE WHEN f.pos + 1 < len(f.syms) AND f.syms[f.pos + 1] = b.l
+         |              AND f.syms[f.pos + 2] = b.r
+         |         THEN f.pos + 2 ELSE f.pos + 1 END,
+         |    CASE WHEN f.pos + 1 < len(f.syms) AND f.syms[f.pos + 1] = b.l
+         |              AND f.syms[f.pos + 2] = b.r
+         |         THEN list_append(f.acc, b.l || b.r)
+         |         ELSE list_append(f.acc, f.syms[f.pos + 1]) END
+         |  FROM f$k f, b$k b WHERE f.pos < len(f.syms)
+         |), s$k AS (
+         |  SELECT w, acc AS syms, freq FROM f$k WHERE pos = len(syms)
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH RECURSIVE wf AS (
+       |  SELECT w, COUNT(*) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) BETWEEN 3 AND 6 GROUP BY w
+       |), s0 AS (
+       |  SELECT w, list_append(
+       |    list_transform(generate_series(1, length(w)),
+       |      i -> substring(w, i, 1)), '</w>') AS syms, freq
+       |  FROM wf
+       |), $rounds""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    // l29: the post-round-3 word set read out as token sequences — the
+    // identical recursion l28c pins, so encode correctness rides the
+    // already-proven fuse/argmax machinery
+    "l29_bpe_encode" ->
+      s"""${mergeRoundsCte(3)}
+         |SELECT w, array_to_string(syms, ' ') AS encoded,
+         |  CAST(len(syms) AS BIGINT) AS n_tokens,
+         |  CAST(freq AS BIGINT) AS freq
+         |FROM s3""".stripMargin,
+
     "l28b_bpe_pairs" ->
       """WITH wf AS (
         |  SELECT w, COUNT(*) AS freq FROM (
@@ -187,47 +301,10 @@ object Bpe {
     // recursive CTE (f_k: one step per consumed symbol, jumping two on
     // a fuse — exactly the kernel's while-loop). The round blocks are
     // generated, not transcribed, so round k cannot silently diverge.
-    "l28c_bpe_merge_rounds" -> {
-      val rounds = (1 to 3).map { k =>
-        val prev = s"s${k - 1}"
-        s"""p$k AS (
-           |  SELECT pr[1] AS l, pr[2] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
-           |  FROM (SELECT unnest(list_zip(syms[1:len(syms) - 1],
-           |                               syms[2:len(syms)])) AS pr, freq
-           |        FROM $prev)
-           |  GROUP BY 1, 2
-           |), b$k AS (
-           |  SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1
-           |), f$k AS (
-           |  SELECT w, syms, freq, 0 AS pos, CAST([] AS VARCHAR[]) AS acc
-           |  FROM $prev
-           |  UNION ALL
-           |  SELECT f.w, f.syms, f.freq,
-           |    CASE WHEN f.pos + 1 < len(f.syms) AND f.syms[f.pos + 1] = b.l
-           |              AND f.syms[f.pos + 2] = b.r
-           |         THEN f.pos + 2 ELSE f.pos + 1 END,
-           |    CASE WHEN f.pos + 1 < len(f.syms) AND f.syms[f.pos + 1] = b.l
-           |              AND f.syms[f.pos + 2] = b.r
-           |         THEN list_append(f.acc, b.l || b.r)
-           |         ELSE list_append(f.acc, f.syms[f.pos + 1]) END
-           |  FROM f$k f, b$k b WHERE f.pos < len(f.syms)
-           |), s$k AS (
-           |  SELECT w, acc AS syms, freq FROM f$k WHERE pos = len(syms)
-           |)""".stripMargin
-      }.mkString(", ")
-      s"""WITH RECURSIVE wf AS (
-         |  SELECT w, COUNT(*) AS freq FROM (
-         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-         |  WHERE length(w) BETWEEN 3 AND 6 GROUP BY w
-         |), s0 AS (
-         |  SELECT w, list_append(
-         |    list_transform(generate_series(1, length(w)),
-         |      i -> substring(w, i, 1)), '</w>') AS syms, freq
-         |  FROM wf
-         |), $rounds
+    "l28c_bpe_merge_rounds" ->
+      s"""${mergeRoundsCte(3)}
          |SELECT CAST(1 AS INT) AS rank, l, r, cnt FROM b1
          |UNION ALL SELECT CAST(2 AS INT), l, r, cnt FROM b2
          |UNION ALL SELECT CAST(3 AS INT), l, r, cnt FROM b3""".stripMargin
-    }
   )
 }

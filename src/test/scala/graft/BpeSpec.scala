@@ -97,4 +97,45 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     val m = merges(Bpe.train(df, 1))
     assert(m.head._2 === "x" && m.head._3 === "y" && m.head._4 === 5L)
   }
+
+  test("encode law (l29): rank-order full-fuse ≡ lowest-rank-pair-first " +
+      "reference on generated training-shaped merge chains") {
+    // the reference is the textbook apply loop: repeatedly find the
+    // LOWEST-RANK merge whose pair occurs anywhere, fuse it to
+    // exhaustion, restart the scan from rank 0
+    def encodeRef(syms: Seq[String], ms: Seq[(String, String)]): Seq[String] = {
+      var s = syms
+      var progressed = true
+      while (progressed) {
+        ms.find { case (l, r) =>
+          s.indices.dropRight(1).exists(i => s(i) == l && s(i + 1) == r)
+        } match {
+          case Some((l, r)) => s = Bpe.fuse(s, l, r); progressed = true
+          case None => progressed = false
+        }
+      }
+      s
+    }
+    // generated TRAINING-SHAPED chains: each merge pairs two symbols
+    // already available (chars, or outputs of LOWER-rank merges) — the
+    // invariant real training produces and the rank-order argument
+    // rests on
+    val rnd = new scala.util.Random(20260816)
+    (1 to 300).foreach { seed =>
+      val chars = Seq("a", "b", "c")
+      var avail = chars :+ "</w>"
+      val ms = (1 to 4).map { _ =>
+        val l = avail(rnd.nextInt(avail.size))
+        val r = avail(rnd.nextInt(avail.size))
+        avail = avail :+ (l + r)
+        (l, r)
+      }
+      val word = Seq.fill(3 + rnd.nextInt(6))(chars(rnd.nextInt(3))) :+ "</w>"
+      val viaRankOrder = ms.foldLeft(word) { case (s, (l, r)) => Bpe.fuse(s, l, r) }
+      assert(viaRankOrder === encodeRef(word, ms),
+        s"seed=$seed word=$word merges=$ms")
+      assert(viaRankOrder.mkString === word.mkString,
+        s"encode must preserve the concatenation: seed=$seed")
+    }
+  }
 }
