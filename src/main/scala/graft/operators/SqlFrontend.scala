@@ -587,6 +587,59 @@ object SqlFrontend {
       s.sql(s"SELECT custkey, n, cents FROM $tbl")
     }),
 
+    // SQL21 (r16): MERGE INTO A PARTITIONED TARGET, file-pruned — the
+    // CDC-into-date-partitions shape (the single most common lakehouse
+    // merge): the balance table partitions by order year; the source
+    // carries 1996's 'O'-order deltas (updates + inserts into the
+    // EXISTING 1996 partition) plus a synthetic future-year batch
+    // (custkey offset so every row is an insert — it MINTS partition
+    // yr=2006, which the commit must also REGISTER or a catalog reader
+    // never sees the rows). Only 1996's matched files rewrite; the
+    // 1992–1995/1997–1998 partitions stay byte-identical on disk
+    // (MergeIntoSpec owns the file-level law; this entry hashes the
+    // full post-merge table, where a missed partition registration
+    // surfaces as missing rows). At 100 TB: a day's CDC merge costs
+    // O(touched files + the new day), never O(table).
+    "sql21_merge_partitioned" -> ((s, d) => {
+      withViews(s, d)
+      val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
+      val tbl = s"sql21_balance_$tag"
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_$tbl").toString
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(path))
+      s.sql(
+        s"""CREATE TABLE $tbl USING parquet PARTITIONED BY (yr)
+           |LOCATION '$path' AS
+           |SELECT o_custkey AS custkey, COUNT(*) AS n,
+           |  SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS cents,
+           |  CAST(year(o_orderdate) AS INT) AS yr
+           |FROM orders WHERE o_orderstatus = 'F'
+           |GROUP BY o_custkey, year(o_orderdate)""".stripMargin)
+      s.sql(
+        s"""MERGE INTO $tbl t USING (
+           |  WITH u0 AS (
+           |    SELECT o_custkey AS custkey, COUNT(*) AS n,
+           |      SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS cents,
+           |      CAST(year(o_orderdate) AS INT) AS yr
+           |    FROM orders
+           |    WHERE o_orderstatus = 'O' AND year(o_orderdate) = 1996
+           |    GROUP BY o_custkey, year(o_orderdate))
+           |  SELECT custkey, n, cents, yr FROM u0
+           |  UNION ALL
+           |  SELECT custkey + 1000000, n, cents, CAST(yr + 10 AS INT) FROM u0
+           |) u
+           |ON t.custkey = u.custkey AND t.yr = u.yr
+           |WHEN MATCHED THEN UPDATE SET n = t.n + u.n, cents = t.cents + u.cents
+           |WHEN NOT MATCHED THEN INSERT (custkey, n, cents, yr)
+           |  VALUES (u.custkey, u.n, u.cents, u.yr)""".stripMargin)
+      s.sql(s"SELECT custkey, yr, n, cents FROM $tbl")
+    }),
+
     "sql10_setops_text" -> ((s, d) => { withViews(s, d); s.sql(setOpsSql) }),
     "sql7_native_fn" -> ((s, d) => {
       withViews(s, d)
@@ -664,6 +717,39 @@ object SqlFrontend {
         |  CAST(CASE WHEN custkey % 2 = 0 THEN cents * 2 ELSE cents END
         |    + CASE WHEN n >= 2 THEN 100 ELSE 0 END AS BIGINT) AS cents
         |FROM t""".stripMargin,
+
+    // sql21: the post-merge partitioned table recomputed — FULL JOIN of
+    // the seeded per-(custkey, year) 'F' balances against the 1996 'O'
+    // delta plus its future-year insert batch; a missed partition
+    // registration or a touched-file loss both surface as missing rows
+    "sql21_merge_partitioned" ->
+      """WITH t AS (
+        |  SELECT o_custkey AS custkey, COUNT(*) AS n,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS BIGINT) AS cents,
+        |    CAST(year(o_orderdate) AS INT) AS yr
+        |  FROM orders WHERE o_orderstatus = 'F'
+        |  GROUP BY o_custkey, year(o_orderdate)
+        |), u0 AS (
+        |  SELECT o_custkey AS custkey, COUNT(*) AS n,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS BIGINT) AS cents,
+        |    CAST(year(o_orderdate) AS INT) AS yr
+        |  FROM orders WHERE o_orderstatus = 'O' AND year(o_orderdate) = 1996
+        |  GROUP BY o_custkey, year(o_orderdate)
+        |), u AS (
+        |  SELECT custkey, n, cents, yr FROM u0
+        |  UNION ALL
+        |  SELECT custkey + 1000000, n, cents, CAST(yr + 10 AS INT) FROM u0
+        |)
+        |SELECT COALESCE(t.custkey, u.custkey) AS custkey,
+        |  CAST(COALESCE(t.yr, u.yr) AS INT) AS yr,
+        |  CAST(CASE WHEN t.custkey IS NOT NULL AND u.custkey IS NOT NULL
+        |            THEN t.n + u.n
+        |       WHEN t.custkey IS NOT NULL THEN t.n ELSE u.n END AS BIGINT) AS n,
+        |  CAST(CASE WHEN t.custkey IS NOT NULL AND u.custkey IS NOT NULL
+        |            THEN t.cents + u.cents
+        |       WHEN t.custkey IS NOT NULL THEN t.cents ELSE u.cents END
+        |    AS BIGINT) AS cents
+        |FROM t FULL JOIN u ON t.custkey = u.custkey AND t.yr = u.yr""".stripMargin,
 
     "sql10_setops_text" -> setOpsSql,
     "sql11_ctas" ->

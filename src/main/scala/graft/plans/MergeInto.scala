@@ -196,10 +196,16 @@ case class GraftMergeIntoCommand(merge: MergeIntoTable)
     // FILE-PRUNED commit (VERDICT r13 item 1) where the merge semantics
     // allow one: WHEN NOT MATCHED BY SOURCE puts EVERY target row in
     // play (pruning is impossible by definition, not by limitation), and
-    // a partitioned target's inserts can mint new partition directories
-    // the metastore wouldn't know — both take the full static-overwrite
-    // path. Otherwise target rows in files the source cannot touch pass
-    // through unchanged ON DISK:
+    // an UPDATE assigning a partition column migrates rows between
+    // directories (the static-overwrite path owns that, as for UPDATE
+    // statements). Otherwise target rows in files the source cannot
+    // touch pass through unchanged ON DISK — INCLUDING on partitioned
+    // targets (r16): the scratch write partitions by the table's
+    // partition columns, and partitions the inserts MINT are registered
+    // in the catalog from the commit's own add paths after the swap
+    // (sql21 exercises exactly that — the CDC-into-date-partitions
+    // shape, where a day's merge must cost O(touched files + new day),
+    // never O(table)).
     //  - insert-only merges append the anti-joined insert rows as new
     //    files and delete NOTHING — the CDC dedup-insert batch costs
     //    O(source + target-join-columns scan), never a table rewrite
@@ -208,10 +214,18 @@ case class GraftMergeIntoCommand(merge: MergeIntoTable)
     //    the scan side) proves contain ≥1 matched row; match classes
     //    and the cardinality count are unchanged because a source row
     //    matching ANY target row makes that row's file touched
+    val partLower =
+      table.partitionColumnNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val updatesPartCol = merge.matchedActions.exists {
+      case u: UpdateAction => u.assignments.exists(a =>
+        NestedFields.keyPath(a.key).exists { case (attr, _) =>
+          partLower(attr.name.toLowerCase(java.util.Locale.ROOT)) })
+      case _ => false
+    }
     val prunable = CopyOnWrite.pruningEnabled(spark) &&
       merge.notMatchedBySourceActions.isEmpty &&
       merge.mergeCondition.deterministic &&
-      table.partitionColumnNames.isEmpty
+      !updatesPartCol
     val lrOpt = CopyOnWrite.fsRelationOf(merge.targetTable)
 
     (if (prunable) lrOpt else None) match {
@@ -220,7 +234,7 @@ case class GraftMergeIntoCommand(merge: MergeIntoTable)
         // target (it must see every existing key), but only the join
         // columns; the commit appends new files, touching none
         CopyOnWrite.prunedCommit(spark, table,
-          insertOnlyRows(merge), Nil, Nil, base)
+          insertOnlyRows(merge), Nil, table.partitionColumnNames, base)
       case Some(lr) =>
         val touched = CopyOnWrite.touchedFiles(
           CopyOnWrite.withFileColumn(spark, merge.targetTable)
@@ -234,7 +248,7 @@ case class GraftMergeIntoCommand(merge: MergeIntoTable)
           case Some(pruned) if touched.size < all =>
             CopyOnWrite.prunedCommit(spark, table,
               mergedPlanFor(merge.copy(targetTable = pruned), checkCardinality),
-              touched, Nil, base)
+              touched, table.partitionColumnNames, base)
           case _ =>
             CopyOnWrite.overwrite(spark, table,
               mergedPlanFor(merge, checkCardinality), base)

@@ -241,8 +241,43 @@ private[graft] object TableCommit {
           moved = true
       }
       m.scratch.foreach(s => fs.delete(new HPath(loc, s), true))
+      // a crash between the swap and partition registration must not
+      // orphan minted partitions — replay registration from the adds
+      registerMintedPartitions(spark, table, m.adds.map(_._2),
+        table.partitionColumnNames)
       if (moved) spark.catalog.refreshTable(table.identifier.quotedString)
     }
+  }
+
+  /** Register partition directories that `destRelPaths` prove exist but
+    * the catalog may not list (a pruned MERGE's inserts can mint new
+    * partitions). Specs derive from the Hive-layout path segments, so
+    * registration is exact and bounded by the commit's own adds;
+    * `ADD IF NOT EXISTS` makes it idempotent (recover replays it). The
+    * null-partition sentinel directory cannot be expressed by ALTER and
+    * is skipped — Spark's own writers route nulls there only under
+    * dynamic overwrite, which the pruned paths never use.
+    */
+  def registerMintedPartitions(spark: SparkSession, table: CatalogTable,
+      destRelPaths: Seq[String], partitionCols: Seq[String]): Unit = {
+    if (partitionCols.isEmpty || destRelPaths.isEmpty) return
+    val specs = destRelPaths.flatMap { rel =>
+      val dirs = rel.split("/").dropRight(1)
+      if (dirs.length == partitionCols.size && dirs.forall(_.contains("=")))
+        Some(dirs.toSeq.map { seg =>
+          val Array(k, v) = seg.split("=", 2)
+          k -> ColumnBridge.unescapePathName(v)
+        })
+      else None
+    }.distinct
+    specs.filterNot(_.exists(_._2 == "__HIVE_DEFAULT_PARTITION__"))
+      .foreach { spec =>
+        val specSql = spec.map { case (k, v) =>
+          s"`$k`='${v.replace("\\", "\\\\").replace("'", "\\'")}'"
+        }.mkString(", ")
+        spark.sql(s"ALTER TABLE ${table.identifier.quotedString} " +
+          s"ADD IF NOT EXISTS PARTITION ($specSql)")
+      }
   }
 
   /** Manifest-aware read of the committed state — exact even while the

@@ -267,6 +267,13 @@ private[plans] object CopyOnWrite {
       TableCommit.maybeCrashApply("betweenMoveAndDelete")
       dels.foreach(d => fs.delete(new HPath(loc, d), false))
       fs.delete(scratch, true)
+      // partitions this commit MINTED (MERGE inserts into a partitioned
+      // target) must reach the catalog or a table reader never lists
+      // them — registration is derived from the commit's own add paths,
+      // so it costs one idempotent catalog call per NEW partition, and
+      // recover() replays it from the manifest after a crash
+      TableCommit.registerMintedPartitions(
+        spark, table, adds.map(_._2), partitionCols)
     } catch {
       case e: Throwable =>
         // before the commit point nothing visible changed: roll the

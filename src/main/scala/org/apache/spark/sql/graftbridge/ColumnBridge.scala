@@ -42,4 +42,13 @@ object ColumnBridge {
       table: org.apache.spark.sql.catalyst.catalog.CatalogTable): Unit =
     org.apache.spark.sql.execution.command.CommandUtils.updateTableStats(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], table)
+
+  /** Hive-layout partition-path unescaping (private[spark] in the
+    * external catalog) — the pruned MERGE commit derives minted
+    * partition specs from its own add paths, which use the same
+    * escaping Spark's writers produce.
+    */
+  def unescapePathName(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName(s)
 }

@@ -437,6 +437,45 @@ class MergeIntoSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.sql(s"SELECT count(*) FROM $tbl").head().getLong(0) === 41L)
   }
 
+  test("partitioned target: pruned MERGE rewrites only touched partitions' " +
+      "files, mints + registers a NEW partition, other partitions byte-identical") {
+    n += 1
+    val tbl = s"merge_spec_part_t$n"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_$tbl"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(path))
+    import spark.implicits._
+    (0L until 40L).map(k => (k, k * 10, s"p${k % 3}")).toDF("k", "v", "p")
+      .write.partitionBy("p").option("path", path).saveAsTable(tbl)
+    val before = fileState(path)
+    // updates hit k=3 (partition p0) only; the insert mints partition p9
+    Seq((3L, 333L, "p0"), (100L, 1000L, "p9")).toDF("k", "nv", "np")
+      .createOrReplaceTempView("merge_part_src")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING merge_part_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.nv
+         |WHEN NOT MATCHED THEN INSERT (k, v, p) VALUES (s.k, s.nv, s.np)""".stripMargin)
+    val after = fileState(path)
+    // p1/p2 partitions never had a matched row: byte-identical on disk
+    before.filter(f => f._1.startsWith("p=p1/") || f._1.startsWith("p=p2/"))
+      .foreach { case (f, h) =>
+        assert(after.get(f).contains(h), s"untouched partition file $f changed") }
+    val removed = (before.keySet -- after.keySet).size
+    assert(removed >= 1 && removed < before.size,
+      s"strict subset rewritten: $removed of ${before.size}")
+    // the minted partition is REGISTERED — the catalog reader sees it
+    val parts = spark.sql(s"SHOW PARTITIONS $tbl").collect().map(_.getString(0)).toSet
+    assert(parts.contains("p=p9"), parts.toString)
+    assert(spark.sql(s"SELECT v FROM $tbl WHERE k = 100").head().getLong(0) === 1000L)
+    assert(spark.sql(s"SELECT v FROM $tbl WHERE k = 3").head().getLong(0) === 333L)
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").head().getLong(0) === 41L)
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("MERGE with NOT MATCHED BY SOURCE rewrites the full table " +
       "(pruning impossible by semantics, not by accident)") {
     val (tbl, path) = clusteredTarget()
