@@ -406,6 +406,19 @@ object SqlFrontend {
     "sql15_delete" -> ((s, d) => dmlOn(s, d, "sql15", tbl =>
       s"DELETE FROM $tbl WHERE cents < 50000000")),
 
+    // SQL22 (r16): DELETE WHERE key IN (subquery) — the GDPR-LIST scrub
+    // (the erasure-request batch arrives as a TABLE, not a literal
+    // predicate). The IN-subquery plans as a join under the DELETE's
+    // condition; the file-pruned commit still applies because the
+    // touched-file probe and the pruned-relation rebind both preserve
+    // the resolved subquery expressions (UpdateDelete's prunedRelation
+    // contract). Scrub set = customers with ≥ 5 'O' orders — fires and
+    // leaves survivors at every fixture SF.
+    "sql22_delete_subquery" -> ((s, d) => dmlOn(s, d, "sql22", tbl =>
+      s"""DELETE FROM $tbl WHERE custkey IN (
+         |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         |  GROUP BY o_custkey HAVING COUNT(*) >= 5)""".stripMargin)),
+
     // SQL16: MERGE WITH SCHEMA EVOLUTION (r14) — the CDC reality where
     // the feed grows a column mid-stream. The source carries
     // max_open_cents, a column the seeded balance table lacks; the
@@ -806,6 +819,20 @@ object SqlFrontend {
         |)
         |SELECT custkey, n, cents FROM t
         |WHERE NOT (cents < 50000000)""".stripMargin,
+
+    // sql22: the seeded balances minus the scrub list — DuckDB ANTI
+    // JOIN against the same >=5-'O'-orders customer set
+    "sql22_delete_subquery" ->
+      """WITH t AS (
+        |  SELECT o_custkey AS custkey, COUNT(*) AS n,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+        |), scrub AS (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |  GROUP BY o_custkey HAVING COUNT(*) >= 5
+        |)
+        |SELECT custkey, n, cents FROM t
+        |WHERE custkey NOT IN (SELECT o_custkey FROM scrub)""".stripMargin,
 
     // sql16: evolved post-state — matched rows combine and carry the
     // source's new column, F-only rows NULL-backfill it, O-only insert
