@@ -58,6 +58,25 @@ object Streams {
       java.nio.file.attribute.FileTime.fromMillis(1700000000000L + b * 60000L))
   }
 
+  /** [[stageBatch]] for RAW TEXT LINES (single string column `value`):
+    * t38 plants malformed NDJSON, which a json writer could never
+    * produce — same single-file + stamped-mtime contract.
+    */
+  private def stageBatchText(s: SparkSession, feed: String, b: Int,
+      df: DataFrame): Unit = {
+    val stage = new java.io.File(s"${feed}_stage")
+    df.repartition(1).write.mode("overwrite").text(stage.toString)
+    val parts = stage.listFiles.filter(_.getName.startsWith("part-"))
+    require(parts.length == 1,
+      s"stageBatchText: expected exactly 1 part file under $stage, got ${parts.length}")
+    val dst = java.nio.file.Paths.get(feed, f"batch$b%02d.json")
+    java.nio.file.Files.createDirectories(dst.getParent)
+    java.nio.file.Files.move(parts.head.toPath, dst,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    java.nio.file.Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(1700000000000L + b * 60000L))
+  }
+
   private def rmTree(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmTree))
     f.delete(): Unit
@@ -1213,6 +1232,57 @@ object Streams {
         try q.processAllAvailable() finally q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table("t37_final").select(col("text_md5"))
+    }),
+
+    // T38 (r16): CORRUPT-RECORD QUARANTINE under the external oracle —
+    // t12's 24/7-ingest failure mode graded by DuckDB: a continuously
+    // tailing NDJSON stream must quarantine malformed lines (not die,
+    // not silently drop). The feed plants DETERMINISTIC corruption —
+    // every id%7=0 document's JSON line loses its closing brace (raw
+    // text staging; a json writer could never produce it) across three
+    // id%3 mtime-pinned batches. PERMISSIVE parse with a corrupt-record
+    // column nulls every schema field of a bad line; the running
+    // complete-mode audit (quarantined × lang counts + char totals) is
+    // the final table, which the oracle recomputes from the same %7
+    // rule — a dropped bad line, a died stream, or a half-parsed row
+    // leaking field values all break the hash.
+    "t38_stream_corrupt_quarantine" -> ((s, d) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_t38_${dirTag(d)}").toString
+      rmTree(new java.io.File(base))
+      val feed = s"$base/feed"
+      val docs = graft.Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      (0 to 2).foreach(b => stageBatchText(s, feed, b,
+        docs.filter(col("doc_id") % 3 === b)
+          .withColumn("js",
+            to_json(struct(col("doc_id"), col("lang"), col("n_chars"))))
+          .select(when(col("doc_id") % 7 === 0,
+              expr("substring(js, 1, length(js) - 1)"))
+            .otherwise(col("js")).as("value"))))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("n_chars", LongType),
+        StructField("_corrupt_record", StringType)))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val parsed = s.readStream.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .option("maxFilesPerTrigger", "1").json(feed)
+        val q = parsed
+          .groupBy(col("_corrupt_record").isNotNull.as("quarantined"),
+            col("lang"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).cast(LongType).as("chars_total"))
+          .writeStream.format("memory").queryName("t38_final")
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table("t38_final")
+        .select(col("quarantined"), col("lang"), col("n"), col("chars_total"))
     })
   )
 
@@ -1498,6 +1568,20 @@ object Streams {
         |  WHERE source IN ('src0', 'src1')
         |)
         |SELECT DISTINCT md5(text) AS text_md5 FROM documents
-        |WHERE md5(text) NOT IN (SELECT text_md5 FROM corpus)""".stripMargin
+        |WHERE md5(text) NOT IN (SELECT text_md5 FROM corpus)""".stripMargin,
+
+    // t38: the quarantine audit recomputed from the planted %7 rule —
+    // corrupt lines null every schema field (lang and chars fall out of
+    // their groups entirely), valid lines aggregate per lang
+    "t38_stream_corrupt_quarantine" ->
+      """WITH d AS (
+        |  SELECT doc_id % 7 = 0 AS quarantined,
+        |    CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+        |    CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END AS n_chars
+        |  FROM documents
+        |)
+        |SELECT quarantined, lang, COUNT(*) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_total
+        |FROM d GROUP BY 1, 2""".stripMargin
   )
 }
