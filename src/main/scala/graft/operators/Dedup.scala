@@ -664,6 +664,31 @@ object Dedup {
         .agg(count(lit(1)).as("n_pairs"))
     }),
 
+    // L24B (r17): l24's LINEAR-ORACLE twin (VERDICT r16 item 8) — the
+    // same overlap matrix, but hash-checked through the l2g/l2h
+    // policy-dump pattern: the engine dumps its verified ≥0.9 pairs to
+    // a parquet side table and aggregates per source pair FROM THE
+    // DUMP; the oracle joins the SAME dump against documents and
+    // re-aggregates — linear in |pairs| + |docs|, so the sf1 spot-gate
+    // can hash this row where l24's deliberately-quadratic completeness
+    // oracle cannot run (ratio_table.QUADRATIC_ORACLE). Division of
+    // labor: l24 pins pair COMPLETENESS at gate scale; l24b pins the
+    // label-join + matrix-aggregate layer at EVERY scale. DedupSpec
+    // pins l24b ≡ l24 on the fixture.
+    "l24b_overlap_matrix_dump" -> ((s, d) => {
+      val path = policyDumpPath("l24b_pairs")
+      jaccardVerifiedPairsComplete(s, d, 0.9)
+        .select(col("d1"), col("d2"))
+        .write.mode("overwrite").parquet(path)
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      s.read.parquet(path)
+        .join(src.select(col("doc_id").as("d1"), col("source").as("s1")), "d1")
+        .join(src.select(col("doc_id").as("d2"), col("source").as("s2")), "d2")
+        .groupBy(least(col("s1"), col("s2")).as("source_a"),
+          greatest(col("s1"), col("s2")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // L2d: asymmetric CONTAINMENT dedup — C(a→b) = |kept(a)∩kept(b)| /
     // |kept(a)|: "how much of a is inside b". Catches what symmetric
     // jaccard (l2c) structurally misses: a short document wrapped in
@@ -1282,6 +1307,18 @@ object Dedup {
         |SELECT min(doc_id) AS doc_id, md5(text) AS text_md5,
         |  COUNT(*) AS n_copies
         |FROM all_docs GROUP BY md5(text)""".stripMargin,
+
+    // l24b: the LINEAR twin — the oracle aggregates the engine's own
+    // pair dump (l2g/l2h's pattern), so it runs at any corpus size;
+    // completeness of the dump itself stays pinned by l24 at gate scale
+    "l24b_overlap_matrix_dump" ->
+      s"""SELECT least(a.source, b.source) AS source_a,
+         |  greatest(a.source, b.source) AS source_b,
+         |  COUNT(*) AS n_pairs
+         |FROM read_parquet('${policyDumpPath("l24b_pairs")}/*.parquet') p
+         |JOIN documents a ON p.d1 = a.doc_id
+         |JOIN documents b ON p.d2 = b.doc_id
+         |GROUP BY 1, 2""".stripMargin,
 
     // l24: same quadratic-oracle stance as l2e, aggregated per source
     // pair — agreement proves the engine's expanded pair set is exactly

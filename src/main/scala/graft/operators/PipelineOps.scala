@@ -333,28 +333,19 @@ object PipelineOps {
     ranks.select(col("id").as("node_id"), col("r").as("score"))
   }
 
-  /** Create-exclusive commit-file publish for the snapshot family's
-    * metadata commits (m39; r16 — VERDICT r15 item 3's snapshot half):
-    * content lands under a temp name and RENAMES into place WITHOUT
-    * replace, so of two writers racing the same version exactly one
-    * wins and the loser throws [[graft.plans.GraftConcurrentCommitException]]
-    * with the first writer's commit intact — SnapshotSpec interleaves
-    * the race; readers see only whole files (rename atomicity).
+  /** Recursive local delete — snapshot entries reset their fixture
+    * table (data AND `_graft_commits` history) before re-building it.
+    * (r17: `atomicCommitFile`, the snapshot family's private OCC
+    * arbiter, is retired — every snapshot commit now goes through
+    * [[graft.plans.TableCommit]]'s reserve/publish, the same protocol
+    * as the DML writers; see [[graft.plans.SnapshotTable]].)
     */
-  private[graft] def atomicCommitFile(dir: String, name: String,
-      content: String): Unit = {
-    val d = java.nio.file.Paths.get(dir)
-    java.nio.file.Files.createDirectories(d)
-    val tmp = java.nio.file.Files.createTempFile(d, ".tmp_", ".txt")
-    java.nio.file.Files.writeString(tmp, content)
-    try java.nio.file.Files.move(tmp, d.resolve(name)) // no REPLACE_EXISTING
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        java.nio.file.Files.delete(tmp)
-        throw new graft.plans.GraftConcurrentCommitException(
-          s"commit $name at $dir was claimed by a concurrent writer — " +
-            "re-read the table state and retry with the next version")
+  private def rmDir(dir: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(): Unit
     }
+    rm(new java.io.File(dir))
   }
 
   val queries: Map[String, Q] = Map(
@@ -693,22 +684,23 @@ object PipelineOps {
       val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
       val dir = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"), s"graft_m32_table_$tag").toString
-      def files(): Set[String] = {
-        val fs = new java.io.File(dir).listFiles()
-        if (fs == null) Set.empty
-        else fs.map(_.getName).filter(_.endsWith(".parquet")).toSet
-      }
+      rmDir(dir)
       val orders = Tables.orders(s, d).select(
         year(col("o_orderdate")).as("yr"),
         expr("CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)").as("cents"))
-      orders.filter(col("yr") === 1995)
-        .repartition(2).write.mode("overwrite").parquet(dir)
-      val v1 = files()
-      orders.filter(col("yr") === 1996)
-        .repartition(2).write.mode("append").parquet(dir)
-      val v2 = files()
-      def snapshot(v: Set[String], name: String) =
-        s.read.parquet(v.toSeq.sorted.map(f => s"$dir/$f"): _*)
+      // r17: versions are REAL TableCommit manifests (SnapshotTable),
+      // not driver-memory file-set diffs — two concurrent appends now
+      // arbitrate through the same v{N}.lock OCC as the DML writers
+      // (SnapshotSpec interleaves that race)
+      val snap = graft.plans.SnapshotTable
+      val v1 = snap.commit(s, dir,
+        Some(orders.filter(col("yr") === 1995).repartition(2)),
+        (_, nw) => nw)
+      val v2 = snap.commit(s, dir,
+        Some(orders.filter(col("yr") === 1996).repartition(2)),
+        (prev, nw) => prev ++ nw)
+      def snapshot(v: Int, name: String) =
+        snap.read(s, dir, v)
           .agg(count(lit(1)).as("n"),
             sum(col("cents")).cast(LongType).as("cents_total"))
           .select(lit(name).as("version"), col("n"), col("cents_total"))
@@ -731,20 +723,22 @@ object PipelineOps {
       val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
       val dir = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"), s"graft_m33_table_$tag").toString
-      def files(): Set[String] = {
-        val fs = new java.io.File(dir).listFiles()
-        if (fs == null) Set.empty
-        else fs.map(_.getName).filter(_.endsWith(".parquet")).toSet
-      }
+      rmDir(dir)
       val orders = Tables.orders(s, d).select(
         year(col("o_orderdate")).as("yr"),
         expr("CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)").as("cents"))
-      orders.filter(col("yr") === 1995)
-        .repartition(2).write.mode("overwrite").parquet(dir)
-      val v1 = files()
-      orders.filter(col("yr") === 1996)
-        .repartition(2).write.mode("append").parquet(dir)
-      val delta = files() -- v1
+      // r17: the change feed is a MANIFEST set-diff between two real
+      // TableCommit versions (SnapshotTable) — the consumer reads
+      // exactly the files v2 added, never rescanning v1's base
+      val snap = graft.plans.SnapshotTable
+      val (fs, loc) = snap.fsOf(s, dir)
+      val v1 = snap.commit(s, dir,
+        Some(orders.filter(col("yr") === 1995).repartition(2)),
+        (_, nw) => nw)
+      val v2 = snap.commit(s, dir,
+        Some(orders.filter(col("yr") === 1996).repartition(2)),
+        (prev, nw) => prev ++ nw)
+      val delta = snap.liveAt(fs, loc, v2).toSet -- snap.liveAt(fs, loc, v1)
       s.read.parquet(delta.toSeq.sorted.map(f => s"$dir/$f"): _*)
         .groupBy(col("yr"))
         .agg(count(lit(1)).as("n"),
@@ -854,29 +848,29 @@ object PipelineOps {
       val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
       val dir = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"), s"graft_m37_table_$tag").toString
-      def files(): Set[String] = {
-        val fs = new java.io.File(dir).listFiles()
-        if (fs == null) Set.empty
-        else fs.map(_.getName).filter(_.endsWith(".parquet")).toSet
-      }
+      rmDir(dir)
       val orders = Tables.orders(s, d).select(
         year(col("o_orderdate")).as("yr"),
         expr("CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)").as("cents"))
-      orders.filter(col("yr") === 1995)
-        .repartition(2).write.mode("overwrite").parquet(dir)
-      val v1 = files()
-      orders.filter(col("yr") === 1996)
-        .repartition(2).write.mode("append").parquet(dir)
-      val v2 = files()
-      val b = v2 -- v1
-      // compact v2's appended files into one (A stays untouched): v3
-      s.read.parquet(b.toSeq.sorted.map(f => s"$dir/$f"): _*)
-        .coalesce(1).write.mode("append").parquet(dir)
-      val v3 = files() -- b
-      // expire v1 and v2, retain v3: delete (v1∪v2) − v3 — exactly B
-      ((v1 ++ v2) -- v3).foreach { f =>
-        new java.io.File(s"$dir/$f").delete(): Unit
-      }
+      // r17: three real TableCommit versions (SnapshotTable); expire
+      // reference-counts across the MANIFESTS — delete exactly the
+      // files no retained version lists (B), keep shared A and C
+      val snap = graft.plans.SnapshotTable
+      val (fs, loc) = snap.fsOf(s, dir)
+      val v1 = snap.commit(s, dir,
+        Some(orders.filter(col("yr") === 1995).repartition(2)),
+        (_, nw) => nw) // files A
+      val v2 = snap.commit(s, dir,
+        Some(orders.filter(col("yr") === 1996).repartition(2)),
+        (prev, nw) => prev ++ nw) // A ∪ B
+      val b = snap.liveAt(fs, loc, v2).toSet -- snap.liveAt(fs, loc, v1)
+      // compact B into one file C (A stays untouched): v3 = A ∪ C
+      val v3 = snap.commit(s, dir,
+        Some(s.read.parquet(b.toSeq.sorted.map(f => s"$dir/$f"): _*)
+          .coalesce(1)),
+        (prev, nw) => prev.filterNot(b.contains) ++ nw)
+      // expire v1/v2, retain v3: the reference count deletes exactly B
+      snap.expire(s, dir, retain = Seq(v3))
       s.read.parquet(dir)
         .groupBy(col("yr"))
         .agg(count(lit(1)).as("n"),
@@ -923,31 +917,33 @@ object PipelineOps {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_cust"),
           sum(col("cents")).cast(LongType).as("cents_total"))
+      // r17: the multi-table commit IS a TableCommit manifest on the
+      // transaction root — reserve arbitrates concurrent writers (the
+      // same v{N}.lock OCC as DML tables; atomicCommitFile retired),
+      // publish atomically names BOTH tables' generations in the
+      // manifest's live list
+      val snapFs = graft.plans.SnapshotTable.fsOf(s, base)
       def commit(v: Int, bal: DataFrame): Unit = {
         bal.write.mode("overwrite").parquet(s"$base/balances/gen=$v")
         rollup(bal).write.mode("overwrite").parquet(s"$base/rollup/gen=$v")
-        // the atomic publish: ONE create-exclusive file naming both
-        // generations (r16: [[atomicCommitFile]] — a concurrent second
-        // writer of the same version loses the rename race and throws,
-        // the same OCC arbitration as the DML TableCommit protocol)
-        atomicCommitFile(s"$base/commits", s"v$v.txt",
-          s"balances=$base/balances/gen=$v\nrollup=$base/rollup/gen=$v\n")
+        val got = graft.plans.TableCommit.reserve(snapFs._1, snapFs._2, v - 1)
+        graft.plans.TableCommit.publish(snapFs._1, snapFs._2,
+          graft.plans.TableCommit.Manifest(got, None, Nil, Nil,
+            Seq(s"balances/gen=$v", s"rollup/gen=$v")))
       }
       commit(1, balances(1995))
       commit(2, balances(1996))
       // the torn write: a new balances generation lands (doubled — the
-      // bad job), the rollup never does, and NO commit file exists
+      // bad job), the rollup never does, and NO commit manifest exists
       balances(1996).select(col("o_custkey"), col("n"),
           (col("cents") * 2).as("cents"))
         .write.mode("overwrite").parquet(s"$base/balances/gen=3")
-      // reader: resolve the LATEST COMMIT FILE, read what it names
-      val latest = new java.io.File(s"$base/commits").listFiles()
-        .map(_.getName.stripPrefix("v").stripSuffix(".txt").toInt).max
-      val named = java.nio.file.Files.readString(
-        java.nio.file.Paths.get(s"$base/commits/v$latest.txt"))
-        .linesIterator.map { l =>
-          val Array(k, v) = l.split("=", 2); k -> v
-        }.toMap
+      // reader: resolve the LATEST PUBLISHED MANIFEST, read what it
+      // names (the torn generation has no manifest — invisible)
+      val named = graft.plans.TableCommit
+        .latestManifest(snapFs._1, snapFs._2).get.live
+        .map(l => l.split("/").head -> s"$base/$l")
+        .toMap
       val bal = s.read.parquet(named("balances"))
       val roll = s.read.parquet(named("rollup"))
       rollup(bal)
@@ -976,24 +972,27 @@ object PipelineOps {
       val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
       val dir = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"), s"graft_m38_table_$tag").toString
-      def files(): Set[String] = {
-        val fs = new java.io.File(dir).listFiles()
-        if (fs == null) Set.empty
-        else fs.map(_.getName).filter(_.endsWith(".parquet")).toSet
-      }
+      rmDir(dir)
       val orders = Tables.orders(s, d).select(
         year(col("o_orderdate")).as("yr"),
         expr("CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)").as("cents"))
-      orders.filter(col("yr") === 1995)
-        .repartition(2).write.mode("overwrite").parquet(dir)
-      val v1 = files()
+      // r17: rollback is a THIRD TableCommit version whose manifest is
+      // exactly v1's live list (SnapshotTable) — a metadata write; the
+      // corrupt v2 files stay on disk for expire to reclaim
+      val snap = graft.plans.SnapshotTable
+      val (fs, loc) = snap.fsOf(s, dir)
+      val v1 = snap.commit(s, dir,
+        Some(orders.filter(col("yr") === 1995).repartition(2)),
+        (_, nw) => nw)
       // the bad deploy: corrupt 1996 rows (amounts doubled) appended
-      orders.filter(col("yr") === 1996)
-        .select(col("yr"), (col("cents") * 2).as("cents"))
-        .repartition(2).write.mode("append").parquet(dir)
-      // rollback = new snapshot referencing exactly v1's manifest
-      val v3 = v1
-      s.read.parquet(v3.toSeq.sorted.map(f => s"$dir/$f"): _*)
+      snap.commit(s, dir,
+        Some(orders.filter(col("yr") === 1996)
+          .select(col("yr"), (col("cents") * 2).as("cents"))
+          .repartition(2)),
+        (prev, nw) => prev ++ nw)
+      val rolledBack = snap.liveAt(fs, loc, v1)
+      val v3 = snap.commit(s, dir, None, (_, _) => rolledBack)
+      snap.read(s, dir, v3)
         .groupBy(col("yr"))
         .agg(count(lit(1)).as("n"),
           sum(col("cents")).cast(LongType).as("cents_total"))

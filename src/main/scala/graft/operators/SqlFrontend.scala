@@ -419,6 +419,79 @@ object SqlFrontend {
          |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
          |  GROUP BY o_custkey HAVING COUNT(*) >= 5)""".stripMargin)),
 
+    // SQL23 (r17): UPDATE OF A PARTITION COLUMN, file-pruned — the
+    // row-migration CDC shape (re-dating a batch, moving records
+    // between tenants) that cost a FULL static overwrite before r17
+    // (VERDICT r16 item 7). The pruned commit handles migration
+    // natively: only 1995's n>=2 files rewrite, their modified rows
+    // land in the MINTED yr=2095 partition through the scratch write's
+    // partitionBy, the commit registers it, and 1992–1994/1996–1998
+    // stay byte-identical on disk (UpdateDeleteSpec owns the file law;
+    // this entry hashes the full post-state, where a lost migration or
+    // an unregistered partition surfaces as missing/misplaced rows).
+    // At 100 TB: re-dating one day's partition costs O(that day), not
+    // O(table).
+    "sql23_update_partition_move" -> ((s, d) => {
+      withViews(s, d)
+      val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
+      val tbl = s"sql23_balance_$tag"
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_$tbl").toString
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(path))
+      s.sql(
+        s"""CREATE TABLE $tbl USING parquet PARTITIONED BY (yr)
+           |LOCATION '$path' AS
+           |SELECT o_custkey AS custkey, COUNT(*) AS n,
+           |  SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS cents,
+           |  CAST(year(o_orderdate) AS INT) AS yr
+           |FROM orders WHERE o_orderstatus = 'F'
+           |GROUP BY o_custkey, year(o_orderdate)""".stripMargin)
+      s.sql(s"UPDATE $tbl SET yr = yr + 100 WHERE yr = 1995 AND n >= 2")
+      s.sql(s"SELECT custkey, yr, n, cents FROM $tbl")
+    }),
+
+    // SQL24 (r17): MAP-KEY UPDATE — `SET m.key = value` on a MAP column
+    // (VERDICT r16 item 7's other half), the per-entity counter/feature
+    // bag every curation pipeline carries. Upsert semantics via one
+    // codegen'd remove-then-append projection (NestedFields.setMapKey):
+    // 'orders' exists and UPDATES, 'bonus' is absent and INSERTS, both
+    // RHS read the OLD map, and non-matching rows' maps ride through
+    // untouched. The post-state is hashed EXPLODED to (custkey, k, v)
+    // rows — map column order never touches the hash — and the oracle
+    // recomputes every entry from the raw orders with the same CASE.
+    "sql24_update_map_key" -> ((s, d) => {
+      withViews(s, d)
+      val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
+      val tbl = s"sql24_counters_$tag"
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_$tbl").toString
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(path))
+      s.sql(
+        s"""CREATE TABLE $tbl USING parquet LOCATION '$path' AS
+           |SELECT o_custkey AS custkey,
+           |  map('orders', COUNT(*),
+           |      'cents', SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)))
+           |    AS counters
+           |FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey""".stripMargin)
+      s.sql(
+        s"""UPDATE $tbl SET counters.orders = counters.orders + 1,
+           |  counters.bonus = counters.cents % 7
+           |WHERE custkey % 3 = 0""".stripMargin)
+      s.sql(
+        s"""SELECT custkey, k, v FROM $tbl
+           |LATERAL VIEW explode(counters) x AS k, v""".stripMargin)
+    }),
+
     // SQL16: MERGE WITH SCHEMA EVOLUTION (r14) — the CDC reality where
     // the feed grows a column mid-stream. The source carries
     // max_open_cents, a column the seeded balance table lacks; the
@@ -579,13 +652,15 @@ object SqlFrontend {
            |FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey""".stripMargin)
       val updA = s"UPDATE $tbl SET cents = cents + 100 WHERE n >= 2"
       var fired = false
-      graft.plans.TableCommit.beforeReserveHook = () => {
+      // the seam is LENT, never assigned (VERDICT r16 item 6): the
+      // lender resets it in finally, so no exception path can leave a
+      // hook armed for a later query in the same session to trip over
+      val conflicted = graft.plans.TableCommit.withBeforeReserveHook(() => {
         if (!fired) {
           fired = true // guard BEFORE running B: B's own reserve re-enters
           s.sql(s"UPDATE $tbl SET cents = cents * 2 WHERE custkey % 2 = 0")
         }
-      }
-      val conflicted = try {
+      }) {
         try { s.sql(updA); false }
         catch { case t: Throwable =>
           val chain = Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
@@ -593,7 +668,7 @@ object SqlFrontend {
             _.isInstanceOf[graft.plans.GraftConcurrentCommitException])) true
           else throw t
         }
-      } finally graft.plans.TableCommit.beforeReserveHook = () => ()
+      }
       require(conflicted && fired,
         "sql20: the interleaved writer must force a commit conflict")
       s.sql(updA) // the retry: re-reads B's version, applies exactly once
@@ -833,6 +908,42 @@ object SqlFrontend {
         |)
         |SELECT custkey, n, cents FROM t
         |WHERE custkey NOT IN (SELECT o_custkey FROM scrub)""".stripMargin,
+
+    // sql23: the post-migration partitioned table recomputed — rows
+    // matching the WHERE carry yr+100 (the minted partition), everyone
+    // else keeps their year; a lost migration, a double-applied move,
+    // or an unregistered partition all break the hash
+    "sql23_update_partition_move" ->
+      """WITH t AS (
+        |  SELECT o_custkey AS custkey, COUNT(*) AS n,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS BIGINT) AS cents,
+        |    CAST(year(o_orderdate) AS INT) AS yr
+        |  FROM orders WHERE o_orderstatus = 'F'
+        |  GROUP BY o_custkey, year(o_orderdate)
+        |)
+        |SELECT custkey,
+        |  CAST(CASE WHEN yr = 1995 AND n >= 2 THEN yr + 100 ELSE yr END
+        |    AS INT) AS yr,
+        |  n, cents FROM t""".stripMargin,
+
+    // sql24: every post-update map entry recomputed from the raw
+    // orders — 'orders' gets +1 and 'bonus' appears only for the
+    // custkey%3 rows, 'cents' rides through; the exploded (k, v) rows
+    // make the compare map-order-independent
+    "sql24_update_map_key" ->
+      """WITH t AS (
+        |  SELECT o_custkey AS custkey, COUNT(*) AS n,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+        |)
+        |SELECT custkey, 'orders' AS k,
+        |  CAST(CASE WHEN custkey % 3 = 0 THEN n + 1 ELSE n END AS BIGINT) AS v
+        |FROM t
+        |UNION ALL
+        |SELECT custkey, 'cents' AS k, cents AS v FROM t
+        |UNION ALL
+        |SELECT custkey, 'bonus' AS k, CAST(cents % 7 AS BIGINT) AS v
+        |FROM t WHERE custkey % 3 = 0""".stripMargin,
 
     // sql16: evolved post-state — matched rows combine and carry the
     // source's new column, F-only rows NULL-backfill it, O-only insert

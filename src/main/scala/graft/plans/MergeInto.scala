@@ -57,13 +57,13 @@ import org.apache.spark.sql.types.LongType
   *     encodes DELETE and the drop of source-only rows no INSERT clause
   *     accepts. MATCHED / NOT MATCHED [BY SOURCE] classes are disjoint
   *     by the marker predicates.
-  *  5. The merged rows are written to a scratch dir, read back, and
-  *     INSERT OVERWRITE'd into the target — the read-back breaks the
-  *     self-overwrite lineage v1 refuses ("Cannot overwrite a path that
-  *     is also being read from"). Non-atomic across the two steps, the
-  *     declared v1-table deviation from Delta's transactional commit.
-  *     A cardinality violation throws during the SCRATCH write, so the
-  *     target is never touched on error.
+  *  5. The merged rows are written to a scratch dir inside the table
+  *     location and committed by the [[TableCommit]] manifest swap
+  *     (crash-atomic, version-checked — since r17 even the full
+  *     rewrite, so there is no self-overwrite lineage to break: the
+  *     target's files are only renamed/deleted AFTER the scratch write
+  *     fully succeeds). A cardinality violation throws during the
+  *     SCRATCH write, so the target is never touched on error.
   *
   * Scale: one target scan + one source scan + the join's shuffle pair +
   * one window shuffle keyed by the (unique) target row id — no second
@@ -195,17 +195,18 @@ case class GraftMergeIntoCommand(merge: MergeIntoTable)
 
     // FILE-PRUNED commit (VERDICT r13 item 1) where the merge semantics
     // allow one: WHEN NOT MATCHED BY SOURCE puts EVERY target row in
-    // play (pruning is impossible by definition, not by limitation), and
-    // an UPDATE assigning a partition column migrates rows between
-    // directories (the static-overwrite path owns that, as for UPDATE
-    // statements). Otherwise target rows in files the source cannot
+    // play (pruning is impossible by definition, not by limitation —
+    // and since r17 even that full rewrite rides the same crash-atomic
+    // manifest swap). Otherwise target rows in files the source cannot
     // touch pass through unchanged ON DISK — INCLUDING on partitioned
     // targets (r16): the scratch write partitions by the table's
     // partition columns, and partitions the inserts MINT are registered
     // in the catalog from the commit's own add paths after the swap
     // (sql21 exercises exactly that — the CDC-into-date-partitions
     // shape, where a day's merge must cost O(touched files + new day),
-    // never O(table)).
+    // never O(table)). An UPDATE assigning a partition column also
+    // prunes (r17): matched rows migrate directories through the
+    // scratch write's partitionBy, exactly like UPDATE statements.
     //  - insert-only merges append the anti-joined insert rows as new
     //    files and delete NOTHING — the CDC dedup-insert batch costs
     //    O(source + target-join-columns scan), never a table rewrite
@@ -214,18 +215,9 @@ case class GraftMergeIntoCommand(merge: MergeIntoTable)
     //    the scan side) proves contain ≥1 matched row; match classes
     //    and the cardinality count are unchanged because a source row
     //    matching ANY target row makes that row's file touched
-    val partLower =
-      table.partitionColumnNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
-    val updatesPartCol = merge.matchedActions.exists {
-      case u: UpdateAction => u.assignments.exists(a =>
-        NestedFields.keyPath(a.key).exists { case (attr, _) =>
-          partLower(attr.name.toLowerCase(java.util.Locale.ROOT)) })
-      case _ => false
-    }
     val prunable = CopyOnWrite.pruningEnabled(spark) &&
       merge.notMatchedBySourceActions.isEmpty &&
-      merge.mergeCondition.deterministic &&
-      !updatesPartCol
+      merge.mergeCondition.deterministic
     val lrOpt = CopyOnWrite.fsRelationOf(merge.targetTable)
 
     (if (prunable) lrOpt else None) match {
@@ -254,9 +246,8 @@ case class GraftMergeIntoCommand(merge: MergeIntoTable)
               mergedPlanFor(merge, checkCardinality), base)
         }
       case None =>
-        // copy-on-write full rewrite: scratch-materialize, read back
-        // (breaks the self-overwrite lineage), INSERT OVERWRITE by
-        // position — shared with the UPDATE/DELETE commands
+        // copy-on-write full rewrite: the same manifest swap with
+        // dels = every current file — shared with UPDATE/DELETE
         CopyOnWrite.overwrite(spark, table,
           mergedPlanFor(merge, checkCardinality), base)
     }
@@ -307,16 +298,17 @@ object GraftMergeIntoCommand {
     * insert-only commit does not go through [[mergedPlanFor]]).
     */
   private[graft] def validate(merge: MergeIntoTable): Unit = {
-    // UPDATE keys: column or struct-field path (r14); anything else
-    // (array/map element) would be silently missed by `assigned` and
-    // keep the old value with no error (ADVICE r12) — reject loudly
+    // UPDATE keys: column, struct-field, or map-key path (r14/r17);
+    // anything else (array element) would be silently missed by
+    // `assigned` and keep the old value with no error (ADVICE r12) —
+    // reject loudly
     (merge.matchedActions ++ merge.notMatchedActions ++
       merge.notMatchedBySourceActions).foreach {
       case u: UpdateAction => u.assignments.foreach(a =>
         if (NestedFields.keyPath(a.key).isEmpty)
           throw new UnsupportedOperationException(
-            s"MERGE: assignment key (${a.key.sql}) is not a column or " +
-              "struct-field path — not supported for parquet targets"))
+            s"MERGE: assignment key (${a.key.sql}) is not a column, " +
+              "struct-field, or map-key path — not supported for parquet targets"))
       case i: InsertAction => i.assignments.foreach(a => a.key match {
         case _: Attribute => ()
         case other => throw new UnsupportedOperationException(

@@ -69,25 +69,25 @@ object DmlParquetRewrite extends Rule[LogicalPlan] {
   *
   * Fallbacks to the full rewrite (correctness is never at stake —
   * pruning is purely an I/O optimization): non-deterministic or absent
-  * predicates (every row modifiable), assignments to a partition column
-  * (rows migrate between directories, which needs the metastore-aware
-  * static overwrite), a touched set that is the whole table, a target
-  * that is not a single HadoopFsRelation, or the
-  * `spark.graft.dml.filePruning=false` ops dial.
+  * predicates (every row modifiable), a touched set that is the whole
+  * table, a target that is not a single HadoopFsRelation, or the
+  * `spark.graft.dml.filePruning=false` ops dial. Partition-column
+  * assignment stopped being a fallback in r17: rows migrate between
+  * directories through the scratch write's own `partitionBy`, and the
+  * commit registers the partitions it mints — so a matched-subset
+  * row migration costs O(touched files), not O(table).
   *
   * Both shapes write scratch BEFORE touching the target, so a failure
-  * mid-rewrite leaves the table intact. Since r16, BOTH shapes also
-  * ride the [[TableCommit]] snapshot-manifest protocol: the pruned
-  * commit is CRASH-ATOMIC (one metadata write is the commit point; a
-  * crash on either side of it leaves exactly the pre- or post-commit
-  * state, `CommitAtomicitySpec` injects the faults) and every commit is
-  * version-checked at publish, so two concurrent writers cannot
-  * silently interleave — the loser throws
-  * [[GraftConcurrentCommitException]] and must re-read
-  * (sql20 exercises retry-after-conflict under the oracle). The one
-  * residual deviation from a lakehouse format's atomicity is a crash
-  * INSIDE the full-rewrite fallback's INSERT OVERWRITE, bracketed by a
-  * `pending` manifest so the in-flux state is detectable.
+  * mid-rewrite leaves the table intact, and BOTH shapes are the SAME
+  * [[TableCommit]] snapshot-manifest swap (since r17 — the full rewrite
+  * is just the swap with dels = every current file, which retired the
+  * `pending` state and its declared crash window): CRASH-ATOMIC (one
+  * metadata write is the commit point; a crash on either side of it
+  * leaves exactly the pre- or post-commit state, `CommitAtomicitySpec`
+  * injects the faults on both shapes) and version-checked at publish,
+  * so two concurrent writers cannot silently interleave — the loser
+  * throws [[GraftConcurrentCommitException]] and must re-read (sql20
+  * exercises retry-after-conflict under the oracle).
   */
 private[plans] object CopyOnWrite {
 
@@ -157,54 +157,30 @@ private[plans] object CopyOnWrite {
     }
   }
 
-  /** Full-table copy-on-write: scratch-materialize the complete post-DML
-    * row set, read it back, INSERT OVERWRITE the target by position.
-    *
-    * Rides the [[TableCommit]] version protocol (r16): the version slot
-    * is RESERVED before any mutation — so two concurrent writers are
-    * arbitrated here exactly like on the pruned path, before either can
-    * damage the other — and a `pending` manifest brackets the
-    * non-atomic overwrite window (a crash inside it is the narrowed
-    * residual deviation: Spark's own committer owns that directory
-    * state; the pending manifest at least makes the in-flux state
-    * DETECTABLE instead of silent).
+  /** Full-table copy-on-write: materialize the complete post-DML row
+    * set and commit it as a manifest swap whose dels list is EVERY
+    * current data file (VERDICT r16 item 2) — the pruned path's exact
+    * protocol with a bigger file list. This retired both the `pending`
+    * manifest state and the full path's two real hazards: the old
+    * INSERT OVERWRITE recursively deleted the table location (taking
+    * `_graft_commits/` — all version history and locks — with it,
+    * ADVICE r16), and a crash inside it left a torn directory only
+    * Spark's committer understood. Now a crash at ANY point leaves
+    * exactly the pre- or post-commit state (`CommitAtomicitySpec`
+    * injects the faults on this path too), partition-column values ride
+    * the scratch write's `partitionBy` (rows migrate directories
+    * naturally), and partitions the rewrite mints — including the
+    * null-value sentinel — are registered from the commit's own adds.
+    * Partitions the rewrite EMPTIES keep their (now fileless) catalog
+    * entries: a zero-file partition serves zero rows, which is the
+    * committed truth.
     */
   def overwrite(spark: SparkSession, table: CatalogTable,
       rewritten: LogicalPlan, base: Int): Unit = {
-    val df = ColumnBridge.ofRows(spark, rewritten)
-    val scratch = java.nio.file.Files
-      .createTempDirectory("graft_cow_").resolve("out").toString
-    df.write.mode(SaveMode.Overwrite).parquet(scratch)
     val (fs, loc) = TableCommit.fsOf(spark, table)
-    // OCC claim BEFORE the first byte of the target moves
-    val v = TableCommit.reserve(fs, loc, base)
-    TableCommit.publish(fs, loc, TableCommit.Manifest(
-      v, applied = false, None, Nil, Nil, Nil))
-    // the commit REPLACES the whole table, so the insert must run in
-    // STATIC partition-overwrite mode regardless of the session conf:
-    // under a user's partitionOverwriteMode=dynamic, a DELETE that
-    // empties a partition would leave that partition's old files in
-    // place (dynamic only replaces partitions present in the new data)
-    val modeKey = "spark.sql.sources.partitionOverwriteMode"
-    val prevMode = spark.conf.getOption(modeKey)
-    spark.conf.set(modeKey, "static")
-    try spark.read.schema(df.schema).parquet(scratch)
-      .write.mode(SaveMode.Overwrite)
-      .insertInto(table.identifier.quotedString)
-    finally prevMode match {
-      case Some(v0) => spark.conf.set(modeKey, v0)
-      case None => spark.conf.unset(modeKey)
-    }
-    // overwrite landed: republish as applied with the final file set
-    TableCommit.publish(fs, loc, TableCommit.Manifest(
-      v, applied = true, None, Nil, Nil,
-      TableCommit.listDataFiles(fs, loc).sorted))
-    // scratch cleanup is best-effort; the table no longer references it
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-      f.delete()
-    }
-    rm(new java.io.File(scratch).getParentFile)
+    swapCommit(spark, table, rewritten,
+      delsRel = TableCommit.listDataFiles(fs, loc),
+      table.partitionColumnNames, base)
   }
 
   /** File-pruned commit: write `rewritten` (already bound to only the
@@ -232,6 +208,33 @@ private[plans] object CopyOnWrite {
   def prunedCommit(spark: SparkSession, table: CatalogTable,
       rewritten: LogicalPlan, touched: Seq[String],
       partitionCols: Seq[String], base: Int): Unit = {
+    val (_, loc) = TableCommit.fsOf(spark, table)
+    // relativize the touched-file URIs against the table location, and
+    // FAIL FAST if one is not under it (ADVICE r16: a silent
+    // stripPrefix no-op here would understate the dels list, so the
+    // manifest's live set would keep files the commit meant to replace)
+    val locPath = loc.toUri.getPath.stripSuffix("/")
+    val dels = touched.map { f =>
+      val p = new HPath(new java.net.URI(f)).toUri.getPath
+      require(p.startsWith(locPath + "/"),
+        s"graft CoW commit: touched file $p is not under the table " +
+          s"location $locPath — refusing to publish a manifest whose " +
+          "delete list would silently miss it")
+      p.stripPrefix(locPath).stripPrefix("/")
+    }
+    swapCommit(spark, table, rewritten, dels, partitionCols, base)
+  }
+
+  /** The manifest-swap commit shared by the pruned and full-rewrite
+    * shapes: write `rewritten` under a dot-prefixed scratch dir inside
+    * the table location, publish a `status=applied` manifest naming the
+    * post-commit file set, then apply (rename in, delete `delsRel`,
+    * register minted partitions). See [[prunedCommit]] for the
+    * atomicity contract — it holds identically for both callers.
+    */
+  private def swapCommit(spark: SparkSession, table: CatalogTable,
+      rewritten: LogicalPlan, delsRel: Seq[String],
+      partitionCols: Seq[String], base: Int): Unit = {
     val df = ColumnBridge.ofRows(spark, rewritten)
     val (fs, loc) = TableCommit.fsOf(spark, table)
     val scratchName = s".graft_cow_${java.util.UUID.randomUUID()}"
@@ -242,18 +245,16 @@ private[plans] object CopyOnWrite {
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(scratch.toString)
       // manifest content: scratch files move to the mirrored table
-      // paths (UUID part names cannot collide), touched files go away,
-      // live = (current − touched) ∪ new
+      // paths (UUID part names cannot collide), replaced files go away,
+      // live = (current − dels) ∪ new
       val adds = TableCommit.listDataFiles(fs, scratch)
         .map(rel => (s"$scratchName/$rel", rel))
-      val locPath = loc.toUri.getPath
-      val dels = touched.map(f => new HPath(new java.net.URI(f))
-        .toUri.getPath.stripPrefix(locPath).stripPrefix("/"))
+      val dels = delsRel
       val live = (TableCommit.listDataFiles(fs, loc).toSet --
         dels) ++ adds.map(_._2)
       val v = TableCommit.reserve(fs, loc, base) // OCC check-and-claim
       TableCommit.publish(fs, loc, TableCommit.Manifest(
-        v, applied = true, Some(scratchName), adds, dels, live.toSeq.sorted))
+        v, Some(scratchName), adds, dels, live.toSeq.sorted))
       published = true // THE commit point: pre-commit state ends here
       TableCommit.maybeCrashApply("afterPublish")
       // apply: renames FIRST, deletes SECOND — a torn window duplicates
@@ -297,19 +298,41 @@ private[plans] object CopyOnWrite {
   * fields ride through untouched and the whole thing stays one
   * codegen'd Project. Multi-level paths recurse (`a.b.c`); a NULL
   * struct stays NULL (UpdateFields is null-propagating), matching the
-  * "no row to update inside" reading. Array/map element assignment is
-  * still rejected loudly by the callers ([[keyPath]] returns None).
+  * "no row to update inside" reading.
+  *
+  * MAP-KEY assignment (r17 — VERDICT r16 item 7): `SET m.k = x` on a
+  * MAP column resolves to [[GetMapValue]], and the rewrite is
+  * `map_concat(map_filter(m, key != 'k'), map('k', x))` — remove the
+  * key (a no-op when absent), then append the new entry, so the
+  * semantics are upsert: update when present, insert when absent, the
+  * Hive/Iceberg convention for map mutation. A NULL map stays NULL
+  * (both HOFs are null-propagating), matching the struct reading; every
+  * other entry rides through untouched. The filter guarantees the
+  * concat never sees a duplicate key, so the rewrite is independent of
+  * `spark.sql.mapKeyDedupPolicy`. All of it is one codegen-friendly
+  * Project over the scan — no shuffle, no UDF. Array element
+  * assignment is still rejected loudly by the callers ([[keyPath]]
+  * returns None).
   */
 private[plans] object NestedFields {
 
-  /** Decompose a resolved assignment key into (root attribute, field
-    * path); None for keys that are neither a column nor a struct-field
-    * chain.
+  /** One step of an assignment-key path: a struct field by name, or a
+    * map entry by (deterministic) key expression.
     */
-  def keyPath(e: Expression): Option[(Attribute, Seq[String])] = e match {
+  sealed trait Seg
+  case class FieldSeg(name: String) extends Seg
+  case class KeySeg(key: Expression) extends Seg
+
+  /** Decompose a resolved assignment key into (root attribute, path);
+    * None for keys that are not a column / struct-field / map-key
+    * chain (e.g. array subscripts).
+    */
+  def keyPath(e: Expression): Option[(Attribute, Seq[Seg])] = e match {
     case a: Attribute => Some((a, Nil))
     case g: GetStructField =>
-      keyPath(g.child).map { case (a, p) => (a, p :+ g.extractFieldName) }
+      keyPath(g.child).map { case (a, p) => (a, p :+ FieldSeg(g.extractFieldName)) }
+    case g: GetMapValue if g.key.deterministic =>
+      keyPath(g.child).map { case (a, p) => (a, p :+ KeySeg(g.key)) }
     case _ => None
   }
 
@@ -318,25 +341,49 @@ private[plans] object NestedFields {
     * field names).
     */
   def typeAt(dt: org.apache.spark.sql.types.DataType,
-      path: Seq[String]): org.apache.spark.sql.types.DataType =
+      path: Seq[Seg]): org.apache.spark.sql.types.DataType =
     path.foldLeft(dt) {
-      case (st: org.apache.spark.sql.types.StructType, name) =>
+      case (st: org.apache.spark.sql.types.StructType, FieldSeg(name)) =>
         st.fields.find(_.name == name).map(_.dataType).getOrElse(
           throw new IllegalStateException(s"no field $name in ${st.sql}"))
-      case (other, name) => throw new IllegalStateException(
-        s"cannot descend into ${other.sql} for field $name")
+      case (mt: org.apache.spark.sql.types.MapType, KeySeg(_)) =>
+        mt.valueType
+      case (other, seg) => throw new IllegalStateException(
+        s"cannot descend into ${other.sql} at $seg")
     }
 
-  /** `base` with the field at `path` replaced by `value` (cast to the
-    * field's declared type when needed), every other field untouched.
+  /** `base` (a map) with `key` set to `value`: remove-then-append, so
+    * present keys update and absent keys insert. Lambdas are built
+    * pre-resolved ([[NamedLambdaVariable]]), so the expression needs no
+    * analyzer lambda pass and stays valid in the command's
+    * post-resolution Project.
     */
-  def setNested(base: Expression, path: Seq[String],
+  private def setMapKey(base: Expression, key: Expression,
+      value: Expression): Expression = {
+    val mt = base.dataType.asInstanceOf[org.apache.spark.sql.types.MapType]
+    val k = if (key.dataType == mt.keyType) key else Cast(key, mt.keyType)
+    val v = if (value.dataType == mt.valueType) value
+      else Cast(value, mt.valueType)
+    val kVar = NamedLambdaVariable("k", mt.keyType, nullable = false)
+    val vVar = NamedLambdaVariable("v", mt.valueType, mt.valueContainsNull)
+    val keep = LambdaFunction(Not(EqualTo(kVar, k)), Seq(kVar, vVar))
+    MapConcat(Seq(MapFilter(base, keep), CreateMap(Seq(k, v))))
+  }
+
+  /** `base` with the entry at `path` replaced by `value` (cast to the
+    * declared type when needed), every other field/entry untouched.
+    */
+  def setNested(base: Expression, path: Seq[Seg],
       value: Expression): Expression = path match {
-    case Seq(last) =>
-      val ft = typeAt(base.dataType, Seq(last))
+    case Seq(KeySeg(k)) => setMapKey(base, k, value)
+    case Seq(FieldSeg(last)) =>
+      val ft = typeAt(base.dataType, Seq(FieldSeg(last)))
       val cast = if (value.dataType == ft) value else Cast(value, ft)
       UpdateFields(base, Seq(WithField(last, cast)))
-    case head +: rest =>
+    case KeySeg(k) +: rest =>
+      val child = GetMapValue(base, k)
+      setMapKey(base, k, setNested(child, rest, value))
+    case FieldSeg(head) +: rest =>
       val child = ExtractValue(base, Literal(head), (a: String, b: String) => a == b)
       UpdateFields(base, Seq(WithField(head, setNested(child, rest, value))))
     case _ => value
@@ -378,14 +425,15 @@ case class GraftUpdateCommand(update: UpdateTable) extends LeafRunnableCommand {
       val (fs0, loc0) = TableCommit.fsOf(spark, table)
       TableCommit.begin(fs0, loc0)
     }
-    // keys must be a column or a struct-field chain; array/map element
-    // assignment would be silently missed below — reject loudly (the
-    // MERGE ADVICE-r12 rule, relaxed in r14 to admit struct paths)
+    // keys must be a column, struct-field, or map-key chain; an array
+    // element assignment would be silently missed below — reject loudly
+    // (the MERGE ADVICE-r12 rule, relaxed in r14 for struct paths and
+    // in r17 for map keys)
     update.assignments.foreach(a =>
       if (NestedFields.keyPath(a.key).isEmpty)
         throw new UnsupportedOperationException(
-          s"UPDATE: assignment key (${a.key.sql}) is not a column or " +
-            "struct-field path — not supported for parquet targets"))
+          s"UPDATE: assignment key (${a.key.sql}) is not a column, " +
+            "struct-field, or map-key path — not supported for parquet targets"))
     val cond = update.condition.getOrElse(Literal(true))
     def outCols(rel: LogicalPlan): Seq[NamedExpression] =
       rel.output.map { attr =>
@@ -398,17 +446,14 @@ case class GraftUpdateCommand(update: UpdateTable) extends LeafRunnableCommand {
         }
       }
 
-    // file pruning applies when the WHERE can exclude files at all and
-    // no partition column is reassigned (a partition-value change moves
-    // rows between directories — the static-overwrite path owns that)
-    val partLower = table.partitionColumnNames.map(_.toLowerCase).toSet
-    val assignsPartCol = update.assignments.exists(_.key match {
-      case a: Attribute => partLower(a.name.toLowerCase)
-      case _ => false
-    })
+    // file pruning applies when the WHERE can exclude files at all.
+    // Partition-column reassignment PRUNES TOO (r17): the commit's
+    // scratch write partitions by the table's columns, so modified rows
+    // migrate to their new directories and the minted partitions are
+    // registered from the commit's adds — only the files holding
+    // matching rows rewrite (sql23 puts exactly that under the oracle)
     val prunable = CopyOnWrite.pruningEnabled(spark) &&
-      update.condition.exists(c => c.deterministic && c != Literal(true)) &&
-      !assignsPartCol
+      update.condition.exists(c => c.deterministic && c != Literal(true))
     val lrOpt = CopyOnWrite.fsRelationOf(update.table)
 
     (if (prunable) lrOpt else None) match {

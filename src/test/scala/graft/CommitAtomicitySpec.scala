@@ -83,9 +83,9 @@ class CommitAtomicitySpec extends AnyFunSuite with SparkTestBase {
     val (tbl, dir) = freshTable()
     val before = dataFiles(dir)
     for (point <- Seq("beforeReserve", "beforePublish")) {
-      TableCommit.crashPoint = Some(point)
-      try assertInjected(intercept[Throwable](spark.sql(updateSql(tbl))))
-      finally TableCommit.crashPoint = None
+      TableCommit.withCrashPoint(point) {
+        assertInjected(intercept[Throwable](spark.sql(updateSql(tbl))))
+      }
       assert(dataFiles(dir) === before,
         s"crash at $point must leave the data-file set untouched")
       assert(rows(tbl) === pre, s"crash at $point must leave every row")
@@ -98,12 +98,12 @@ class CommitAtomicitySpec extends AnyFunSuite with SparkTestBase {
   test("crash AFTER the commit point: readLive is exact, recover converges") {
     for (point <- Seq("afterPublish", "betweenMoveAndDelete")) {
       val (tbl, dir) = freshTable()
-      TableCommit.crashPoint = Some(point)
-      try assertInjected(intercept[Throwable](spark.sql(updateSql(tbl))))
-      finally TableCommit.crashPoint = None
+      TableCommit.withCrashPoint(point) {
+        assertInjected(intercept[Throwable](spark.sql(updateSql(tbl))))
+      }
       val table = catalogTable(tbl)
       // the manifest-aware read serves EXACTLY the committed state even
-      // while the directory is torn (pending renames resolve to scratch)
+      // while the directory is torn (unmoved renames resolve to scratch)
       val live = TableCommit.readLive(spark, table)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
       assert(live === bump(pre), s"readLive after $point crash")
@@ -117,7 +117,7 @@ class CommitAtomicitySpec extends AnyFunSuite with SparkTestBase {
       assert(rows(tbl) === bump(pre), s"recovered state after $point")
       val m = TableCommit.latestManifest(
         TableCommit.fsOf(spark, table)._1, TableCommit.fsOf(spark, table)._2)
-      assert(m.exists(_.applied))
+      assert(m.isDefined)
       assert(dataFiles(dir) === m.get.live.toSet,
         "directory must equal the manifest's live set after recovery")
       assert(!dir.listFiles.exists(_.getName.startsWith(".graft_cow_")),
@@ -128,19 +128,95 @@ class CommitAtomicitySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("FULL REWRITE is the same swap: crash injection on a WHERE-less UPDATE " +
+      "leaves pre- or post-state, never torn, and version history survives") {
+    // pre-commit points: the table (and its commit history) survive
+    val (tbl, dir) = freshTable()
+    spark.sql(updateSql(tbl)) // v1, so the history has something to lose
+    val afterV1 = bump(pre)
+    val before = dataFiles(dir)
+    for (point <- Seq("beforeReserve", "beforePublish")) {
+      TableCommit.withCrashPoint(point) {
+        assertInjected(intercept[Throwable](
+          spark.sql(s"UPDATE $tbl SET v = v + 1"))) // no WHERE: full rewrite
+      }
+      assert(dataFiles(dir) === before, s"full rewrite, crash at $point")
+      assert(rows(tbl) === afterV1)
+    }
+    // post-commit points: readLive exact, recover converges, and the
+    // prior version's manifest is STILL THERE (the retired INSERT
+    // OVERWRITE path recursively deleted _graft_commits — ADVICE r16)
+    for (point <- Seq("afterPublish", "betweenMoveAndDelete")) {
+      val (tbl2, dir2) = freshTable()
+      spark.sql(updateSql(tbl2)) // v1
+      TableCommit.withCrashPoint(point) {
+        assertInjected(intercept[Throwable](
+          spark.sql(s"UPDATE $tbl2 SET v = v + 1")))
+      }
+      val table = catalogTable(tbl2)
+      val (fs, loc) = TableCommit.fsOf(spark, table)
+      val expected = afterV1.map { case (k, v) => (k, v + 1) }
+      val live = TableCommit.readLive(spark, table)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(live === expected, s"full-rewrite readLive after $point")
+      assert(rows(tbl2).map(_._1).toSet === pre.map(_._1).toSet,
+        s"no row may vanish mid-apply ($point, full rewrite)")
+      TableCommit.recover(spark, table)
+      assert(rows(tbl2) === expected, s"full-rewrite recovery after $point")
+      assert(dataFiles(dir2) ===
+        TableCommit.latestManifest(fs, loc).get.live.toSet)
+      // version history: v1's manifest and v2's both present
+      assert(TableCommit.readManifest(fs, loc, 1).isDefined,
+        "the full rewrite must not erase prior commit manifests")
+      assert(TableCommit.currentVersion(fs, loc) === 2)
+    }
+  }
+
+  test("NOT MATCHED BY SOURCE merge rides the swap: crash injection never tears") {
+    def mergeSql(tbl: String) =
+      s"""MERGE INTO $tbl t USING src_caspec_nmbs s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin
+    import spark.implicits._
+    Seq.range(1L, 51L).map(k => (k, k * 1000L)).toDF("k", "v")
+      .createOrReplaceTempView("src_caspec_nmbs")
+    val expected: Seq[(Long, Long)] =
+      (1L to 50L).map(k => (k, k * 1000L)).sorted
+    for (point <- Seq("beforeReserve", "beforePublish")) {
+      val (tbl, _) = freshTable()
+      TableCommit.withCrashPoint(point) {
+        assertInjected(intercept[Throwable](spark.sql(mergeSql(tbl))))
+      }
+      assert(rows(tbl) === pre, s"NMBS merge, crash at $point: pre-state")
+      spark.sql(mergeSql(tbl)) // reruns cleanly
+      assert(rows(tbl) === expected)
+    }
+    for (point <- Seq("afterPublish", "betweenMoveAndDelete")) {
+      val (tbl, _) = freshTable()
+      TableCommit.withCrashPoint(point) {
+        assertInjected(intercept[Throwable](spark.sql(mergeSql(tbl))))
+      }
+      val table = catalogTable(tbl)
+      val live = TableCommit.readLive(spark, table)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(live === expected, s"NMBS merge readLive after $point")
+      TableCommit.recover(spark, table)
+      assert(rows(tbl) === expected, s"NMBS merge recovery after $point")
+    }
+  }
+
   test("two writers on the pruned path: loser throws, winner survives, retry applies once") {
     val (tbl, _) = freshTable()
     var fired = false
-    TableCommit.beforeReserveHook = () => {
+    val t = TableCommit.withBeforeReserveHook(() => {
       if (!fired) {
         fired = true
         // writer B slips in AFTER A read its base and wrote scratch,
         // BEFORE A claims its version — B commits first and must win
         spark.sql(s"UPDATE $tbl SET v = v * 2 WHERE k <= 50")
       }
-    }
-    val t = try intercept[Throwable](spark.sql(updateSql(tbl)))
-    finally TableCommit.beforeReserveHook = () => ()
+    }) { intercept[Throwable](spark.sql(updateSql(tbl))) }
     val chain = Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
     assert(chain.exists(_.isInstanceOf[GraftConcurrentCommitException]),
       s"loser must throw the conflict, got: $t")
@@ -155,16 +231,14 @@ class CommitAtomicitySpec extends AnyFunSuite with SparkTestBase {
   test("two writers on the full-rewrite path: conflict detected BEFORE any mutation") {
     val (tbl, _) = freshTable()
     var fired = false
-    TableCommit.beforeReserveHook = () => {
+    // WHERE-less UPDATE takes the full-rewrite swap, whose version
+    // reservation happens before the first target byte moves
+    val t = TableCommit.withBeforeReserveHook(() => {
       if (!fired) {
         fired = true
         spark.sql(s"UPDATE $tbl SET v = v * 2 WHERE k <= 50")
       }
-    }
-    // WHERE-less UPDATE takes the full INSERT OVERWRITE path, whose
-    // version reservation happens before the first target byte moves
-    val t = try intercept[Throwable](spark.sql(s"UPDATE $tbl SET v = v + 1"))
-    finally TableCommit.beforeReserveHook = () => ()
+    }) { intercept[Throwable](spark.sql(s"UPDATE $tbl SET v = v + 1")) }
     val chain = Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
     assert(chain.exists(_.isInstanceOf[GraftConcurrentCommitException]))
     val afterB = pre.map { case (k, v) => if (k <= 50) (k, v * 2) else (k, v) }
@@ -193,9 +267,9 @@ class CommitAtomicitySpec extends AnyFunSuite with SparkTestBase {
     // the WHERE pins one partition AND a k-range, so the commit's adds
     // and dels both live under the p=1 subdirectory
     val upd = s"UPDATE $tbl SET v = v + 1 WHERE p = '1' AND k <= 10"
-    TableCommit.crashPoint = Some("betweenMoveAndDelete")
-    try assertInjected(intercept[Throwable](spark.sql(upd)))
-    finally TableCommit.crashPoint = None
+    TableCommit.withCrashPoint("betweenMoveAndDelete") {
+      assertInjected(intercept[Throwable](spark.sql(upd)))
+    }
     val table = catalogTable(tbl)
     val live = TableCommit.readLive(spark, table)
       .select("k", "v").collect()

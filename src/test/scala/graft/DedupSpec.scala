@@ -410,6 +410,12 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       graft.SparkEntry.queries(name)(spark, d)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(clusters("m5b_cluster_policy") === clusters("m5_dedup_clusters"))
+    // r17: l24b (the linear-oracle dump twin) must reproduce l24's
+    // overlap matrix exactly — same pairs, same labels, same counts
+    def matrix(name: String) =
+      graft.SparkEntry.queries(name)(spark, d)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(matrix("l24b_overlap_matrix_dump") === matrix("l24_cross_source_overlap"))
   }
 
   test("l16 line dedup drops only segments shared by >= 3 docs, rebuilds in order (L16)") {

@@ -200,10 +200,12 @@ class MergeIntoSpec extends AnyFunSuite with SparkTestBase {
     assert(got === Set((1L, 99L, "keep"), (2L, 20L, "also")))
   }
 
-  test("MERGE map-key assignment is rejected loudly, not ignored") {
-    // array subscripts (t.a[0]) already die in the parser; the reachable
-    // non-struct dotted key is a MAP column, which resolves to
-    // GetMapValue — keyPath refuses it, so the reject must be loud
+  test("MERGE map-key assignment upserts the entry; siblings untouched, " +
+      "NULL map stays NULL") {
+    // array subscripts (t.a[0]) die in the parser; the dotted key on a
+    // MAP column resolves to GetMapValue, which keyPath accepts since
+    // r17 — remove-then-append semantics: update when present, insert
+    // when absent (the Hive/Iceberg map-mutation convention)
     val tbl = s"merge_spec_map"
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_$tbl"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
@@ -213,18 +215,27 @@ class MergeIntoSpec extends AnyFunSuite with SparkTestBase {
     }
     rm(new java.io.File(path))
     spark.sql(s"CREATE TABLE $tbl USING parquet LOCATION '$path' AS " +
-      "SELECT CAST(1 AS BIGINT) AS k, map('x', 10L) AS m")
+      "SELECT k, CASE WHEN k = 3 THEN CAST(NULL AS MAP<STRING,BIGINT>) " +
+      "ELSE map('x', k * 10, 'keep', k) END AS m " +
+      "FROM VALUES CAST(1 AS BIGINT), CAST(2 AS BIGINT), " +
+      "CAST(3 AS BIGINT), CAST(4 AS BIGINT) AS v(k)")
     import spark.implicits._
-    Seq((1L, 99L)).toDF("k", "nv").createOrReplaceTempView("merge_src")
-    val e = intercept[Exception] {
-      spark.sql(
-        s"""MERGE INTO $tbl t USING merge_src u ON t.k = u.k
-           |WHEN MATCHED THEN UPDATE SET t.m.x = u.nv""".stripMargin)
-    }
-    def causes(t: Throwable): Seq[Throwable] =
-      if (t == null) Nil else t +: causes(t.getCause)
-    assert(causes(e).exists(c => Option(c.getMessage)
-      .exists(_.contains("not a column or struct-field path"))))
+    // k=2 updates 'x' and inserts 'y'; k=3 has a NULL map (stays NULL);
+    // k=4 is unmatched (map untouched); k=1 is matched by no source row
+    Seq((2L, 99L), (3L, 77L)).toDF("k", "nv")
+      .createOrReplaceTempView("merge_src")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING merge_src u ON t.k = u.k
+         |WHEN MATCHED THEN UPDATE SET t.m.x = u.nv, t.m.y = u.nv + 1""".stripMargin)
+    val got = spark.sql(s"SELECT k, m FROM $tbl").collect()
+      .map(r => r.getLong(0) ->
+        Option(r.getMap[String, Long](1)).map(_.toMap)).toMap
+    assert(got(1L) === Some(Map("x" -> 10L, "keep" -> 1L)),
+      "unmatched target row's map must ride through untouched")
+    assert(got(2L) === Some(Map("x" -> 99L, "keep" -> 2L, "y" -> 100L)),
+      "matched row: 'x' updates, 'y' inserts, 'keep' survives")
+    assert(got(3L) === None, "a NULL map stays NULL (no row to update inside)")
+    assert(got(4L) === Some(Map("x" -> 40L, "keep" -> 4L)))
   }
 
   test("MERGE WITH SCHEMA EVOLUTION: explicit new-column INSERT/UPDATE " +
@@ -473,6 +484,78 @@ class MergeIntoSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.sql(s"SELECT v FROM $tbl WHERE k = 100").head().getLong(0) === 1000L)
     assert(spark.sql(s"SELECT v FROM $tbl WHERE k = 3").head().getLong(0) === 333L)
     assert(spark.sql(s"SELECT count(*) FROM $tbl").head().getLong(0) === 41L)
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("pruned MERGE insert with a NULL partition value registers the " +
+      "default partition: catalog readers see the rows (ADVICE r16)") {
+    n += 1
+    val tbl = s"merge_spec_nullpart_t$n"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_$tbl"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(path))
+    import spark.implicits._
+    (0L until 40L).map(k => (k, k * 10, s"p${k % 3}")).toDF("k", "v", "p")
+      .write.partitionBy("p").option("path", path).saveAsTable(tbl)
+    // the insert's partition value is NULL — the scratch write routes it
+    // to __HIVE_DEFAULT_PARTITION__, which the commit must register via
+    // the catalog API (ALTER ADD PARTITION cannot express it); before
+    // the r17 fix the file landed on disk but no catalog reader saw it
+    Seq((3L, 333L, Some("p0")), (100L, 1000L, None))
+      .toDF("k", "nv", "np").createOrReplaceTempView("merge_nullpart_src")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING merge_nullpart_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.nv
+         |WHEN NOT MATCHED THEN INSERT (k, v, p) VALUES (s.k, s.nv, s.np)""".stripMargin)
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").head().getLong(0) === 41L,
+      "the NULL-partition insert must be visible to the catalog reader")
+    assert(spark.sql(s"SELECT v FROM $tbl WHERE p IS NULL").collect()
+      .map(_.getLong(0)).toSeq === Seq(1000L))
+    assert(spark.sql(s"SELECT v FROM $tbl WHERE k = 3").head().getLong(0) === 333L)
+    val parts = spark.sql(s"SHOW PARTITIONS $tbl").collect().map(_.getString(0)).toSet
+    assert(parts.exists(_.contains("__HIVE_DEFAULT_PARTITION__")), parts.toString)
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("MERGE matched UPDATE of the partition column prunes: rows migrate " +
+      "directories, untouched partitions stay byte-identical") {
+    n += 1
+    val tbl = s"merge_spec_partmove_t$n"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_$tbl"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(path))
+    import spark.implicits._
+    (0L until 40L).map(k => (k, k * 10, s"p${k % 3}")).toDF("k", "v", "p")
+      .write.partitionBy("p").option("path", path).saveAsTable(tbl)
+    val before = fileState(path)
+    // k=3 lives in p=p0; move it to the (minted) p=hot partition
+    Seq((3L, "hot")).toDF("k", "np").createOrReplaceTempView("merge_move_src")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING merge_move_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET p = s.np""".stripMargin)
+    val after = fileState(path)
+    // p1/p2 had no matched row: byte-identical (before r17 ANY
+    // partition-column assignment forced a full-table rewrite)
+    before.filter(f => f._1.startsWith("p=p1/") || f._1.startsWith("p=p2/"))
+      .foreach { case (f, h) =>
+        assert(after.get(f).contains(h), s"untouched partition file $f changed") }
+    val removed = (before.keySet -- after.keySet).size
+    assert(removed >= 1 && removed < before.size,
+      s"strict subset rewritten: $removed of ${before.size}")
+    val parts = spark.sql(s"SHOW PARTITIONS $tbl").collect().map(_.getString(0)).toSet
+    assert(parts.contains("p=hot"), parts.toString)
+    assert(spark.sql(s"SELECT p FROM $tbl WHERE k = 3").head().getString(0) === "hot")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").head().getLong(0) === 40L)
+    assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE p = 'p0'")
+      .head().getLong(0) === 13L) // 14 k%3==0 keys minus the migrated one
     spark.sql(s"DROP TABLE $tbl")
   }
 

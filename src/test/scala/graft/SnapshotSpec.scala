@@ -74,10 +74,13 @@ class SnapshotSpec extends AnyFunSuite with SparkTestBase {
     val gens = new java.io.File(s"$base/balances").listFiles()
       .map(_.getName).filter(_.startsWith("gen=")).toSet
     assert(gens === Set("gen=1", "gen=2", "gen=3"), gens.toString)
-    // …but only v1/v2 were ever published
-    val commits = new java.io.File(s"$base/commits").listFiles()
-      .map(_.getName).toSet
-    assert(commits === Set("v1.txt", "v2.txt"), commits.toString)
+    // …but only v1/v2 were ever published (the TableCommit manifests:
+    // one lock + one manifest per committed version, nothing for the
+    // torn generation, which never reserved)
+    val commits = new java.io.File(s"$base/_graft_commits").listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).toSet // drop FS .crc sidecars
+    assert(commits === Set("v1.lock", "v1.txt", "v2.lock", "v2.txt"),
+      commits.toString)
   }
 
   test("m33: the appended delta never rewrites base files (byte-identical " +
@@ -115,19 +118,68 @@ class SnapshotSpec extends AnyFunSuite with SparkTestBase {
 
   test("m39 commit publish: two writers racing one version — exactly one wins, " +
       "the winner's content survives byte-identical") {
+    import graft.plans.{SnapshotTable, TableCommit}
     val dir = java.nio.file.Files
-      .createTempDirectory("graft_m39_race").toString + "/commits"
-    PipelineOps.atomicCommitFile(dir, "v1.txt", "writer=A\n")
+      .createTempDirectory("graft_m39_race").toString
+    val (fs, loc) = SnapshotTable.fsOf(spark, dir)
+    // writer A claims and publishes v1 (the unified TableCommit cycle)
+    val vA = TableCommit.reserve(fs, loc, 0)
+    TableCommit.publish(fs, loc, TableCommit.Manifest(
+      vA, None, Nil, Nil, Seq("balances/gen=A", "rollup/gen=A")))
+    // writer B, having read the same base, loses the reserve race
     val t = intercept[graft.plans.GraftConcurrentCommitException](
-      PipelineOps.atomicCommitFile(dir, "v1.txt", "writer=B\n"))
-    assert(t.getMessage.contains("v1.txt"))
-    assert(java.nio.file.Files.readString(
-      java.nio.file.Paths.get(dir, "v1.txt")) === "writer=A\n")
-    // the loser's temp is cleaned up — no stray files confuse a reader
-    assert(new java.io.File(dir).listFiles().map(_.getName).toSet === Set("v1.txt"))
-    // the loser retries on the NEXT version and lands
-    PipelineOps.atomicCommitFile(dir, "v2.txt", "writer=B\n")
-    assert(new java.io.File(dir).listFiles().map(_.getName).toSet ===
-      Set("v1.txt", "v2.txt"))
+      TableCommit.reserve(fs, loc, 0))
+    assert(t.getMessage.contains("version"))
+    // the winner's commit is intact, byte-identical
+    assert(TableCommit.readManifest(fs, loc, 1).get.live ===
+      Seq("balances/gen=A", "rollup/gen=A"))
+    // the loser re-reads the new base and lands on the NEXT version
+    val base2 = TableCommit.begin(fs, loc)
+    assert(base2 === 1)
+    val vB = TableCommit.reserve(fs, loc, base2)
+    TableCommit.publish(fs, loc, TableCommit.Manifest(
+      vB, None, Nil, Nil, Seq("balances/gen=B", "rollup/gen=B")))
+    assert(TableCommit.latestManifest(fs, loc).get.live ===
+      Seq("balances/gen=B", "rollup/gen=B"))
+  }
+
+  test("two snapshot appends racing one version (m32-style table): the " +
+      "loser throws, the winner's snapshot is intact, a retry lands (r17)") {
+    import graft.plans.{GraftConcurrentCommitException, SnapshotTable}
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_snap_race").toString + "/t"
+    val snap = SnapshotTable
+    val v1 = snap.commit(spark, dir,
+      Some(Seq((1L, "base")).toDF("k", "who")), (_, nw) => nw)
+    assert(v1 === 1)
+    // both writers read base v1; B commits between A's read and A's
+    // reserve (simulated by ordering: B's commit first against the
+    // same recorded base is exactly the lost-update interleave)
+    val (fs, loc) = snap.fsOf(spark, dir)
+    val base = graft.plans.TableCommit.begin(fs, loc) // A reads its base
+    snap.commit(spark, dir, Some(Seq((2L, "B")).toDF("k", "who")),
+      (prev, nw) => prev ++ nw) // B commits v2 first
+    // A now tries to commit against the stale base: scratch writes,
+    // then the reserve must throw without touching B's commit
+    val t = intercept[GraftConcurrentCommitException] {
+      val df = Seq((3L, "A")).toDF("k", "who")
+      val scratchProbe = base // A believes the table is at `base`
+      snap.commitAt(spark, dir, Some(df), (prev, nw) => prev ++ nw, scratchProbe)
+    }
+    assert(t.getMessage.contains("version") || t.getMessage.contains("moved"))
+    // winner intact: latest snapshot holds base + B, no trace of A
+    val who = snap.readLatest(spark, dir)
+      .collect().map(_.getString(1)).toSet
+    assert(who === Set("base", "B"))
+    // no stray scratch dir from the loser
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith(".graft_snap_")))
+    // the retry re-reads the new base and applies exactly once
+    val v3 = snap.commit(spark, dir, Some(Seq((3L, "A")).toDF("k", "who")),
+      (prev, nw) => prev ++ nw)
+    assert(v3 === 3)
+    assert(snap.readLatest(spark, dir).collect().map(_.getString(1)).toSet ===
+      Set("base", "B", "A"))
   }
 }

@@ -337,6 +337,69 @@ class UpdateDeleteSpec extends AnyFunSuite with SparkTestBase {
       .head().getLong(0) === 20L)
   }
 
+  test("partition-column UPDATE prunes (r17): only files with matching " +
+      "rows rewrite, rows migrate, the minted partition is registered") {
+    n += 1
+    val tbl = s"dml_spec_files_move$n"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_$tbl"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(path))
+    import spark.implicits._
+    (0L until 40L).map(k => (k, k * 10, s"p${k % 2}")).toDF("k", "v", "tag")
+      .repartitionByRange(4, org.apache.spark.sql.functions.col("k"))
+      .write.partitionBy("tag").option("path", path).saveAsTable(tbl)
+    val before = fileState(path)
+    assert(before.size === 8)
+    // k<3 rows migrate to the brand-new tag=hot partition; before r17
+    // ANY partition-column assignment forced the full-table rewrite
+    spark.sql(s"UPDATE $tbl SET tag = 'hot' WHERE k < 3")
+    val after = fileState(path)
+    val kept = before.keySet intersect after.keySet
+    val removed = (before.keySet -- after.keySet).size
+    assert(removed >= 1 && removed < before.size, s"strict subset: $removed")
+    kept.foreach(f => assert(before(f) === after(f), s"untouched $f changed"))
+    (after.keySet -- before.keySet).foreach(f =>
+      assert(f.startsWith("tag="), s"new file outside a partition dir: $f"))
+    val parts = spark.sql(s"SHOW PARTITIONS $tbl").collect().map(_.getString(0)).toSet
+    assert(parts.contains("tag=hot"), parts.toString)
+    assert(result(tbl) === (0L until 40L).map(k =>
+      (k, k * 10, if (k < 3) "hot" else s"p${k % 2}")).toSet)
+    assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE tag = 'hot'")
+      .head().getLong(0) === 3L)
+  }
+
+  test("UPDATE map-key assignment upserts entries; other entries and " +
+      "NULL maps ride through (r17)") {
+    n += 1
+    val tbl = s"dml_spec_map$n"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_$tbl"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(path))
+    spark.sql(s"CREATE TABLE $tbl USING parquet LOCATION '$path' AS " +
+      "SELECT k, CASE WHEN k = 4 THEN CAST(NULL AS MAP<STRING,BIGINT>) " +
+      "ELSE map('x', k * 10, 'keep', k) END AS m " +
+      "FROM VALUES CAST(1 AS BIGINT), CAST(2 AS BIGINT), " +
+      "CAST(3 AS BIGINT), CAST(4 AS BIGINT) AS v(k)")
+    // 'x' exists (update); 'y' does not (insert); both RHS see the OLD
+    // map, so m.y can read m.x's pre-assignment value
+    spark.sql(s"UPDATE $tbl SET m.x = -1, m.y = m.x + k WHERE k <= 2 OR k = 4")
+    val got = spark.sql(s"SELECT k, m FROM $tbl").collect()
+      .map(r => r.getLong(0) ->
+        Option(r.getMap[String, Long](1)).map(_.toMap)).toMap
+    assert(got(1L) === Some(Map("x" -> -1L, "keep" -> 1L, "y" -> 11L)))
+    assert(got(2L) === Some(Map("x" -> -1L, "keep" -> 2L, "y" -> 22L)))
+    assert(got(3L) === Some(Map("x" -> 30L, "keep" -> 3L)), "row outside WHERE")
+    assert(got(4L) === None, "a NULL map stays NULL")
+  }
+
   test("no scratch directories are left behind by the pruned commit") {
     val (tbl, path) = clusteredTarget()
     spark.sql(s"DELETE FROM $tbl WHERE k = 7")

@@ -63,8 +63,44 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
                      else str(v))
     return pd.DataFrame({c: fmt(df[c]) for c in df.columns})
 
+def band_compare(got: pd.DataFrame, exp: pd.DataFrame, rel: float):
+    """Error-band check for estimation-mode sketch entries (the sf1
+    machine rule, VERDICT r16 item 4): same schema and rowcount, every
+    numeric cell within `rel` relative error of the exact oracle value
+    (non-numeric cells still exact). Returns None on pass, else reason.
+    """
+    g = got.reindex(sorted(got.columns), axis=1)
+    e = exp.reindex(sorted(exp.columns), axis=1)
+    if list(g.columns) != list(e.columns):
+        return f"SCHEMA_MISMATCH spark={list(g.columns)} duck={list(e.columns)}"
+    if len(g) != len(e):
+        return f"ROWCOUNT spark={len(g)} duck={len(e)}"
+    g = g.sort_values(by=list(g.columns)).reset_index(drop=True)
+    e = e.sort_values(by=list(e.columns)).reset_index(drop=True)
+    for c in g.columns:
+        if pd.api.types.is_numeric_dtype(e[c]):
+            gv = g[c].astype(float).to_numpy()
+            ev = e[c].astype(float).to_numpy()
+            denom = np.maximum(np.abs(ev), 1.0)
+            err = np.abs(gv - ev) / denom
+            if np.nanmax(err) > rel:
+                i = int(np.nanargmax(err))
+                return (f"BAND_EXCEEDED col={c} row={i} got={gv[i]} "
+                        f"exact={ev[i]} rel={err[i]:.4f} > {rel}")
+        else:
+            if not g[c].astype(str).equals(e[c].astype(str)):
+                return f"VALUE_MISMATCH (non-numeric col {c} must be exact)"
+    return None
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # optional per-entry check modes (tools/sf1_rotation.py --commit
+    # writes these): "exact" (default), "band:REL", or
+    # "oracle-quadratic:excluded"
+    modes = {}
+    if "--modes" in sys.argv:
+        with open(sys.argv[sys.argv.index("--modes") + 1]) as f:
+            modes = json.load(f)
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
     con = duckdb.connect()
@@ -83,6 +119,20 @@ def main():
             results[name] = "NO_OUTPUT"
             continue
         got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+        mode = modes.get(name, "exact")
+        if mode.startswith("oracle-quadratic"):
+            results[name] = f"ROWS_ONLY({len(got)})" if len(got) > 0 \
+                else "EMPTY!"
+            continue
+        if mode.startswith("band:") and name in oracles:
+            try:
+                exp = con.execute(oracles[name]).df()
+            except Exception as e:
+                results[name] = f"ORACLE_SQL_ERROR: {e}"
+                continue
+            reason = band_compare(got, exp, float(mode.split(":")[1]))
+            results[name] = "OK" if reason is None else reason
+            continue
         if name not in oracles:
             results[name] = f"ROWS_ONLY({len(got)})" if len(got) > 0 else "EMPTY!"
             continue
