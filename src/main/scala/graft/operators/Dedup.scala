@@ -669,12 +669,18 @@ object Dedup {
     // policy-dump pattern: the engine dumps its verified ≥0.9 pairs to
     // a parquet side table and aggregates per source pair FROM THE
     // DUMP; the oracle joins the SAME dump against documents and
-    // re-aggregates — linear in |pairs| + |docs|, so the sf1 spot-gate
-    // can hash this row where l24's deliberately-quadratic completeness
-    // oracle cannot run (ratio_table.QUADRATIC_ORACLE). Division of
+    // re-aggregates — linear in |pairs| + |docs|, removing the
+    // oracle-side quadratic blow-up (ratio_table.QUADRATIC_ORACLE)
+    // entirely. On the §8 SCALE FIXTURE the sf1 row still can't run —
+    // but for the fixture's own reason, not the oracle's: its 99-way
+    // near-dup cliques make the ≥0.9 pair set itself ~25M rows
+    // (BASELINE §8.8 — an OUTPUT property no exact algorithm avoids);
+    // at real corpus near-dup density (1–10%) l24b hashes at any
+    // scale, and l4c (the embedding twin, whose pair set IS tractable
+    // at sf1) carries the sf1-hashed proof of the pattern. Division of
     // labor: l24 pins pair COMPLETENESS at gate scale; l24b pins the
-    // label-join + matrix-aggregate layer at EVERY scale. DedupSpec
-    // pins l24b ≡ l24 on the fixture.
+    // label-join + matrix-aggregate layer wherever the pair set fits.
+    // DedupSpec pins l24b ≡ l24 on the fixture.
     "l24b_overlap_matrix_dump" -> ((s, d) => {
       val path = policyDumpPath("l24b_pairs")
       jaccardVerifiedPairsComplete(s, d, 0.9)

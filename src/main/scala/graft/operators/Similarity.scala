@@ -247,6 +247,28 @@ object Similarity {
         .select(col("id_b").as("vec_id")).distinct()
       emb.join(removed, Seq("vec_id"), "left_anti")
         .select(col("vec_id"), col("label"))
+    }),
+
+    // L4C (r17): l4b's LINEAR-ORACLE dump twin (VERDICT r16 item 8) —
+    // l4b's oracle recomputes the ≥0.45 pair set with an all-pairs
+    // cosine join, quadratic in the embedding corpus (one of the three
+    // pinned members excluded from the sf1 DuckDB denominator:
+    // >80 CPU-minutes unfinished at sf1). The twin moves the hash to
+    // the l2g/l12b policy-dump pattern: the engine dumps its verified
+    // id pairs (integers — no float drift surface) and BOTH engines
+    // recompute the drop-the-larger-id survivors FROM THE DUMP, linear
+    // in |pairs| + |vectors|, so the sf1 spot-gate hashes this row
+    // where l4b's oracle cannot run. Pair completeness itself stays
+    // pinned by l4b at gate scale; SimilaritySpec pins l4c ≡ l4b.
+    "l4c_embedding_dedup_policy" -> ((s, d) => {
+      val path = graft.operators.Dedup.policyDumpPath("l4c_pairs")
+      val emb = Tables.embeddings(s, d)
+      thresholdJoin(emb, 0.45).select(col("id_a"), col("id_b"))
+        .write.mode("overwrite").parquet(path)
+      val removed = s.read.parquet(path)
+        .select(col("id_b").as("vec_id")).distinct()
+      emb.join(removed, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("label"))
     })
   )
 
@@ -1100,6 +1122,13 @@ object Similarity {
          |SELECT vec_id, label FROM embeddings
          |WHERE vec_id NOT IN (
          |  SELECT id_b FROM p WHERE id_a < id_b AND sim >= 0.45)""".stripMargin,
+
+    // l4c: survivors recomputed from the engine's own dumped pair set
+    // (linear — the sf1-hashable twin of l4b's quadratic oracle)
+    "l4c_embedding_dedup_policy" ->
+      s"""SELECT vec_id, label FROM embeddings
+         |WHERE vec_id NOT IN (SELECT id_b FROM
+         |  read_parquet('${graft.operators.Dedup.policyDumpPath("l4c_pairs")}/*.parquet'))""".stripMargin,
 
     // l12b: greedy min-id-first survivors recomputed from the engine's
     // dumped within-cluster edge graph (written earlier in the same

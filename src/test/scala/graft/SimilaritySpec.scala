@@ -171,6 +171,18 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(keptSem === Set(0L, 2L))
   }
 
+  test("l4c policy twin survivors ≡ l4b embedding-dedup survivors (r17)") {
+    // the dump-and-recompute twin must reproduce the production entry's
+    // drop-the-larger-id survivor set exactly — l4c is the linear form
+    // the sf1 gate hashes where l4b's all-pairs oracle cannot run
+    def survivors(name: String) =
+      Similarity.queries(name)(spark, sf("sf0.001"))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    val l4b = survivors("l4b_embedding_dedup")
+    assert(l4b === survivors("l4c_embedding_dedup_policy"))
+    assert(l4b.nonEmpty)
+  }
+
   test("blockTopK equals bruteTopK and exactTopK gate picks the block path") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()

@@ -120,7 +120,7 @@ def main():
             continue
         got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
         mode = modes.get(name, "exact")
-        if mode.startswith("oracle-quadratic"):
+        if mode.startswith("oracle-quadratic") or mode.startswith("fixture-pairset"):
             results[name] = f"ROWS_ONLY({len(got)})" if len(got) > 0 \
                 else "EMPTY!"
             continue

@@ -33,7 +33,11 @@ import pyarrow.parquet as pq
 POLICY_TWINS = {"l2g_minhash_policy", "l2h_simhash_policy",
                 "m5b_cluster_policy", "l12b_semdedup_policy",
                 # r13: PQ codebook dump-and-recompute (same stance)
-                "l3g_pq_codes"}
+                "l3g_pq_codes",
+                # r17: linear-oracle twins of the quadratic-oracle
+                # entries (dump-and-recompute; excluded from the
+                # floating subset like every other twin)
+                "l24b_overlap_matrix_dump", "l4c_embedding_dedup_policy"}
 QUADRATIC_ORACLE = {"l2e_jaccard_dedup", "l2c_shingle_jaccard",
                     "l2d_containment",
                     # r12: same quadratic-pair-join oracle stance as l2e

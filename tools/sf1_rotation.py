@@ -50,12 +50,30 @@ LEDGER = os.path.join(HERE, "sf1_rotation_ledger.json")
 # the k5 boundary: 15000 distincts > the 4096-entry exact mode).
 ESTIMATE_AT_SF1 = {"k5_theta_set_ops": "band:0.05"}
 
-# Mirror of ratio_table.QUADRATIC_ORACLE: the ORACLE (not the engine)
-# is quadratic in corpus size — excluded at sf1 until a linear-form
-# twin replaces the oracle (VERDICT r16 item 8 retires these one by
-# one; keep this set in sync with ratio_table.py).
-QUADRATIC_ORACLE = {"l2e_jaccard_dedup", "l2c_shingle_jaccard",
-                    "l2d_containment", "l24_cross_source_overlap"}
+# Entries whose ORACLE (not the engine) is quadratic at sf1 — the
+# engine side runs there and takes a rows-only check; includes
+# pinned_sf_pair.SF1_QUADRATIC_SKIP (the embedding-cosine oracles).
+# l4c_embedding_dedup_policy is l4b's r17 linear twin, hash-checked at
+# sf1 (the l2g dump pattern).
+QUADRATIC_ORACLE = {"l3_cosine_topk", "l4_cosine_threshold",
+                    "l4b_embedding_dedup"}
+
+# Entries whose sf1 exclusion is a property of the SCALE FIXTURE, not
+# of any oracle: its x100 near-dup cliques make the verified TEXT pair
+# set itself ~25M rows (BASELINE 8.8 — an OUTPUT property no exact
+# algorithm avoids), and the per-pair token-set verify on top of that
+# is the blow-up (measured r17: a single member held a 2-task straggler
+# stage >17 min CPU before the run was cut; the embedding twins, whose
+# per-pair cost is one 64-dim dot product, run in seconds). These are
+# adjudicated BY MODE — never rotated into the sf1 window, never run
+# there; their scale story is the SKEW gate (hot-shingle fixture) and
+# the sf0.1 hashes. The whole text near-dup pair family:
+FIXTURE_BOUND = {"l2_minhash_dedup", "l2b_simhash", "l2b2_simhash_dedup",
+                 "l2c_shingle_jaccard", "l2d_containment",
+                 "l2e_jaccard_dedup", "l2g_minhash_policy",
+                 "l2h_simhash_policy", "l24_cross_source_overlap",
+                 "l24b_overlap_matrix_dump", "m5_dedup_clusters",
+                 "m5b_cluster_policy"}
 
 def latest(pattern):
     files = sorted(glob.glob(os.path.join(REPO, pattern)))
@@ -90,8 +108,11 @@ def main():
             for a in rec.get("arms", []))
         and name in inventory)
 
-    always = sorted(set(risk) | set(extra))
-    rest = [n for n in inventory if n not in set(always)]
+    always = sorted((set(risk) | set(extra)) - FIXTURE_BOUND)
+    # fixture-bound names can never be checked at sf1 — cycling them
+    # through the window would waste slots on guaranteed skips
+    rest = [n for n in inventory
+            if n not in set(always) and n not in FIXTURE_BOUND]
     stride = max(1, size - len(always))
     cursor = (rnd * stride) % len(rest) if rest else 0
     rotating = [rest[(cursor + i) % len(rest)] for i in range(min(stride, len(rest)))]
@@ -103,6 +124,8 @@ def main():
             modes[n] = ESTIMATE_AT_SF1[n]
         elif n in QUADRATIC_ORACLE:
             modes[n] = "oracle-quadratic:excluded"
+        elif n in FIXTURE_BOUND:
+            modes[n] = "fixture-pairset:excluded"
         else:
             modes[n] = "exact"
 
