@@ -143,6 +143,44 @@ class SnapshotSpec extends AnyFunSuite with SparkTestBase {
       Seq("balances/gen=B", "rollup/gen=B"))
   }
 
+  test("snapshot commit crash injection: a pre-publish crash leaves the " +
+      "table at the prior version with no scratch debris (r17)") {
+    import graft.plans.{GraftInjectedCrash, SnapshotTable, TableCommit}
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_snap_crash").toString + "/t"
+    val snap = SnapshotTable
+    val v1 = snap.commit(spark, dir,
+      Some(Seq((1L, "base")).toDF("k", "who")), (_, nw) => nw)
+    for (point <- Seq("beforeReserve", "beforePublish")) {
+      val t = TableCommit.withCrashPoint(point) {
+        intercept[Throwable](snap.commit(spark, dir,
+          Some(Seq((2L, "crash")).toDF("k", "who")), (prev, nw) => prev ++ nw))
+      }
+      def causes(x: Throwable): Seq[Throwable] =
+        Iterator.iterate(x)(_.getCause).takeWhile(_ != null).toSeq
+      assert(causes(t).exists(_.isInstanceOf[GraftInjectedCrash]))
+      val (fs, loc) = snap.fsOf(spark, dir)
+      assert(TableCommit.latestManifest(fs, loc).get.version === v1,
+        s"crash at $point must not publish a new version")
+      assert(snap.readLatest(spark, dir)
+        .collect().map(_.getString(1)).toSeq === Seq("base"))
+      assert(!new java.io.File(dir).listFiles()
+        .exists(_.getName.startsWith(".graft_snap_")),
+        s"crash at $point must clean the loser's scratch")
+    }
+    // the table still accepts the next commit cleanly; the
+    // beforePublish crash happened AFTER its reserve, so that claim
+    // BURNS its version number (a crashed reservation holds its slot —
+    // TableCommit.currentVersion counts locks — so later writers can
+    // never collide with it) and the next commit takes v1 + 2
+    val v2 = snap.commit(spark, dir,
+      Some(Seq((2L, "ok")).toDF("k", "who")), (prev, nw) => prev ++ nw)
+    assert(v2 === v1 + 2)
+    assert(snap.readLatest(spark, dir)
+      .collect().map(_.getString(1)).toSet === Set("base", "ok"))
+  }
+
   test("two snapshot appends racing one version (m32-style table): the " +
       "loser throws, the winner's snapshot is intact, a retry lands (r17)") {
     import graft.plans.{GraftConcurrentCommitException, SnapshotTable}
