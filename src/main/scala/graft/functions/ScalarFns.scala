@@ -17,6 +17,23 @@ import org.apache.spark.sql.types._
 object ScalarFns {
 
   val queries: Map[String, Q] = Map(
+    // F23: Z-ORDER KEY (r17) — the Morton bit-interleave of two BIGINT
+    // keys (functions/ZOrder.scala), the clustering key behind
+    // OPTIMIZE … ZORDER BY and m40b's clustered compaction. A native
+    // codegen'd Expression (no UDF): five shift-mask rounds per input
+    // inside whole-stage codegen over the scan. The entry emits the
+    // key for (custkey, orderkey) pairs; the oracle replays the
+    // identical shift-mask pipeline in SQL, pinning the construction
+    // bit-for-bit (ZOrderSpec owns the inverse/locality/codegen laws).
+    // Scan-local at any scale — this is the map-side key the
+    // compaction shuffle sorts by.
+    "f23_zorder" -> ((s, d) => {
+      val z = ZOrderLong.zorder(col("o_custkey"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), z.as("zval"))
+    }),
+
     // F1: string family over part names.
     "f1_string_fns" -> ((s, d) => {
       Tables.part(s, d).select(
@@ -428,6 +445,33 @@ object ScalarFns {
   )
 
   val oracles: Map[String, String] = Map(
+    // f23: the identical Morton spread — five shift-mask rounds per
+    // key, decimal spellings of the hex magic masks, then interleave.
+    // Both engines use two's-complement BIGINT ops, so the pipeline is
+    // bit-for-bit the engine Expression's arithmetic.
+    "f23_zorder" ->
+      """WITH inp AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    o_custkey & 2147483647 AS a, o_orderkey & 2147483647 AS b
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |), s1 AS (SELECT o_orderkey, o_custkey,
+        |    (a | (a << 16)) & 281470681808895 AS a,
+        |    (b | (b << 16)) & 281470681808895 AS b FROM inp
+        |), s2 AS (SELECT o_orderkey, o_custkey,
+        |    (a | (a << 8)) & 71777214294589695 AS a,
+        |    (b | (b << 8)) & 71777214294589695 AS b FROM s1
+        |), s3 AS (SELECT o_orderkey, o_custkey,
+        |    (a | (a << 4)) & 1085102592571150095 AS a,
+        |    (b | (b << 4)) & 1085102592571150095 AS b FROM s2
+        |), s4 AS (SELECT o_orderkey, o_custkey,
+        |    (a | (a << 2)) & 3689348814741910323 AS a,
+        |    (b | (b << 2)) & 3689348814741910323 AS b FROM s3
+        |), s5 AS (SELECT o_orderkey, o_custkey,
+        |    (a | (a << 1)) & 6148914691236517205 AS a,
+        |    (b | (b << 1)) & 6148914691236517205 AS b FROM s4
+        |)
+        |SELECT o_orderkey, o_custkey,
+        |  CAST((a << 1) | b AS BIGINT) AS zval FROM s5""".stripMargin,
     // f20: explicit NULL-site forms — CASE for the zero divisor and the
     // overflow parity, TRY_CAST for the dirty string
     "f20_try_functions" ->

@@ -1024,6 +1024,78 @@ object PipelineOps {
     // the same exact integer arithmetic.
     "m36b_pagerank_directed" -> ((s, d) => pagerankDirected(s, d, iters = 3)),
 
+    // M40 (r17): CRASH-ATOMIC SMALL-FILE COMPACTION — the OPTIMIZE
+    // command, m7's transactional successor: where m7 rewrites a bare
+    // path wholesale, m40 compacts a live CATALOG table through the
+    // TableCommit manifest swap (plans/Compaction) — only directories
+    // over the file-count threshold rewrite (the CDC-fragmented days;
+    // healthy partitions stay byte-identical ON DISK — CompactionSpec
+    // owns the file laws, crash injection, and the compactor-vs-writer
+    // race), the commit is one atomic manifest publish, and a reader
+    // mid-compaction sees exactly the pre- or post-state. The entry
+    // seeds a 12-way-fragmented year-partitioned balance table,
+    // compacts at maxFilesPerDir=4, and hashes the FULL post-state —
+    // compaction must be content-preserving to the row, which is the
+    // one property a fragmented-vs-packed layout cannot hide from. At
+    // 100 TB: compacting yesterday's ingest costs O(yesterday), the
+    // shuffle runs only over the fragmented slice, and the OCC lock
+    // means the nightly compactor can never silently interleave with a
+    // late CDC merge.
+    "m40_compact_commit" -> ((s, d) => {
+      SqlFrontend.registerViews(s, d)
+      val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
+      val tbl = s"m40_bal_$tag"
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_$tbl").toString
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      rmDir(path)
+      s.sql(
+        s"""CREATE TABLE $tbl USING parquet PARTITIONED BY (yr)
+           |LOCATION '$path' AS
+           |SELECT /*+ REPARTITION(12) */ o_custkey AS custkey, COUNT(*) AS n,
+           |  SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS cents,
+           |  CAST(year(o_orderdate) AS INT) AS yr
+           |FROM orders WHERE o_orderstatus = 'F'
+           |GROUP BY o_custkey, year(o_orderdate)""".stripMargin)
+      graft.plans.Compaction.compact(s, tbl, maxFilesPerDir = 4)
+      s.sql(s"SELECT custkey, yr, n, cents FROM $tbl")
+    }),
+
+    // M40B (r17): Z-ORDER CLUSTERED COMPACTION — OPTIMIZE … ZORDER BY,
+    // m40's layout-aware sibling on an UNPARTITIONED table: the
+    // re-pack range-partitions on the Morton interleave of
+    // (custkey, cents) (functions/ZOrder.scala — a codegen'd
+    // Expression, so the key computes map-side inside the compaction
+    // shuffle), so output FILES carry pairwise-disjoint Z-ranges and a
+    // predicate on EITHER dimension prunes files/row groups at plan
+    // time. The entry hashes the identical relation as a fragmented
+    // seed would give — clustering must be a pure layout change; a
+    // row lost, duplicated, or reordered INTO a different value by
+    // the two-level sort breaks the hash. CompactionSpec owns the
+    // disjoint-range law and the sort-survives-the-commit law. At
+    // 100 TB this is the nightly job that turns yesterday's CDC
+    // fragments into skippable files WITHOUT a table-wide rewrite.
+    "m40b_compact_zorder" -> ((s, d) => {
+      SqlFrontend.registerViews(s, d)
+      val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
+      val tbl = s"m40b_bal_$tag"
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_$tbl").toString
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      rmDir(path)
+      s.sql(
+        s"""CREATE TABLE $tbl USING parquet LOCATION '$path' AS
+           |SELECT /*+ REPARTITION(12) */ o_custkey AS custkey, COUNT(*) AS n,
+           |  SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS cents,
+           |  CAST(year(o_orderdate) AS INT) AS yr
+           |FROM orders WHERE o_orderstatus = 'F'
+           |GROUP BY o_custkey, year(o_orderdate)""".stripMargin)
+      graft.plans.Compaction.compact(s, tbl, maxFilesPerDir = 4,
+        clusterBy = Seq(graft.functions.ZOrderLong.zorder(
+          col("custkey"), col("cents"))))
+      s.sql(s"SELECT custkey, yr, n, cents FROM $tbl")
+    }),
+
     "m28_vacuum" -> ((s, d) => {
       val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
       val dir = java.nio.file.Paths.get(
@@ -1970,6 +2042,29 @@ object PipelineOps {
       s"""SELECT COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
          |  ${graft.Exprs.sqlDsum("value")} AS sum_value
          |FROM events""".stripMargin,
+
+    // m40: compaction is content-preserving to the ROW — the oracle
+    // recomputes the seeded balance table from raw orders; a dropped,
+    // duplicated, or partition-misplaced row after the re-pack breaks
+    // the hash (the layout changed, the relation must not)
+    "m40_compact_commit" ->
+      """SELECT o_custkey AS custkey, CAST(year(o_orderdate) AS INT) AS yr,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_custkey, year(o_orderdate)""".stripMargin,
+
+    // m40b: same recompute — Z-order clustering must be a pure layout
+    // change over the identical relation (the seed differs only in
+    // partitioning, which the relation doesn't see)
+    "m40b_compact_zorder" ->
+      """SELECT o_custkey AS custkey, CAST(year(o_orderdate) AS INT) AS yr,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_custkey, year(o_orderdate)""".stripMargin,
 
     "m6_chunk_documents" ->
       """WITH t AS (

@@ -333,19 +333,41 @@ private[graft] object TableCommit {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], table.schema)
       case Some(m) =>
         val srcOf = m.adds.map { case (s, d) => d -> s }.toMap
-        val paths = m.live.map { rel =>
+        // resolve each live file: final path when the rename landed,
+        // else its still-unmoved scratch source. The two groups need
+        // SEPARATE basePaths on a partitioned table — the scratch dir
+        // mirrors the partition layout one level down, so parsing
+        // scratch files against the table root would see conflicting
+        // directory depths (found by CompactionSpec's afterPublish
+        // crash; the scratch mirror parses the same partition values
+        // against its own root).
+        val (inPlace, inScratch) = m.live.map { rel =>
           val p = new HPath(loc, rel)
-          if (fs.exists(p)) p.toString
-          else srcOf.get(rel).map(s => new HPath(loc, s).toString)
-            .filter(s => fs.exists(new HPath(s)))
-            .getOrElse(throw new IllegalStateException(
-              s"graft readLive: live file $rel of v${m.version} is at " +
-                "neither its final nor its scratch path"))
+          if (fs.exists(p)) (Some(p.toString), None)
+          else {
+            val s = srcOf.get(rel).map(sp => new HPath(loc, sp))
+              .filter(fs.exists(_))
+              .getOrElse(throw new IllegalStateException(
+                s"graft readLive: live file $rel of v${m.version} is at " +
+                  "neither its final nor its scratch path"))
+            (None, Some(s.toString))
+          }
+        }.unzip match { case (a, b) => (a.flatten, b.flatten) }
+        def readAt(paths: Seq[String], base: HPath) = {
+          val reader = spark.read.schema(table.schema)
+          (if (table.partitionColumnNames.nonEmpty)
+            reader.option("basePath", base.toString) else reader)
+            .parquet(paths: _*)
         }
-        val reader = spark.read.schema(table.schema)
-        (if (table.partitionColumnNames.nonEmpty)
-          reader.option("basePath", loc.toString) else reader)
-          .parquet(paths: _*)
+        val scratchBase = m.scratch.map(new HPath(loc, _)).getOrElse(loc)
+        (inPlace.nonEmpty, inScratch.nonEmpty) match {
+          case (true, true) =>
+            readAt(inPlace, loc).unionByName(readAt(inScratch, scratchBase))
+          case (true, false) => readAt(inPlace, loc)
+          case (false, true) => readAt(inScratch, scratchBase)
+          case _ => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], table.schema)
+        }
     }
   }
 
