@@ -161,13 +161,27 @@ private[graft] object TableCommit {
     v
   }
 
+  /** `notes` are commit-scoped app metadata lines (`note=k|v`) riding
+    * the SAME atomic publish as the file lists — e.g. the streaming
+    * append's batch high-water (t39), which MUST be transactional with
+    * the data commit or the crash-between-sink-and-checkpoint replay
+    * window reopens. Absent lines parse to empty, so every pre-notes
+    * manifest stays readable and every notes-unaware writer (plain
+    * DML, compaction) simply publishes without them.
+    */
   case class Manifest(version: Int, scratch: Option[String],
-      adds: Seq[(String, String)], dels: Seq[String], live: Seq[String])
+      adds: Seq[(String, String)], dels: Seq[String], live: Seq[String],
+      notes: Map[String, String] = Map.empty)
 
   private def render(m: Manifest): String = {
     val sb = new StringBuilder
     sb.append("status=applied\n")
     m.scratch.foreach(s => sb.append(s"scratch=$s\n"))
+    m.notes.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      require(!k.contains("|") && !k.contains("\n") && !v.contains("\n"),
+        s"graft commit: note $k would not survive the line format")
+      sb.append(s"note=$k|$v\n")
+    }
     m.adds.foreach { case (s, d) => sb.append(s"add=$s|$d\n") }
     m.dels.foreach(d => sb.append(s"del=$d\n"))
     m.live.foreach(l => sb.append(s"live=$l\n"))
@@ -188,7 +202,10 @@ private[graft] object TableCommit {
         val Array(s, d) = a.split("\\|", 2); (s, d)
       },
       dels = vals("del"),
-      live = vals("live"))
+      live = vals("live"),
+      notes = vals("note").map { n =>
+        val Array(k, value) = n.split("\\|", 2); (k, value)
+      }.toMap)
   }
 
   /** Write (or rewrite) version `v`'s manifest: temp file + rename, so

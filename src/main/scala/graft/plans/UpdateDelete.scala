@@ -232,9 +232,21 @@ private[plans] object CopyOnWrite {
     * register minted partitions). See [[prunedCommit]] for the
     * atomicity contract — it holds identically for both callers.
     */
+  /** Pure append through the same swap: no dels, so live grows to
+    * current ∪ new — the streaming micro-batch commit (t39) and any
+    * INSERT-shaped writer. `notes` ride the manifest publish, making
+    * app metadata (the stream's batch high-water) transactional with
+    * the data.
+    */
+  def appendCommit(spark: SparkSession, table: CatalogTable,
+      newRows: LogicalPlan, partitionCols: Seq[String], base: Int,
+      notes: Map[String, String]): Unit =
+    swapCommit(spark, table, newRows, Nil, partitionCols, base, notes)
+
   private def swapCommit(spark: SparkSession, table: CatalogTable,
       rewritten: LogicalPlan, delsRel: Seq[String],
-      partitionCols: Seq[String], base: Int): Unit = {
+      partitionCols: Seq[String], base: Int,
+      notes: Map[String, String] = Map.empty): Unit = {
     val df = ColumnBridge.ofRows(spark, rewritten)
     val (fs, loc) = TableCommit.fsOf(spark, table)
     val scratchName = s".graft_cow_${java.util.UUID.randomUUID()}"
@@ -254,7 +266,7 @@ private[plans] object CopyOnWrite {
         dels) ++ adds.map(_._2)
       val v = TableCommit.reserve(fs, loc, base) // OCC check-and-claim
       TableCommit.publish(fs, loc, TableCommit.Manifest(
-        v, Some(scratchName), adds, dels, live.toSeq.sorted))
+        v, Some(scratchName), adds, dels, live.toSeq.sorted, notes))
       published = true // THE commit point: pre-commit state ends here
       TableCommit.maybeCrashApply("afterPublish")
       // apply: renames FIRST, deletes SECOND — a torn window duplicates

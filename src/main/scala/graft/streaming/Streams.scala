@@ -1283,6 +1283,81 @@ object Streams {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table("t38_final")
         .select(col("quarantined"), col("lang"), col("n"), col("chars_total"))
+    }),
+
+    // T39 (r17): STREAMING APPEND INTO A GOVERNED TABLE — the
+    // lakehouse ingest loop end-to-end: foreachBatch micro-batches
+    // commit into a partitioned CATALOG table through the TableCommit
+    // manifest protocol (plans/StreamTableAppend), with the batch
+    // high-water riding the commit's own `note` lines — transactional
+    // with the data, which is the only placement that survives the
+    // crash-between-sink-commit-and-checkpoint-commit replay. The
+    // entry stages three id%3 batches, runs the stream (each batch =
+    // one OCC manifest commit minting its b partition), then runs the
+    // nightly OPTIMIZE (m40's compaction — whose commit carries NO
+    // high-water note, so a latest-manifest-only gate would forget
+    // the high-water RIGHT HERE; the gate's all-manifests scan is
+    // what the replay pins), then injects the t35 crash: the last
+    // checkpoint commit marker is deleted and the restarted query
+    // re-delivers batch 2 under the same id — the manifest high-water
+    // must turn it away (skips ≥ 1) or the final table carries batch
+    // 2 twice and the hash breaks. At 100 TB this is the streaming
+    // CDC feed + nightly compactor sharing one commit log: each batch
+    // costs O(batch), compaction costs O(fragmented slice), and the
+    // shared OCC lock means they can never silently interleave.
+    "t39_stream_table_append" -> ((s, d) => {
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_t39_${dirTag(d)}").toString
+      rmTree(new java.io.File(base))
+      val (feed, ckpt, tloc) = (s"$base/feed", s"$base/ckpt", s"$base/table")
+      val tbl = s"t39_ingest_${dirTag(d)}".replaceAll("[^0-9a-zA-Z_]", "_")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(
+        s"""CREATE TABLE $tbl (event_id BIGINT, user_id BIGINT, us BIGINT,
+           |  cents BIGINT, b INT) USING parquet PARTITIONED BY (b)
+           |LOCATION '$tloc'""".stripMargin)
+      val ev = graft.Tables.events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"),
+          col("user_id"),
+          expr("CAST(ROUND(value * 1e2, 0) AS BIGINT)").as("cents"))
+      (0 to 2).foreach(b => stageBatch(s, feed, b,
+        ev.filter(col("event_id") % 3 === b)))
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("us", LongType),
+        StructField("user_id", LongType), StructField("cents", LongType)))
+      val skips = new java.util.concurrent.atomic.AtomicInteger(0)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      def runStream(): Unit = {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").json(feed)
+          .select(col("event_id"), col("user_id"), col("us"), col("cents"),
+            (col("event_id") % 3).cast("int").as("b"))
+          .writeStream
+          .foreachBatch { (df: DataFrame, id: Long) =>
+            // the micro-batch lands parallel (fragmented) files — the
+            // reality OPTIMIZE exists for
+            val frag = df.repartition(6, col("user_id"))
+            if (!graft.plans.StreamTableAppend.appendBatch(s, tbl, frag, id))
+              skips.incrementAndGet(): Unit
+          }
+          .option("checkpointLocation", ckpt).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      try {
+        runStream()
+        graft.plans.Compaction.compact(s, tbl, maxFilesPerDir = 4)
+        val commits = new java.io.File(s"$ckpt/commits")
+        val markers = commits.listFiles.filter(_.getName.forall(_.isDigit))
+        require(markers.nonEmpty, "t39: no commit markers in the checkpoint")
+        val last = markers.maxBy(_.getName.toInt)
+        new java.io.File(commits, s".${last.getName}.crc").delete()
+        require(last.delete(), "t39: could not drop the last commit marker")
+        runStream()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      require(skips.get >= 1, "t39: the replayed batch never hit the gate")
+      s.sql(s"SELECT event_id, user_id, us, cents, b FROM $tbl")
     })
   )
 
@@ -1582,6 +1657,16 @@ object Streams {
         |)
         |SELECT quarantined, lang, COUNT(*) AS n,
         |  CAST(SUM(n_chars) AS BIGINT) AS chars_total
-        |FROM d GROUP BY 1, 2""".stripMargin
+        |FROM d GROUP BY 1, 2""".stripMargin,
+
+    // t39: the governed table after ingest + compaction + replay must
+    // hold every event EXACTLY once with its batch assignment — a
+    // re-applied replay doubles batch 2's rows, a lost append drops a
+    // third of them, a compaction defect perturbs anything
+    "t39_stream_table_append" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS us,
+        |  CAST(ROUND(value * 1e2, 0) AS BIGINT) AS cents,
+        |  CAST(event_id % 3 AS INT) AS b
+        |FROM events""".stripMargin
   )
 }
