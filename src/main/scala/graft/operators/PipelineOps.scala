@@ -1096,6 +1096,64 @@ object PipelineOps {
       s.sql(s"SELECT custkey, yr, n, cents FROM $tbl")
     }),
 
+    // M41 (r17): COMMIT-LOG CHECKPOINTING — Delta/Iceberg-style log
+    // compaction for the manifest protocol (TableCommit.checkpointLog).
+    // A streaming table commits thousands of manifests a day, and every
+    // history fold (t39's high-water gate) would pay O(versions)
+    // metadata reads — the protocol's own small-files problem. The
+    // entry runs the full table lifecycle: three streaming appends
+    // (versions 1–3, each carrying its batch note), a CDC UPDATE and
+    // the nightly OPTIMIZE (notes-less commits 4–5), then CHECKPOINT —
+    // ≥4 manifests collapse into one v{K}.ckpt carrying the
+    // last-writer-wins note fold and K's live set, their txt/lock
+    // files pruned. The gate must still hold THROUGH the checkpoint
+    // (batch-1 replay turned away reading ckpt notes; genuinely-new
+    // batch 3 admitted), and a DELETE on top proves ordinary DML
+    // continues over a checkpointed log. The hash pins the full
+    // operation ORDER: the UPDATE touched only pre-checkpoint batches,
+    // the post-checkpoint batch escaped it, the DELETE hit everything.
+    // At 100 TB: the gate and every recover read O(retained tail), not
+    // O(table age) — log maintenance is what makes a year-old
+    // streaming table commit as fast as a day-old one.
+    "m41_commit_log_checkpoint" -> ((s, d) => {
+      SqlFrontend.registerViews(s, d)
+      val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
+      val tbl = s"m41_bal_$tag"
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_$tbl").toString
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      rmDir(path)
+      new java.io.File(path).mkdirs()
+      s.sql(
+        s"""CREATE TABLE $tbl (custkey BIGINT, n BIGINT, cents BIGINT,
+           |  yr INT) USING parquet PARTITIONED BY (yr)
+           |LOCATION '$path'""".stripMargin)
+      val bal = s.sql(
+        """SELECT o_custkey AS custkey, COUNT(*) AS n,
+          |  SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS cents,
+          |  CAST(year(o_orderdate) AS INT) AS yr
+          |FROM orders WHERE o_orderstatus = 'F'
+          |GROUP BY o_custkey, year(o_orderdate)""".stripMargin)
+      (0 to 2).foreach(b => graft.plans.StreamTableAppend.appendBatch(
+        s, tbl, bal.filter(col("custkey") % 4 === b), b))
+      s.sql(s"UPDATE $tbl SET cents = cents + n WHERE custkey % 10 = 3")
+      graft.plans.Compaction.compact(s, tbl, maxFilesPerDir = 4)
+      val table = s.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+      val collapsed = graft.plans.TableCommit.checkpointLog(
+        s, table, retainTxts = 1)
+      require(collapsed >= 3,
+        s"m41: expected >=3 manifests collapsed, got $collapsed")
+      require(!graft.plans.StreamTableAppend.appendBatch(
+        s, tbl, bal.filter(col("custkey") % 4 === 1), 1),
+        "m41: the batch-1 replay must gate through the checkpoint")
+      require(graft.plans.StreamTableAppend.appendBatch(
+        s, tbl, bal.filter(col("custkey") % 4 === 3), 3),
+        "m41: the new batch must land over a checkpointed log")
+      s.sql(s"DELETE FROM $tbl WHERE custkey % 100 = 7")
+      s.sql(s"SELECT custkey, n, cents, yr FROM $tbl")
+    }),
+
     "m28_vacuum" -> ((s, d) => {
       val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
       val dir = java.nio.file.Paths.get(
@@ -2054,6 +2112,25 @@ object PipelineOps {
         |    AS cents
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY o_custkey, year(o_orderdate)""".stripMargin,
+
+    // m41: the lifecycle replayed relationally — the UPDATE touched
+    // only the batches present BEFORE the checkpoint (custkey%4 in
+    // 0..2), the post-checkpoint batch escaped it, the replay added
+    // nothing, the DELETE hit everything; a broken gate doubles batch
+    // 1, a lost note drops batch 3's admission, a checkpoint that
+    // perturbed data breaks any row
+    "m41_commit_log_checkpoint" ->
+      """WITH bal AS (
+        |  SELECT o_custkey AS custkey, COUNT(*) AS n,
+        |    SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS cents,
+        |    CAST(year(o_orderdate) AS INT) AS yr
+        |  FROM orders WHERE o_orderstatus = 'F'
+        |  GROUP BY o_custkey, year(o_orderdate)
+        |)
+        |SELECT custkey, n,
+        |  CAST(CASE WHEN custkey % 10 = 3 AND custkey % 4 <> 3
+        |       THEN cents + n ELSE cents END AS BIGINT) AS cents, yr
+        |FROM bal WHERE custkey % 100 <> 7""".stripMargin,
 
     // m40b: same recompute — Z-order clustering must be a pure layout
     // change over the identical relation (the seed differs only in

@@ -20,24 +20,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * just the latest manifest's): interleaved non-streaming commits —
   * a CDC MERGE, a compaction ([[Compaction]]) — publish without
   * notes, and a latest-only read under a fresh manifest would forget
-  * the high-water and re-apply a replay. The scan is one metadata
-  * read per version, the same snapshot-log walk every lakehouse
-  * reader performs; a production deployment caps it with ordinary
-  * log checkpointing. OCC conflicts with concurrent writers retry
-  * bounded-ly with a fresh base — the append's row set is
-  * base-independent, so a retry is always safe.
+  * the high-water and re-apply a replay. The fold reads the log
+  * CHECKPOINT plus the retained manifest tail
+  * ([[TableCommit.checkpointLog]], m41) — O(tail) per batch at any
+  * table age, the same log-compaction move Delta/Iceberg make. OCC
+  * conflicts with concurrent writers retry bounded-ly with a fresh
+  * base — the append's row set is base-independent, so a retry is
+  * always safe.
   */
 object StreamTableAppend {
 
   /** Highest batchId any published commit recorded under `key`;
-    * -1 when none has.
+    * -1 when none has. Reads the checkpoint + retained-manifest fold
+    * ([[TableCommit.foldNotes]]) — O(retained tail), not O(history),
+    * once [[TableCommit.checkpointLog]] runs on its maintenance cadence
+    * (m41). The fold is last-writer-wins per key, which equals the max
+    * here because this gate only ever admits a batchId ABOVE the
+    * current high-water — recorded values ascend by construction.
     */
   def highWater(fs: FileSystem, loc: HPath, key: String): Long =
-    (1 to TableCommit.currentVersion(fs, loc))
-      .flatMap(v => TableCommit.readManifest(fs, loc, v))
-      .flatMap(_.notes.get(key))
-      .map(_.toLong)
-      .foldLeft(-1L)(math.max)
+    TableCommit.foldNotes(fs, loc).get(key).map(_.toLong).getOrElse(-1L)
 
   /** Commit `df` as an append if `batchId` is above the table's
     * recorded high-water; return false (no-op) when the batch was

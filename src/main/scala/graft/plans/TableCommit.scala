@@ -121,8 +121,10 @@ private[graft] object TableCommit {
     val dir = commitsDir(loc)
     if (!fs.exists(dir)) 0
     else fs.listStatus(dir).map(_.getPath.getName).collect {
-      case n if n.startsWith("v") && (n.endsWith(".txt") || n.endsWith(".lock")) =>
+      case n if n.startsWith("v") && (n.endsWith(".txt") ||
+          n.endsWith(".lock") || n.endsWith(".ckpt")) =>
         n.stripPrefix("v").stripSuffix(".txt").stripSuffix(".lock")
+          .stripSuffix(".ckpt")
     }.flatMap(s => scala.util.Try(s.toInt).toOption)
       .foldLeft(0)(math.max)
   }
@@ -405,4 +407,129 @@ private[graft] object TableCommit {
   }
 
   private[graft] def maybeCrashApply(point: String): Unit = maybeCrash(point)
+
+  // ---------------------------------------------------------------------
+  // Commit-log checkpointing (m41, r17) — Delta/Iceberg-style log
+  // compaction re-derived on the line-format manifests. Without it the
+  // log grows one manifest per commit forever, and every reader that
+  // folds over history (the streaming append's high-water gate, any
+  // note consumer) pays O(versions) metadata reads per call — at a
+  // streaming table's cadence (thousands of commits/day) that is the
+  // protocol's own small-files problem. A checkpoint collapses every
+  // converged manifest strictly below the retained tail into ONE
+  // `v{K}.ckpt` file carrying the per-key LAST-WRITER-WINS note fold
+  // and K's live set, then prunes the collapsed txt/lock files. All
+  // readers take max/fold over {checkpoint} ∪ {remaining txts}, so a
+  // crash between ckpt write and prune (both present, overlapping) is
+  // harmless and the next checkpoint finishes the prune. Collapsed
+  // versions are converged BY CONSTRUCTION: every commit runs recover()
+  // before publishing, so any version below the latest txt has had its
+  // renames/deletes completed. Time travel below the horizon is
+  // retired with the txts — the same retention trade every lakehouse
+  // log checkpoint makes.
+  // ---------------------------------------------------------------------
+
+  private def ckptPath(loc: HPath, v: Int): HPath =
+    new HPath(commitsDir(loc), s"v$v.ckpt")
+
+  /** Version of the checkpoint file, if one exists. */
+  def checkpointVersion(fs: FileSystem, loc: HPath): Option[Int] = {
+    val dir = commitsDir(loc)
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).map(_.getPath.getName).collect {
+      case n if n.startsWith("v") && n.endsWith(".ckpt") =>
+        n.stripPrefix("v").stripSuffix(".ckpt")
+    }.flatMap(s => scala.util.Try(s.toInt).toOption)
+      .sorted.lastOption
+  }
+
+  def readCheckpoint(fs: FileSystem, loc: HPath): Option[Manifest] =
+    checkpointVersion(fs, loc).map { v =>
+      val in = fs.open(ckptPath(loc, v))
+      val text = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      parse(v, text)
+    }
+
+  /** All published txt versions, ascending. */
+  private def txtVersions(fs: FileSystem, loc: HPath): Seq[Int] = {
+    val dir = commitsDir(loc)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).map(_.getPath.getName).collect {
+      case n if n.startsWith("v") && n.endsWith(".txt") =>
+        n.stripPrefix("v").stripSuffix(".txt")
+    }.flatMap(s => scala.util.Try(s.toInt).toOption).sorted.toSeq
+  }
+
+  /** Per-key note fold over the whole retained log: checkpoint first,
+    * then remaining manifests in version order (later wins per key).
+    * One metadata read per RETAINED file — the checkpoint is what
+    * keeps this O(tail), not O(history).
+    */
+  def foldNotes(fs: FileSystem, loc: HPath): Map[String, String] = {
+    val base = readCheckpoint(fs, loc).map(_.notes).getOrElse(Map.empty)
+    txtVersions(fs, loc).foldLeft(base) { (acc, v) =>
+      readManifest(fs, loc, v).map(acc ++ _.notes).getOrElse(acc)
+    }
+  }
+
+  /** Collapse every manifest strictly below the `retainTxts` newest
+    * into the checkpoint; prune the collapsed txt and lock files.
+    * Returns the number of manifests collapsed this call (0 when the
+    * log is already compact). Runs [[recover]] first so everything
+    * collapsed is converged.
+    */
+  def checkpointLog(spark: SparkSession, table: CatalogTable,
+      retainTxts: Int = 1): Int = {
+    require(retainTxts >= 1,
+      "graft checkpoint: the newest manifest must stay a txt — " +
+        "recover() rolls the latest manifest forward and a checkpoint " +
+        "carries no renames to roll")
+    recover(spark, table)
+    val (fs, loc) = fsOf(spark, table)
+    val versions = txtVersions(fs, loc)
+    val collapse = versions.dropRight(retainTxts)
+    if (collapse.isEmpty) return 0
+    val k = collapse.last
+    val prevCkpt = checkpointVersion(fs, loc)
+    val baseNotes = readCheckpoint(fs, loc).map(_.notes).getOrElse(Map.empty)
+    val folded = collapse.foldLeft(baseNotes) { (acc, v) =>
+      readManifest(fs, loc, v).map(acc ++ _.notes).getOrElse(acc)
+    }
+    val liveAtK = readManifest(fs, loc, k).map(_.live).getOrElse(Nil)
+    // atomic publish of the checkpoint itself: tmp + rename
+    val m = Manifest(k, None, Nil, Nil, liveAtK, folded)
+    val tmp = new HPath(commitsDir(loc),
+      s".tmp_ckpt_v${k}_${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    out.write(render(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    // a crash-resume re-checkpoints the SAME k (its txts survived the
+    // torn prune): drop the stale ckpt first — safe, because in
+    // exactly that scenario the collapsed txts still exist and cover
+    // every reader until the rename lands
+    if (prevCkpt.contains(k)) fs.delete(ckptPath(loc, k), false)
+    if (!fs.rename(tmp, ckptPath(loc, k)))
+      throw new java.io.IOException(
+        s"graft checkpoint: rename $tmp -> ${ckptPath(loc, k)} failed")
+    maybeCrash("betweenCkptAndPrune")
+    // prune: idempotent deletes — a crash here leaves ckpt + txts
+    // overlapping (readers fold both; later-wins makes it a no-op) and
+    // the next checkpoint call finishes the job
+    collapse.foreach { v =>
+      fs.delete(new HPath(commitsDir(loc), s"v$v.txt"), false)
+    }
+    // locks at or below k belong to published-or-abandoned claims whose
+    // numbers can never be re-claimed (currentVersion still sees the
+    // ckpt and the retained tail), so they prune with their versions
+    fs.listStatus(commitsDir(loc)).map(_.getPath.getName).collect {
+      case n if n.startsWith("v") && n.endsWith(".lock") =>
+        n.stripPrefix("v").stripSuffix(".lock")
+    }.flatMap(s => scala.util.Try(s.toInt).toOption)
+      .filter(_ <= k)
+      .foreach(v => fs.delete(new HPath(commitsDir(loc), s"v$v.lock"), false))
+    prevCkpt.filter(_ < k).foreach(v => fs.delete(ckptPath(loc, v), false))
+    collapse.size
+  }
 }

@@ -1309,10 +1309,15 @@ object Streams {
       import org.apache.spark.sql.types.{LongType, StructField, StructType}
       val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_t39_${dirTag(d)}").toString
-      rmTree(new java.io.File(base))
       val (feed, ckpt, tloc) = (s"$base/feed", s"$base/ckpt", s"$base/table")
       val tbl = s"t39_ingest_${dirTag(d)}".replaceAll("[^0-9a-zA-Z_]", "_")
+      // drop BEFORE deleting the location — the reverse order makes the
+      // catalog's drop-time listing log a spurious FileNotFound
       s.sql(s"DROP TABLE IF EXISTS $tbl")
+      rmTree(new java.io.File(base))
+      // pre-create the location: CREATE TABLE probes it for stream-sink
+      // metadata and logs a spurious WARN stack when it's absent
+      new java.io.File(tloc).mkdirs()
       s.sql(
         s"""CREATE TABLE $tbl (event_id BIGINT, user_id BIGINT, us BIGINT,
            |  cents BIGINT, b INT) USING parquet PARTITIONED BY (b)
