@@ -38,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // UPDATE / DELETE over plain-parquet catalog tables: same contract
     // (strict subsets of the MERGE copy-on-write machinery)
     e.injectResolutionRule(_ => graft.plans.DmlParquetRewrite)
+    // OPTIMIZE / CHECKPOINT TABLE maintenance statements (sql25):
+    // a delegating pre-pass — everything Spark's grammar knows passes
+    // through untouched
+    e.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
     GraftExtensions.functions.foreach(e.injectFunction)
   }
 }

@@ -419,6 +419,51 @@ object SqlFrontend {
          |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
          |  GROUP BY o_custkey HAVING COUNT(*) >= 5)""".stripMargin)),
 
+    // SQL25 (r17): THE MAINTENANCE STATEMENTS — `OPTIMIZE … ZORDER BY`
+    // and `CHECKPOINT TABLE` as SQL, not a Scala API (plans/
+    // MaintenanceSql, wired through SparkSessionExtensions
+    // .injectParser as a DELEGATING pre-pass: the two statements
+    // Spark's grammar lacks short-circuit, every other statement in
+    // the engine — all of sql1–sql24 — reaches Spark's parser
+    // untouched; this entry passing ALONGSIDE the whole sql surface is
+    // itself the delegation proof). The lifecycle: fragmented
+    // partitioned seed → OPTIMIZE tbl ZORDER BY (custkey, cents)
+    // (metrics row must report ≥1 dir compacted) → UPDATE (a second
+    // log version) → CHECKPOINT TABLE tbl (must collapse ≥1 manifest)
+    // → hash the full post-state. The operator's nightly cron is two
+    // SQL statements, same as Delta's — no pipeline redeploy to adopt
+    // a new clustering key.
+    "sql25_maintenance_sql" -> ((s, d) => {
+      withViews(s, d)
+      val tag = s"sf${d.replaceAll("[^0-9a-zA-Z]", "_")}".takeRight(24)
+      val tbl = s"sql25_balance_$tag"
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_$tbl").toString
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(path))
+      s.sql(
+        s"""CREATE TABLE $tbl USING parquet PARTITIONED BY (yr)
+           |LOCATION '$path' AS
+           |SELECT /*+ REPARTITION(12) */ o_custkey AS custkey,
+           |  COUNT(*) AS n,
+           |  SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS cents,
+           |  CAST(year(o_orderdate) AS INT) AS yr
+           |FROM orders WHERE o_orderstatus = 'F'
+           |GROUP BY o_custkey, year(o_orderdate)""".stripMargin)
+      val opt = s.sql(s"OPTIMIZE $tbl ZORDER BY (custkey, cents)").head()
+      require(opt.getInt(0) >= 1,
+        s"sql25: OPTIMIZE must compact the fragmented seed, got $opt")
+      s.sql(s"UPDATE $tbl SET cents = cents + n WHERE custkey % 10 = 3")
+      val ck = s.sql(s"CHECKPOINT TABLE $tbl").head()
+      require(ck.getInt(0) >= 1,
+        s"sql25: CHECKPOINT must collapse the optimize manifest, got $ck")
+      s.sql(s"SELECT custkey, yr, n, cents FROM $tbl")
+    }),
+
     // SQL23 (r17): UPDATE OF A PARTITION COLUMN, file-pruned — the
     // row-migration CDC shape (re-dating a batch, moving records
     // between tenants) that cost a FULL static overwrite before r17
@@ -757,6 +802,22 @@ object SqlFrontend {
   )
 
   val oracles: Map[String, String] = Map(
+    // sql25: the maintenance statements are layout/metadata-only —
+    // the relation is the seed with the UPDATE applied; any row
+    // OPTIMIZE or CHECKPOINT perturbed breaks the hash
+    "sql25_maintenance_sql" ->
+      """WITH bal AS (
+        |  SELECT o_custkey AS custkey, COUNT(*) AS n,
+        |    SUM(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT)) AS cents,
+        |    CAST(year(o_orderdate) AS INT) AS yr
+        |  FROM orders WHERE o_orderstatus = 'F'
+        |  GROUP BY o_custkey, year(o_orderdate)
+        |)
+        |SELECT custkey, yr, n,
+        |  CAST(CASE WHEN custkey % 10 = 3 THEN cents + n ELSE cents END
+        |    AS BIGINT) AS cents
+        |FROM bal""".stripMargin,
+
     "sql1_tpch_q3" -> q3Sql,
     "sql2_scalar_subquery" -> scalarSubSql,
     "sql3_grouping_sets" -> groupingSetsSql,
