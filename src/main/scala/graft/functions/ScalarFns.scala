@@ -34,6 +34,23 @@ object ScalarFns {
         .select(col("o_orderkey"), col("o_custkey"), z.as("zval"))
     }),
 
+    // F23B (r17): N-LANE Z-ORDER KEY — the 3-dimension Morton
+    // interleave (functions/ZOrder.scala ZOrderN: 20 bits per lane at
+    // n=3, the key behind OPTIMIZE … ZORDER BY (a, b, c)). Same
+    // codegen'd scan-local projection as f23; the oracle replays the
+    // bit-by-bit interleave with a generate_series fold — disjoint
+    // bit positions make SUM the OR. ZOrderSpec pins n=2 ≡ the dyadic
+    // shift-mask construction and the naive reference at every n.
+    "f23b_zorder_n" -> ((s, d) => {
+      val z = ZOrderN.zorderN(col("o_custkey"), col("o_orderkey"),
+        expr("CAST(year(o_orderdate) AS BIGINT)"))
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          expr("CAST(year(o_orderdate) AS BIGINT)").as("yr"),
+          z.as("zval"))
+    }),
+
     // F1: string family over part names.
     "f1_string_fns" -> ((s, d) => {
       Tables.part(s, d).select(
@@ -472,6 +489,20 @@ object ScalarFns {
         |)
         |SELECT o_orderkey, o_custkey,
         |  CAST((a << 1) | b AS BIGINT) AS zval FROM s5""".stripMargin,
+
+    // f23b: the 3-lane interleave bit-by-bit — 20 bits per lane, lane
+    // 0 (custkey) most significant within each group; SUM over
+    // disjoint bit positions IS the OR
+    "f23b_zorder_n" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST((SELECT SUM(
+        |      ((((o_custkey & 1048575) >> i) & 1) << (i*3 + 2)) |
+        |      ((((o_orderkey & 1048575) >> i) & 1) << (i*3 + 1)) |
+        |      ((((CAST(year(o_orderdate) AS BIGINT) & 1048575) >> i) & 1)
+        |        << (i*3 + 0)))
+        |    FROM generate_series(0, 19) t(i)) AS BIGINT) AS zval
+        |FROM orders WHERE o_orderkey % 5 = 0""".stripMargin,
     // f20: explicit NULL-site forms — CASE for the zero divisor and the
     // overflow parity, TRY_CAST for the dirty string
     "f20_try_functions" ->

@@ -57,10 +57,11 @@ object MaintenanceSql {
 }
 
 /** `OPTIMIZE t [ZORDER BY (…)] [MAX FILES n]` → [[Compaction.compact]];
-  * ZORDER BY takes one column (linear clustering) or two (Morton
-  * interleave — [[graft.functions.ZOrderLong]]); more are rejected
-  * loudly rather than silently degrading (folding a 62-bit interleave
-  * back through a 31-bit lane drops the leading dimension's high bits).
+  * ZORDER BY takes one column (linear clustering), two (the 31-bit
+  * dyadic Morton interleave — [[graft.functions.ZOrderLong]]), or up
+  * to six ([[graft.functions.ZOrderN]], 62/n bits per lane); beyond
+  * six it rejects loudly rather than silently degrading to a key that
+  * no longer discriminates.
   */
 case class OptimizeTableCommand(table: String, zorderBy: Seq[String],
     maxFiles: Int) extends LeafRunnableCommand {
@@ -75,10 +76,13 @@ case class OptimizeTableCommand(table: String, zorderBy: Seq[String],
       case Seq() => Nil
       case Seq(one) => Seq(col(one))
       case Seq(a, b) => Seq(graft.functions.ZOrderLong.zorder(col(a), col(b)))
+      case upTo6 if upTo6.size <= 6 =>
+        // n-lane interleave: each lane keeps 62/n bits (3 → 20, 4 → 15…)
+        Seq(graft.functions.ZOrderN.zorderN(upTo6.map(col): _*))
       case more => throw new IllegalArgumentException(
-        s"OPTIMIZE ... ZORDER BY supports 1 or 2 columns, got " +
-          s"${more.size} (${more.mkString(", ")}) — a wider interleave " +
-          "would silently drop leading-dimension bits")
+        s"OPTIMIZE ... ZORDER BY supports up to 6 columns, got " +
+          s"${more.size} (${more.mkString(", ")}) — beyond 6 each lane " +
+          "keeps under 10 bits and the key stops discriminating")
     }
     val (d, r, w) = Compaction.compact(spark, table,
       maxFilesPerDir = maxFiles, clusterBy = cluster)

@@ -52,11 +52,15 @@ class MaintenanceSqlSpec extends AnyFunSuite with SparkTestBase {
       (1L to 100L).map(k => k % 7 + (if (k <= 2) 2L else if (k <= 5) 1L else 0L)).sum)
   }
 
-  test("ZORDER BY with more than two columns rejects loudly") {
+  test("ZORDER BY with three columns clusters through the n-lane " +
+      "interleave; beyond six rejects loudly") {
     val tbl = freshTable()
+    val r = spark.sql(s"OPTIMIZE $tbl ZORDER BY (k, v, k) MAX FILES 3").head()
+    assert(r.getInt(0) === 1 && r.getInt(1) === 10)
+    assert(spark.table(tbl).count() === 100)
     val e = intercept[Exception](
-      spark.sql(s"OPTIMIZE $tbl ZORDER BY (k, v, k)").collect())
-    assert(e.getMessage.contains("1 or 2 columns"))
+      spark.sql(s"OPTIMIZE $tbl ZORDER BY (k, v, k, v, k, v, k)").collect())
+    assert(e.getMessage.contains("up to 6"))
   }
 
   test("everything else delegates: ordinary SQL, near-miss statements, " +

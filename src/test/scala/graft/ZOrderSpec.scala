@@ -77,6 +77,55 @@ class ZOrderSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("ZOrderN at n=2 is bit-identical to the dyadic shift-mask " +
+      "construction") {
+    import graft.functions.ZOrderN
+    cases.foreach { case (a, b) =>
+      assert(ZOrderN.interleave(Array(a, b), 31) ===
+        ((ZOrderLong.spread(a) << 1) | ZOrderLong.spread(b)), s"($a, $b)")
+    }
+  }
+
+  test("ZOrderN at n=3 matches a naive reference, stays non-negative, " +
+      "and evaluates identically through codegen with null propagation") {
+    import graft.functions.ZOrderN
+    def naive3(a: Long, b: Long, c: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 20) {
+        z |= ((a >> i) & 1L) << (3 * i + 2)
+        z |= ((b >> i) & 1L) << (3 * i + 1)
+        z |= ((c >> i) & 1L) << (3 * i)
+      }
+      z
+    }
+    val m = 0xFFFFFL
+    val triples = Seq((0L, 0L, 0L), (m, m, m), (3L, 5L, 9L)) ++
+      Seq.fill(100)((rng.nextLong().abs & m, rng.nextLong().abs & m,
+        rng.nextLong().abs & m))
+    triples.foreach { case (a, b, c) =>
+      val z = ZOrderN.interleave(Array(a, b, c), 20)
+      assert(z === naive3(a, b, c) && z >= 0L, s"($a, $b, $c)")
+    }
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = (triples.map { case (a, b, c) =>
+      (java.lang.Long.valueOf(a), java.lang.Long.valueOf(b),
+        java.lang.Long.valueOf(c)) } :+
+      ((java.lang.Long.valueOf(1L), null.asInstanceOf[java.lang.Long],
+        java.lang.Long.valueOf(2L)))).toDF("a", "b", "c")
+    df.select(col("a"), col("b"), col("c"),
+      ZOrderN.zorderN(col("a"), col("b"), col("c")).as("z"))
+      .collect().foreach { r =>
+        if (r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2))
+          assert(r.isNullAt(3))
+        else assert(r.getLong(3) === naive3(r.getLong(0), r.getLong(1), r.getLong(2)))
+      }
+    // arity and type guards reject loudly at analysis
+    intercept[Exception](df.select(ZOrderN.zorderN(
+      col("a"), col("b"), col("c"), col("a"), col("b"), col("c"),
+      col("a"))).collect())
+  }
+
   test("Z-curve locality: the max key of a 2-D quadrant stays below the " +
       "min key of the next quadrant level (order maps to space)") {
     // quadrants of the 2-bit plane: all (a,b) in [0,2)x[0,2) sort
