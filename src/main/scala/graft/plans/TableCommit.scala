@@ -510,9 +510,16 @@ private[graft] object TableCommit {
     // exactly that scenario the collapsed txts still exist and cover
     // every reader until the rename lands
     if (prevCkpt.contains(k)) fs.delete(ckptPath(loc, k), false)
-    if (!fs.rename(tmp, ckptPath(loc, k)))
+    if (!fs.rename(tmp, ckptPath(loc, k))) {
+      // two concurrent checkpoints racing the same horizon: the loser's
+      // rename fails against the winner's fresh file — clean the tmp
+      // and fail loudly (checkpointing is a single-maintenance-job
+      // operation; the winner's checkpoint is complete and correct)
+      fs.delete(tmp, false)
       throw new java.io.IOException(
-        s"graft checkpoint: rename $tmp -> ${ckptPath(loc, k)} failed")
+        s"graft checkpoint: rename $tmp -> ${ckptPath(loc, k)} failed " +
+          "(concurrent checkpoint?)")
+    }
     maybeCrash("betweenCkptAndPrune")
     // prune: idempotent deletes — a crash here leaves ckpt + txts
     // overlapping (readers fold both; later-wins makes it a no-op) and

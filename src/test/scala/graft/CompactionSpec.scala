@@ -180,6 +180,28 @@ class CompactionSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("clustered compaction of a PARTITIONED table: the cluster sort " +
+      "survives the writer's partition-sort requirement (prefix match — " +
+      "no second sort scrambles it)") {
+    val (tbl, path) = freshTable()
+    // cluster within each partition directory by v DESC-unfriendly key:
+    // use v ascending — each dir's single output file must be v-sorted
+    val (dirs, removed, written) = Compaction.compact(spark, tbl,
+      maxFilesPerDir = 4, clusterBy = Seq(col("v")))
+    assert(dirs === 1 && removed === 8 && written >= 1)
+    assert(rows(tbl) === expected)
+    val table = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+    val (fs, loc) = TableCommit.fsOf(spark, table)
+    TableCommit.listDataFiles(fs, loc)
+      .filter(_.startsWith("p=frag/")).foreach { rel =>
+        val vs = spark.read.parquet(s"$path/$rel")
+          .select("v").collect().map(_.getLong(0))
+        assert(vs.sameElements(vs.sorted),
+          s"$rel must stay cluster-sorted through the partitionBy write")
+      }
+  }
+
   test("compactor racing a writer: the shared OCC lock makes exactly one " +
       "win; the loser's rewrite never lands") {
     val (tbl, _) = freshTable()
