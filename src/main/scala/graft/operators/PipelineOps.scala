@@ -217,21 +217,30 @@ object PipelineOps {
 
   private def pagerankSymmetricLoop(s: org.apache.spark.sql.SparkSession,
       d: String, iters: Int, ckptEvery: Int): DataFrame = {
+    // materialize the forward edge list ONCE before mirroring it (the
+    // m36b pattern; guide §2.4): unionAll's two branches would otherwise
+    // each re-run the scan + distinct aggregate — ProfileQuery showed
+    // the duplicated map stages at every invocation
     val fwd = Tables.lineitem(s, d)
       .select((col("l_orderkey") * 2).as("src"),
         (col("l_partkey") * 2 + 1).as("dst")).distinct()
+      .localCheckpoint(true)
     val edges = fwd.unionAll(
       fwd.select(col("dst").as("src"), col("src").as("dst")))
+    // node-sized; checkpointed so the weighted join and the rank₀ seed
+    // both read it without re-aggregating the mirrored edge list (its
+    // key set IS the node set — every node of the symmetric graph has
+    // out-degree ≥ 1, so seeding rank₀ from deg replaces the old
+    // edge-wide distinct over `weighted`)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
     // localCheckpoint, not cache: materializes the weighted edge list
     // EXACTLY ONCE as deserialized row partitions (no per-iteration
     // columnar decode) with hash(src) partitioning preserved in the
-    // LogicalRDD, and the rank₀ node set derives from it instead of a
-    // second pass over the parquet scan
+    // LogicalRDD
     val weighted = edges.join(deg, "src").repartition(col("src"))
       .localCheckpoint(true)
-    var ranks = weighted.select(col("src").as("id")).distinct()
-      .select(col("id"), lit(1000000000L).as("r"))
+    var ranks = deg.select(col("src").as("id"), lit(1000000000L).as("r"))
     for (i <- 1 to iters) {
       val upd = pagerankStep(weighted, ranks)
       // bound the plan depth every ckptEvery rounds AND at the tail, so
@@ -300,7 +309,11 @@ object PipelineOps {
     val fwd = fwd0.localCheckpoint(true)
     val nodes = fwd.select(col("src").as("id"))
       .union(fwd.select(col("dst").as("id"))).distinct().localCheckpoint(true)
+    // node-sized; checkpointed so the weighted join and the sink
+    // anti-join read ONE materialization instead of re-aggregating the
+    // edge list twice (guide §2.4)
     val deg = fwd.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
     val weighted = fwd.join(deg, "src").repartition(col("src"))
       .localCheckpoint(true)
     val sinks = nodes.join(deg.select(col("src").as("id")), Seq("id"), "left_anti")
