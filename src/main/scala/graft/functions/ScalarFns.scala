@@ -137,7 +137,13 @@ object ScalarFns {
 
     // F7: JSON family straight over the props string.
     "f7_json_fns" -> ((s, d) => {
-      Tables.events(s, d).select(
+      // fanOut BEFORE the parse projection (the s16 fix): events is one
+      // parquet split at fixture scale, so the JSON parse ran as a
+      // single ~1 s CPU task on an idle 32-core session. Identity at
+      // scale — a multi-split scan already fans out.
+      Tables.fanOut(Tables.events(s, d)
+          .select(col("event_id"), col("props"), col("user_id")),
+        col("event_id")).select(
         col("event_id"),
         get_json_object(col("props"), "$.k").as("k_str"),
         from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
@@ -225,7 +231,12 @@ object ScalarFns {
     // The oracle re-expresses each as the explicit CASE/TRY_CAST DuckDB
     // form — same NULL sites, same surviving values.
     "f20_try_functions" -> ((s, d) => {
-      Tables.orders(s, d).select(
+      // fanOut: single-split scan ran the try-expression projection as
+      // one ~0.8 s CPU task (the s16/f7 pattern; identity at scale)
+      Tables.fanOut(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"), col("o_orderpriority")),
+        col("o_orderkey")).select(
         col("o_orderkey"),
         round(expr(
           "try_divide(CAST(ROUND(o_totalprice * 1e2, 0) AS BIGINT), o_custkey % 7)"),
@@ -362,8 +373,12 @@ object ScalarFns {
     // the same values from the raw JSON text — variant must be a
     // faithful, lossless re-encoding.
     "f14_variant" -> ((s, d) => {
+      // fanOut: single-split scan ran the variant parse as one ~0.6 s
+      // CPU task (the s16/f7 pattern; identity at scale)
       val v = parse_json(col("props"))
-      Tables.events(s, d).select(
+      Tables.fanOut(Tables.events(s, d)
+          .select(col("event_id"), col("props")),
+        col("event_id")).select(
         col("event_id"),
         variant_get(v, "$.k", "int").as("k_int"),
         variant_get(v, "$.k", "string").as("k_str"),

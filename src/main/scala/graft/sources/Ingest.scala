@@ -393,7 +393,16 @@ object Ingest {
     // codegen: serialize + parse live in one projection, no shuffle at
     // any scale.
     "s16_xml" -> ((s, d) => {
-      val orders = Tables.orders(s, d).filter(col("o_orderkey") % 5 === 0)
+      // fanOut BEFORE the serialize+parse projection: the filtered
+      // orders slice is one parquet split at fixture scale, so the
+      // CPU-dense from_xml/xpath stage ran as a single task on an idle
+      // 32-core session (profiled: 3.2 s of single-task CPU). Identity
+      // at scale (s9's guard — a multi-split scan fans out already).
+      val orders = Tables.fanOut(
+        Tables.orders(s, d).filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_orderpriority"), col("o_totalprice")),
+        col("o_orderkey"))
       val xml = concat(
         lit("<rec><id>"), col("o_orderkey"),
         lit("</id><status>"), col("o_orderstatus"),
