@@ -538,11 +538,9 @@ object Streams {
     "t23_stream_interval_join" -> ((s, d) => {
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
       val tag = dirTag(d)
-      // one events pass feeds both sides' staging writes (guide §1.2)
       val base = graft.Tables.events(s, d)
         .select(col("event_id"), col("user_id"),
           unix_micros(col("ts")).as("us"), col("event_type"))
-        .localCheckpoint()
       val pDir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_t23_p_$tag").toString
       val cDir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
@@ -701,11 +699,8 @@ object Streams {
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
       val feed = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_t26_feed_${dirTag(d)}").toString
-      // one events pass feeds both the full write and the duplicate
-      // slice (guide §1.2)
       val base = graft.Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"))
-        .localCheckpoint()
       base.repartition(2).write.mode("overwrite").json(feed)
       base.filter(col("event_id") % 3 === 0)
         .repartition(1).write.mode("append").json(feed)
@@ -876,10 +871,8 @@ object Streams {
       }
       rm(new java.io.File(base))
       val feed = s"$base/feed"
-      // one events pass feeds both run-1 and run-2 staging (guide §1.2)
       val events = graft.Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"))
-        .localCheckpoint()
       events.filter(col("event_id") % 2 === 0)
         .repartition(2).write.mode("overwrite").json(feed)
       val schema = StructType(Seq(
